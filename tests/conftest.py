@@ -1,0 +1,33 @@
+r"""Test harness configuration.
+
+Mirrors the reference contract (reference: tests/conftest.py:10-43): the whole
+numerical battery is validated in float64 on CPU. Additionally, 8 virtual XLA
+CPU devices are forced so the sharding/mesh tests (tests/test_parallel.py) can
+validate multi-chip semantics without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compile times dominate on this host, and the
+# cache makes repeated suite runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

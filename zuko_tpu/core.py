@@ -1,0 +1,231 @@
+r"""Pytree module system.
+
+A :class:`Module` is a pytree-registered container: attributes holding JAX/NumPy
+arrays (or other modules, or containers thereof) are *dynamic* children that flow
+through :func:`jax.jit` / :func:`jax.grad`, while everything else (ints, floats,
+strings, callables, shapes) is *static* auxiliary data that keys the compilation
+cache.
+
+This is the TPU-native answer to the reference's ``torch.nn.Module`` semantics
+(reference: zuko/lazy.py:29-49, zuko/utils.py:26-115): parameters live in a
+pytree, "building a distribution" is pure tracing, and the parameter-vs-buffer
+distinction (reference: zuko/lazy.py:263-270, zuko/nn.py:215) is expressed with
+:meth:`Module.register_buffer` plus the :func:`partition` / :func:`combine`
+filtered-transform helpers (so optimizers only touch trainable leaves).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import Any, Callable, Dict, Tuple
+
+__all__ = [
+    "Module",
+    "partition",
+    "combine",
+    "tree_replace",
+]
+
+
+def _is_dynamic(v: Any) -> bool:
+    """Whether a value belongs to the dynamic (traced) part of the pytree."""
+    if isinstance(v, (jax.Array, np.ndarray, Module)):
+        return True
+    if isinstance(v, jax.core.Tracer):
+        return True
+    if isinstance(v, (list, tuple)):
+        return any(_is_dynamic(u) for u in v)
+    if isinstance(v, dict):
+        return any(_is_dynamic(u) for u in v.values())
+    return False
+
+
+def _freeze(v: Any) -> Any:
+    """Recursively convert a static value to a hashable form."""
+    if isinstance(v, (list, tuple)):
+        return (list, tuple)[isinstance(v, tuple)], tuple(_freeze(u) for u in v)
+    if isinstance(v, dict):
+        return (dict, tuple((k, _freeze(v[k])) for k in sorted(v, key=repr)))
+    if isinstance(v, set):
+        return (set, frozenset(_freeze(u) for u in v))
+    return v
+
+
+class _Static:
+    """Hashable wrapper for static aux data; preserves the original object."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: Any):
+        self.value = value
+
+    def __eq__(self, other: Any) -> bool:
+        return type(other) is _Static and _freeze(self.value) == _freeze(other.value)
+
+    def __hash__(self) -> int:
+        try:
+            return hash(_freeze(self.value))
+        except TypeError:  # unhashable static (rare); collide, rely on __eq__
+            return 0
+
+    def __repr__(self) -> str:
+        return f"_Static({self.value!r})"
+
+
+def _flatten_module(obj: "Module"):
+    names = sorted(obj.__dict__)
+    dynamic, dnames, static, snames = [], [], [], []
+    for k in names:
+        v = obj.__dict__[k]
+        if _is_dynamic(v):
+            dynamic.append(v)
+            dnames.append(k)
+        else:
+            static.append(_Static(v))
+            snames.append(k)
+    return dynamic, (tuple(dnames), tuple(snames), tuple(static))
+
+
+def _flatten_module_with_keys(obj: "Module"):
+    dynamic, aux = _flatten_module(obj)
+    keyed = [(jax.tree_util.GetAttrKey(k), v) for k, v in zip(aux[0], dynamic)]
+    return keyed, aux
+
+
+def _unflatten_module(cls, aux, dynamic):
+    dnames, snames, static = aux
+    obj = object.__new__(cls)
+    d = obj.__dict__
+    for k, v in zip(dnames, dynamic):
+        d[k] = v
+    for k, s in zip(snames, static):
+        d[k] = s.value
+    return obj
+
+
+class Module:
+    """Base class: every subclass is automatically a pytree.
+
+    Attributes containing arrays / modules are pytree children; the rest is
+    static configuration. Use :meth:`register_buffer` to mark an attribute's
+    arrays as non-trainable (frozen under :func:`partition`).
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_with_keys(
+            cls,
+            _flatten_module_with_keys,
+            lambda aux, dyn, cls=cls: _unflatten_module(cls, aux, dyn),
+            flatten_func=_flatten_module,
+        )
+
+    def register_buffer(self, name: str, value: Any) -> None:
+        """Set ``self.<name> = value`` and mark it frozen (non-trainable)."""
+        object.__setattr__(self, name, value)
+        bn = self.__dict__.get("_buffer_names", frozenset())
+        self.__dict__["_buffer_names"] = frozenset(bn) | {name}
+
+    @property
+    def buffer_names(self) -> frozenset:
+        return self.__dict__.get("_buffer_names", frozenset())
+
+    def tree_replace(self, **updates: Any) -> "Module":
+        """Functionally replace attributes, returning a new module."""
+        obj = object.__new__(type(self))
+        obj.__dict__.update(self.__dict__)
+        obj.__dict__.update(updates)
+        return obj
+
+    def __repr__(self) -> str:
+        return tree_repr(self)
+
+
+def tree_replace(module: Module, **updates: Any) -> Module:
+    return module.tree_replace(**updates)
+
+
+def _skeleton(x: Module) -> Module:
+    obj = object.__new__(type(x))
+    return obj
+
+
+def _split(x: Any, frozen: bool) -> Tuple[Any, Any]:
+    if isinstance(x, Module):
+        p, b = _skeleton(x), _skeleton(x)
+        bnames = x.buffer_names
+        for k, v in x.__dict__.items():
+            pv, bv = _split(v, frozen or (k in bnames))
+            p.__dict__[k] = pv
+            b.__dict__[k] = bv
+        return p, b
+    if isinstance(x, (jax.Array, np.ndarray, jax.core.Tracer)):
+        return (None, x) if frozen else (x, None)
+    if isinstance(x, (list, tuple)):
+        pairs = [_split(u, frozen) for u in x]
+        ctor = type(x)
+        return ctor(a for a, _ in pairs), ctor(b for _, b in pairs)
+    if isinstance(x, dict):
+        pairs = {k: _split(v, frozen) for k, v in x.items()}
+        return {k: a for k, (a, _) in pairs.items()}, {k: b for k, (_, b) in pairs.items()}
+    return x, x  # static config appears on both sides
+
+
+def partition(tree: Any) -> Tuple[Any, Any]:
+    r"""Split a module tree into (trainable, frozen) halves.
+
+    Both halves have the same structure as the input; array leaves appear on
+    exactly one side (``None`` on the other). Static config appears on both.
+
+    Example:
+        >>> params, static = partition(flow)      # doctest: +SKIP
+        >>> flow2 = combine(params, static)       # doctest: +SKIP
+    """
+    return _split(tree, False)
+
+
+def combine(a: Any, b: Any) -> Any:
+    """Inverse of :func:`partition`: merge two half-trees."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, Module):
+        obj = object.__new__(type(a))
+        for k in a.__dict__:
+            obj.__dict__[k] = combine(a.__dict__[k], b.__dict__[k])
+        return obj
+    if isinstance(a, (list, tuple)):
+        return type(a)(combine(u, v) for u, v in zip(a, b))
+    if isinstance(a, dict):
+        return {k: combine(a[k], b[k]) for k in a}
+    return a
+
+
+def tree_repr(x: Any, depth: int = 0) -> str:
+    """Compact, informative repr of a module tree (reference parity:
+    zuko keeps a strong __repr__ contract, e.g. zuko/lazy.py:116-117)."""
+    pad = "  " * depth
+    if isinstance(x, Module):
+        lines = [type(x).__name__ + "("]
+        for k in sorted(x.__dict__):
+            if k == "_buffer_names":
+                continue
+            v = x.__dict__[k]
+            lines.append(f"{pad}  {k}={tree_repr(v, depth + 1).lstrip()},")
+        lines.append(pad + ")")
+        if len(lines) == 2:
+            return type(x).__name__ + "()"
+        return "\n".join(lines)
+    if isinstance(x, (jax.Array, np.ndarray)):
+        return f"{pad}Array(shape={tuple(x.shape)}, dtype={x.dtype})"
+    if isinstance(x, (list, tuple)):
+        o, c = ("[", "]") if isinstance(x, list) else ("(", ")")
+        if not x:
+            return pad + o + c
+        inner = ",\n".join(pad + "  " + tree_repr(v, depth + 1).lstrip() for v in x)
+        return f"{pad}{o}\n{inner}\n{pad}{c}"
+    return pad + repr(x)

@@ -1,0 +1,892 @@
+r"""Parameterizable probability distributions.
+
+This module supplies both:
+
+* the substrate the reference borrows from ``torch.distributions`` and
+  re-exports (reference: zuko/distributions.py:23 — ``Normal``, ``Uniform``,
+  ``Independent``, ``Categorical``, ``MultivariateNormal``, ``Beta``,
+  ``Gamma``), re-implemented natively on JAX, and
+* the reference's own distributions (reference: zuko/distributions.py:39-699):
+  ``NormalizingFlow``, ``Joint``, ``Mixture``, ``GeneralizedNormal``,
+  ``DiagNormal``, ``BoxUniform``, ``TransformedUniform``, ``Truncated``,
+  ``Sort``, ``TopK``, ``Minimum``, ``Maximum``.
+
+Conventions (TPU-first):
+
+* Shapes are static; ``log_prob(x)`` broadcasts ``x`` of shape
+  ``sample_shape + batch_shape + event_shape`` to ``sample_shape + batch_shape``.
+* Sampling is explicit-PRNG: ``sample(key, sample_shape=())``. ``rsample`` is
+  an alias — every JAX sampler here is reparameterized where the reference's is.
+* Validation is off by construction (reference pins
+  ``Distribution._validate_args = False``, zuko/distributions.py:35-36);
+  out-of-support inputs produce ``-inf``/``nan`` rather than raising.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import lax
+from jax.scipy import special as jsp
+from typing import Any, Callable, Sequence, Tuple, Union
+
+from .core import Module
+from .utils import broadcast
+
+__all__ = [
+    "Distribution",
+    "Normal",
+    "Uniform",
+    "Independent",
+    "Categorical",
+    "MultivariateNormal",
+    "Beta",
+    "Gamma",
+    "Laplace",
+    "NormalizingFlow",
+    "Joint",
+    "Mixture",
+    "GeneralizedNormal",
+    "DiagNormal",
+    "BoxUniform",
+    "TransformedUniform",
+    "Truncated",
+    "Sort",
+    "TopK",
+    "Minimum",
+    "Maximum",
+]
+
+Shape = Tuple[int, ...]
+
+
+def _sum_rightmost(x: jax.Array, n: int) -> jax.Array:
+    """Sum over the ``n`` rightmost dimensions (reference:
+    torch.distributions.utils._sum_rightmost, used at zuko/distributions.py:33)."""
+    if n == 0:
+        return x
+    return jnp.sum(x, axis=tuple(range(-n, 0)))
+
+
+class Distribution(Module):
+    r"""Abstract distribution: ``batch_shape`` of independent-but-not-identical
+    instances, each over events of shape ``event_shape``."""
+
+    has_rsample: bool = True
+
+    @property
+    def batch_shape(self) -> Shape:
+        raise NotImplementedError
+
+    @property
+    def event_shape(self) -> Shape:
+        return ()
+
+    def log_prob(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def sample(self, key: jax.Array, sample_shape: Shape = ()) -> jax.Array:
+        raise NotImplementedError
+
+    def rsample(self, key: jax.Array, sample_shape: Shape = ()) -> jax.Array:
+        return self.sample(key, sample_shape)
+
+    def sample_and_log_prob(self, key, sample_shape: Shape = ()):
+        x = self.sample(key, sample_shape)
+        return x, self.log_prob(x)
+
+    rsample_and_log_prob = sample_and_log_prob
+
+    def cdf(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def icdf(self, q: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def expand(self, batch_shape: Shape) -> "Distribution":
+        raise NotImplementedError
+
+    @property
+    def mean(self) -> jax.Array:
+        raise NotImplementedError
+
+
+# ------------------------------------------------------------------ primitives
+
+
+class Normal(Distribution):
+    r"""Univariate normal :math:`\mathcal{N}(\mu, \sigma^2)`.
+
+    Example:
+        >>> d = Normal(jnp.zeros(3), jnp.ones(3))
+        >>> d.batch_shape
+        (3,)
+        >>> d.log_prob(jnp.zeros(3)).shape
+        (3,)
+    """
+
+    def __init__(self, loc, scale):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -0.5 * z**2 - jnp.log(self.scale) - 0.5 * math.log(2 * math.pi)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        eps = jax.random.normal(key, shape, dtype=self.loc.dtype)
+        return self.loc + self.scale * eps
+
+    def cdf(self, x):
+        return 0.5 * (1 + jsp.erf((x - self.loc) / (self.scale * math.sqrt(2))))
+
+    def icdf(self, q):
+        return self.loc + self.scale * math.sqrt(2) * jsp.erfinv(2 * q - 1)
+
+    def expand(self, batch_shape: Shape):
+        return Normal(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def mode(self):
+        return self.mean
+
+
+class Uniform(Distribution):
+    r"""Uniform on :math:`[low, high)`.
+
+    Example:
+        >>> d = Uniform(0.0, 2.0)
+        >>> bool(jnp.isclose(d.log_prob(jnp.asarray(1.0)), -jnp.log(2.0)))
+        True
+    """
+
+    def __init__(self, low, high):
+        self.low = jnp.asarray(low)
+        self.high = jnp.asarray(high)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.low.shape, self.high.shape)
+
+    def log_prob(self, x):
+        inside = (x >= self.low) & (x <= self.high)
+        lp = -jnp.log(self.high - self.low)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=self.low.dtype)
+        return self.low + (self.high - self.low) * u
+
+    def cdf(self, x):
+        return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def icdf(self, q):
+        return self.low + (self.high - self.low) * q
+
+    def expand(self, batch_shape: Shape):
+        return Uniform(
+            jnp.broadcast_to(self.low, batch_shape),
+            jnp.broadcast_to(self.high, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to((self.low + self.high) / 2, self.batch_shape)
+
+
+class Laplace(Distribution):
+    r"""Laplace distribution with location ``loc`` and scale ``scale``."""
+
+    def __init__(self, loc, scale):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
+    def log_prob(self, x):
+        return -jnp.abs(x - self.loc) / self.scale - jnp.log(2 * self.scale)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(
+            key, shape, dtype=self.loc.dtype, minval=-0.5, maxval=0.5
+        )
+        return self.loc - self.scale * jnp.sign(u) * jnp.log1p(-2 * jnp.abs(u))
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return 0.5 - 0.5 * jnp.sign(z) * jnp.expm1(-jnp.abs(z))
+
+    def icdf(self, q):
+        s = q - 0.5
+        return self.loc - self.scale * jnp.sign(s) * jnp.log1p(-2 * jnp.abs(s))
+
+    def expand(self, batch_shape: Shape):
+        return Laplace(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+
+class Gamma(Distribution):
+    r"""Gamma distribution with ``concentration`` and ``rate``.
+
+    Sampling is reparameterized via JAX's implicitly-differentiated gamma
+    sampler (the role of ``torch._standard_gamma`` at
+    reference zuko/distributions.py:330-334).
+    """
+
+    def __init__(self, concentration, rate=1.0):
+        self.concentration = jnp.asarray(concentration)
+        self.rate = jnp.asarray(rate)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.concentration.shape, self.rate.shape)
+
+    def log_prob(self, x):
+        a, b = self.concentration, self.rate
+        return a * jnp.log(b) + (a - 1) * jnp.log(x) - b * x - jsp.gammaln(a)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
+        return g / self.rate
+
+    def expand(self, batch_shape: Shape):
+        return Gamma(
+            jnp.broadcast_to(self.concentration, batch_shape),
+            jnp.broadcast_to(self.rate, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.concentration / self.rate, self.batch_shape)
+
+
+class Beta(Distribution):
+    r"""Beta distribution (reference usage: the Bernstein basis at
+    zuko/transforms.py:733 and doctests)."""
+
+    def __init__(self, alpha, beta):
+        self.alpha = jnp.asarray(alpha)
+        self.beta = jnp.asarray(beta)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.alpha.shape, self.beta.shape)
+
+    def log_prob(self, x):
+        a, b = self.alpha, self.beta
+        return (
+            (a - 1) * jnp.log(x)
+            + (b - 1) * jnp.log1p(-x)
+            - (jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        ga = jax.random.gamma(k1, jnp.broadcast_to(self.alpha, shape))
+        gb = jax.random.gamma(k2, jnp.broadcast_to(self.beta, shape))
+        return ga / (ga + gb)
+
+    def expand(self, batch_shape: Shape):
+        return Beta(
+            jnp.broadcast_to(self.alpha, batch_shape),
+            jnp.broadcast_to(self.beta, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(
+            self.alpha / (self.alpha + self.beta), self.batch_shape
+        )
+
+
+class Categorical(Distribution):
+    r"""Categorical over the last axis of ``logits``
+    (reference usage: mixture sampling, zuko/distributions.py:275-286)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, logits=None, probs=None):
+        if logits is None:
+            logits = jnp.log(jnp.asarray(probs))
+        self.logits = jnp.asarray(logits)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.logits.shape[:-1]
+
+    @property
+    def num_categories(self) -> int:
+        return self.logits.shape[-1]
+
+    def log_prob(self, x):
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jnp.take_along_axis(
+            logp, x[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(key, self.logits, axis=-1, shape=shape)
+
+    def expand(self, batch_shape: Shape):
+        return Categorical(
+            jnp.broadcast_to(
+                self.logits, tuple(batch_shape) + (self.num_categories,)
+            )
+        )
+
+
+class MultivariateNormal(Distribution):
+    r"""Multivariate normal parameterized by ``loc`` and lower-triangular
+    ``scale_tril`` (reference usage: GMM full covariance,
+    zuko/mixtures.py:86-93)."""
+
+    def __init__(self, loc, scale_tril=None, covariance_matrix=None):
+        self.loc = jnp.asarray(loc)
+        if scale_tril is None:
+            scale_tril = jnp.linalg.cholesky(jnp.asarray(covariance_matrix))
+        self.scale_tril = jnp.asarray(scale_tril)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.loc.shape[:-1], self.scale_tril.shape[:-2]
+        )
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.loc.shape[-1:]
+
+    def log_prob(self, x):
+        d = x.shape[-1]
+        diff = x - self.loc
+        # Solve L z = diff  (batched triangular solve)
+        z = jax.scipy.linalg.solve_triangular(
+            self.scale_tril, diff[..., None], lower=True
+        )[..., 0]
+        half_log_det = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+        return (
+            -0.5 * jnp.sum(z**2, axis=-1)
+            - half_log_det
+            - 0.5 * d * math.log(2 * math.pi)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        eps = jax.random.normal(key, shape, dtype=self.loc.dtype)
+        return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+
+    def expand(self, batch_shape: Shape):
+        d = self.event_shape[0]
+        return MultivariateNormal(
+            jnp.broadcast_to(self.loc, tuple(batch_shape) + (d,)),
+            jnp.broadcast_to(self.scale_tril, tuple(batch_shape) + (d, d)),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape + self.event_shape)
+
+
+class Independent(Distribution):
+    r"""Reinterprets the ``ndims`` rightmost batch dimensions of ``base`` as
+    event dimensions (the torch ``Independent`` the reference builds on, e.g.
+    zuko/distributions.py:337-363)."""
+
+    def __init__(self, base: Distribution, ndims: int):
+        self.base = base
+        self.ndims = int(ndims)
+
+    @property
+    def has_rsample(self) -> bool:
+        return self.base.has_rsample
+
+    @property
+    def batch_shape(self) -> Shape:
+        shape = self.base.batch_shape
+        return shape[: len(shape) - self.ndims]
+
+    @property
+    def event_shape(self) -> Shape:
+        shape = self.base.batch_shape
+        return shape[len(shape) - self.ndims :] + self.base.event_shape
+
+    def log_prob(self, x):
+        return _sum_rightmost(self.base.log_prob(x), self.ndims)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        return self.base.sample(key, sample_shape)
+
+    def expand(self, batch_shape: Shape):
+        shape = self.base.batch_shape
+        inner = shape[len(shape) - self.ndims :]
+        return Independent(
+            self.base.expand(tuple(batch_shape) + inner), self.ndims
+        )
+
+    @property
+    def mean(self):
+        return self.base.mean
+
+
+# --------------------------------------------------------- flow / composition
+
+
+class NormalizingFlow(Distribution):
+    r"""Pushforward of ``base`` through the inverse of ``transform``:
+    :math:`p(x) = p_{base}(f(x)) |\det J_f(x)|`.
+
+    The engine of the framework (reference: zuko/distributions.py:39-138):
+
+    * ``log_prob`` uses the fused ``call_and_ladj`` protocol
+      (reference: zuko/distributions.py:115-119),
+    * ``sample`` pulls base samples back through :math:`f^{-1}`
+      (reference: zuko/distributions.py:121-127),
+    * ``sample_and_log_prob`` fuses one inverse pass to produce both — the
+      reverse-KL workhorse (reference: zuko/distributions.py:129-138).
+
+    If the transform's codomain has more event dimensions than the base, the
+    base is auto-wrapped in :class:`Independent`
+    (reference: zuko/distributions.py:79-86).
+
+    Example:
+        >>> from zuko_tpu.transforms import MonotonicAffineTransform
+        >>> d = NormalizingFlow(MonotonicAffineTransform(0.0, 1.0), Normal(0.0, 1.0))
+        >>> d.log_prob(jnp.asarray(0.5)).shape
+        ()
+    """
+
+    def __init__(self, transform, base: Distribution):
+        reinterpreted = transform.codomain_dim - len(base.event_shape)
+        if reinterpreted > 0:
+            base = Independent(base, reinterpreted)
+        self.transform = transform
+        self.base = base
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.base.batch_shape
+
+    @property
+    def event_shape(self) -> Shape:
+        # reference: zuko/distributions.py:101-103
+        return self.transform.inverse_shape(self.base.event_shape)
+
+    def log_prob(self, x):
+        z, ladj = self.transform.call_and_ladj(x)
+        return self.base.log_prob(z) + ladj
+
+    def sample(self, key, sample_shape: Shape = ()):
+        z = self.base.sample(key, sample_shape)
+        return self.transform.inverse(z)
+
+    def sample_and_log_prob(self, key, sample_shape: Shape = ()):
+        z = self.base.sample(key, sample_shape)
+        x, ladj = self.transform.inverse_and_ladj(z)
+        return x, self.base.log_prob(z) - ladj
+
+    rsample_and_log_prob = sample_and_log_prob
+
+    def expand(self, batch_shape: Shape):
+        # reference: zuko/distributions.py:105-113 — only the base is expanded.
+        return NormalizingFlow(self.transform, self.base.expand(batch_shape))
+
+
+class Joint(Distribution):
+    r"""Concatenation of independent marginals, flattened to one event
+    dimension (reference: zuko/distributions.py:141-213).
+
+    Example:
+        >>> d = Joint(Normal(0.0, 1.0), BoxUniform(jnp.zeros(2), jnp.ones(2)))
+        >>> d.event_shape
+        (3,)
+    """
+
+    def __init__(self, *marginals: Distribution):
+        self.marginals = list(marginals)
+
+    @property
+    def has_rsample(self) -> bool:
+        return all(m.has_rsample for m in self.marginals)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(*(m.batch_shape for m in self.marginals))
+
+    @property
+    def event_shape(self) -> Shape:
+        return (sum(int(np.prod(m.event_shape, dtype=int)) for m in self.marginals),)
+
+    def _split(self, x):
+        sizes = [int(np.prod(m.event_shape, dtype=int)) for m in self.marginals]
+        splits = np.cumsum(sizes)[:-1].tolist()
+        chunks = jnp.split(x, splits, axis=-1) if splits else [x]
+        return [
+            c.reshape(c.shape[:-1] + m.event_shape)
+            for c, m in zip(chunks, self.marginals)
+        ]
+
+    def log_prob(self, x):
+        lp = 0.0
+        for c, m in zip(self._split(x), self.marginals):
+            if m.event_shape == ():
+                c = c[..., 0] if c.shape[-1:] == (1,) and m.event_shape == () else c
+            lp = lp + m.log_prob(c)
+        return lp
+
+    def sample(self, key, sample_shape: Shape = ()):
+        keys = jax.random.split(key, len(self.marginals))
+        parts = []
+        for k, m in zip(keys, self.marginals):
+            s = m.sample(k, sample_shape)
+            s = jnp.broadcast_to(
+                s, tuple(sample_shape) + self.batch_shape + m.event_shape
+            )
+            parts.append(
+                s.reshape(
+                    s.shape[: s.ndim - len(m.event_shape)]
+                    + (int(np.prod(m.event_shape, dtype=int)),)
+                )
+            )
+        return jnp.concatenate(parts, axis=-1)
+
+    def expand(self, batch_shape: Shape):
+        return Joint(*(m.expand(batch_shape) for m in self.marginals))
+
+
+class Mixture(Distribution):
+    r"""Mixture over the last batch dimension of ``base`` with mixing
+    ``logits`` (reference: zuko/distributions.py:216-286).
+
+    Example:
+        >>> base = Normal(jnp.asarray([-1.0, 1.0]), jnp.ones(2))
+        >>> d = Mixture(base, jnp.zeros(2))
+        >>> d.batch_shape
+        ()
+    """
+
+    has_rsample: bool = False
+
+    def __init__(self, base: Distribution, logits):
+        self.base = base
+        self.logits = jnp.asarray(logits)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.base.batch_shape[:-1]
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.base.event_shape
+
+    def log_prob(self, x):
+        # x: (*, batch, event) -> insert component dim before event dims
+        k = len(self.event_shape)
+        xc = jnp.expand_dims(x, axis=-k - 1) if k else x[..., None]
+        logp = self.base.log_prob(xc)  # (*, batch, K)
+        logw = jax.nn.log_softmax(self.logits, axis=-1)
+        return jsp.logsumexp(logw + logp, axis=-1)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        k1, k2 = jax.random.split(key)
+        xs = self.base.sample(k1, sample_shape)  # (*, batch, K, event)
+        idx = Categorical(self.logits).sample(k2, sample_shape)  # (*, batch)
+        k = len(self.event_shape)
+        idx_exp = idx.reshape(idx.shape + (1,) * (k + 1))
+        idx_exp = jnp.broadcast_to(
+            idx_exp, idx.shape + (1,) + self.event_shape
+        )
+        picked = jnp.take_along_axis(xs, idx_exp, axis=idx.ndim)
+        return picked.squeeze(axis=idx.ndim)
+
+    def expand(self, batch_shape: Shape):
+        K = self.base.batch_shape[-1]
+        return Mixture(
+            self.base.expand(tuple(batch_shape) + (K,)),
+            jnp.broadcast_to(self.logits, tuple(batch_shape) + (K,)),
+        )
+
+
+class GeneralizedNormal(Distribution):
+    r"""Generalized normal :math:`p(x) \propto \exp(-|x|^\beta)`
+    (reference: zuko/distributions.py:289-334)."""
+
+    def __init__(self, beta):
+        self.beta = jnp.asarray(beta)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.beta.shape
+
+    def log_prob(self, x):
+        b = self.beta
+        return jnp.log(b / 2) - jsp.gammaln(1 / b) - jnp.abs(x) ** b
+
+    def sample(self, key, sample_shape: Shape = ()):
+        # reference recipe: Gamma(1/beta)^(1/beta) * random sign
+        # (zuko/distributions.py:330-334)
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        b = jnp.broadcast_to(self.beta, shape)
+        g = jax.random.gamma(k1, 1 / b) ** (1 / b)
+        sign = jax.random.rademacher(k2, shape, dtype=g.dtype)
+        return g * sign
+
+    def expand(self, batch_shape: Shape):
+        return GeneralizedNormal(jnp.broadcast_to(self.beta, batch_shape))
+
+
+class DiagNormal(Independent):
+    r"""Multivariate normal with diagonal covariance
+    (reference: zuko/distributions.py:337-363) — the default flow base.
+
+    Example:
+        >>> d = DiagNormal(jnp.zeros(3), jnp.ones(3))
+        >>> d.event_shape
+        (3,)
+    """
+
+    def __init__(self, loc, scale, ndims: int = 1):
+        super().__init__(Normal(jnp.asarray(loc), jnp.asarray(scale)), ndims)
+
+    def expand(self, batch_shape: Shape):
+        shape = self.base.batch_shape
+        inner = shape[len(shape) - self.ndims :]
+        full = tuple(batch_shape) + inner
+        return DiagNormal(
+            jnp.broadcast_to(self.base.loc, full),
+            jnp.broadcast_to(self.base.scale, full),
+            self.ndims,
+        )
+
+
+class BoxUniform(Independent):
+    r"""Uniform over a hyper-box (reference: zuko/distributions.py:366-396) —
+    the NCSF base.
+
+    Example:
+        >>> d = BoxUniform(-jnp.ones(2), jnp.ones(2))
+        >>> d.event_shape
+        (2,)
+    """
+
+    def __init__(self, lower, upper, ndims: int = 1):
+        super().__init__(Uniform(jnp.asarray(lower), jnp.asarray(upper)), ndims)
+
+    def expand(self, batch_shape: Shape):
+        shape = self.base.batch_shape
+        inner = shape[len(shape) - self.ndims :]
+        full = tuple(batch_shape) + inner
+        return BoxUniform(
+            jnp.broadcast_to(self.base.low, full),
+            jnp.broadcast_to(self.base.high, full),
+            self.ndims,
+        )
+
+
+class TransformedUniform(NormalizingFlow):
+    r"""Distribution of :math:`X` such that :math:`f(X) \sim U[f(l), f(u)]`
+    (reference: zuko/distributions.py:399-426)."""
+
+    def __init__(self, f, lower, upper):
+        super().__init__(f, Uniform(f(jnp.asarray(lower)), f(jnp.asarray(upper))))
+
+
+class Truncated(Distribution):
+    r"""Truncation of a univariate ``base`` to :math:`[lower, upper]`
+    (reference: zuko/distributions.py:429-488)."""
+
+    def __init__(self, base: Distribution, lower=-jnp.inf, upper=jnp.inf):
+        assert base.event_shape == (), "only univariate distributions can be truncated"
+        self.base = base
+        self.lower = jnp.asarray(lower)
+        self.upper = jnp.asarray(upper)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.base.batch_shape
+
+    def _bounds(self):
+        return self.base.cdf(self.lower), self.base.cdf(self.upper)
+
+    def log_prob(self, x):
+        ql, qu = self._bounds()
+        inside = (x >= self.lower) & (x <= self.upper)
+        lp = self.base.log_prob(x) - jnp.log(qu - ql)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def cdf(self, x):
+        ql, qu = self._bounds()
+        return jnp.clip((self.base.cdf(x) - ql) / (qu - ql), 0.0, 1.0)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        # reference squeezes u into (eps, 1 - eps): zuko/distributions.py:481-488
+        ql, qu = self._bounds()
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=ql.dtype)
+        eps = jnp.finfo(ql.dtype).eps
+        q = ql + (qu - ql) * u
+        q = jnp.clip(q, eps, 1 - eps)
+        return self.base.icdf(q)
+
+    def expand(self, batch_shape: Shape):
+        return Truncated(
+            self.base.expand(batch_shape),
+            jnp.broadcast_to(self.lower, batch_shape),
+            jnp.broadcast_to(self.upper, batch_shape),
+        )
+
+
+class Sort(Distribution):
+    r"""Order statistics: ``n`` draws from ``base`` sorted (reference:
+    zuko/distributions.py:491-567)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, base: Distribution, n: int = 2, descending: bool = False):
+        assert base.event_shape == (), "only univariate distributions can be sorted"
+        self.base = base
+        self.n = int(n)
+        self.descending = bool(descending)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.base.batch_shape
+
+    @property
+    def event_shape(self) -> Shape:
+        return (self.n,)
+
+    def log_prob(self, x):
+        # log n! + sum log p + ordered indicator (zuko/distributions.py:551-561)
+        if self.descending:
+            ordered = jnp.all(x[..., :-1] >= x[..., 1:], axis=-1)
+        else:
+            ordered = jnp.all(x[..., :-1] <= x[..., 1:], axis=-1)
+        lp = jnp.sum(self.base.log_prob(jnp.moveaxis(x, -1, 0)), axis=0)
+        return jnp.where(
+            ordered, lp + jsp.gammaln(self.n + 1.0), -jnp.inf
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        x = self.base.sample(key, tuple(sample_shape) + (self.n,))
+        x = jnp.moveaxis(x, len(sample_shape), -1)
+        x = jnp.sort(x, axis=-1)
+        if self.descending:
+            x = jnp.flip(x, axis=-1)
+        return x
+
+    def expand(self, batch_shape: Shape):
+        return Sort(self.base.expand(batch_shape), self.n, self.descending)
+
+
+class TopK(Sort):
+    r"""Top-k of ``n`` draws from ``base``
+    (reference: zuko/distributions.py:570-630)."""
+
+    def __init__(self, base: Distribution, k: int = 1, n: int = 2, **kwargs):
+        super().__init__(base, n, **kwargs)
+        assert 1 <= k <= n, "k must be in [1, n]"
+        self.k = int(k)
+
+    @property
+    def event_shape(self) -> Shape:
+        return (self.k,)
+
+    def log_prob(self, x):
+        if self.descending:
+            ordered = jnp.all(x[..., :-1] >= x[..., 1:], axis=-1)
+            tail = jnp.log(1 - self.base.cdf(x[..., -1]) + 1e-300)
+        else:
+            ordered = jnp.all(x[..., :-1] <= x[..., 1:], axis=-1)
+            tail = jnp.log(1 - self.base.cdf(x[..., -1]) + 1e-300)
+        if self.descending:
+            tail = jnp.log(self.base.cdf(x[..., -1]))
+        lp = jnp.sum(self.base.log_prob(jnp.moveaxis(x, -1, 0)), axis=0)
+        # log n!/(n-k)! + (n - k) * log tail-mass (zuko/distributions.py:621-627)
+        const = jsp.gammaln(self.n + 1.0) - jsp.gammaln(self.n - self.k + 1.0)
+        lp = lp + const + (self.n - self.k) * tail
+        return jnp.where(ordered, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        x = Sort(self.base, self.n, self.descending).sample(key, sample_shape)
+        return x[..., : self.k]
+
+    def expand(self, batch_shape: Shape):
+        return TopK(
+            self.base.expand(batch_shape), self.k, self.n,
+            descending=self.descending,
+        )
+
+
+class Minimum(TopK):
+    r"""Minimum of ``n`` draws, with scalar event
+    (reference: zuko/distributions.py:633-699)."""
+
+    def __init__(self, base: Distribution, n: int = 2):
+        super().__init__(base, k=1, n=n, descending=False)
+
+    @property
+    def event_shape(self) -> Shape:
+        return ()
+
+    def log_prob(self, x):
+        return super().log_prob(x[..., None])
+
+    def sample(self, key, sample_shape: Shape = ()):
+        return super().sample(key, sample_shape)[..., 0]
+
+    def expand(self, batch_shape: Shape):
+        return Minimum(self.base.expand(batch_shape), self.n)
+
+
+class Maximum(TopK):
+    r"""Maximum of ``n`` draws, with scalar event
+    (reference: zuko/distributions.py:633-699)."""
+
+    def __init__(self, base: Distribution, n: int = 2):
+        super().__init__(base, k=1, n=n, descending=True)
+
+    @property
+    def event_shape(self) -> Shape:
+        return ()
+
+    def log_prob(self, x):
+        return super().log_prob(x[..., None])
+
+    def sample(self, key, sample_shape: Shape = ()):
+        return super().sample(key, sample_shape)[..., 0]
+
+    def expand(self, batch_shape: Shape):
+        return Maximum(self.base.expand(batch_shape), self.n)
