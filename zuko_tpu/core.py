@@ -30,17 +30,36 @@ __all__ = [
 ]
 
 
-def _is_dynamic(v: Any) -> bool:
-    """Whether a value belongs to the dynamic (traced) part of the pytree."""
-    if isinstance(v, (jax.Array, np.ndarray, Module)):
-        return True
-    if isinstance(v, jax.core.Tracer):
+# Types that are always static configuration. Everything NOT recognized as
+# static is a dynamic pytree leaf — this direction is load-bearing: JAX
+# transformations rebuild pytrees with arbitrary sentinel leaf objects
+# (e.g. custom_vjp's bwd-structure check), and flatten/unflatten must
+# round-trip for those too.
+_STATIC_TYPES = (
+    str, bytes, type(None), bool, int, float, complex,
+    np.dtype, type(Ellipsis), range, slice,
+)
+
+
+def _is_static(v: Any) -> bool:
+    """Whether a value belongs to the static (aux) part of the pytree."""
+    if isinstance(v, (jax.Array, np.ndarray, Module, jax.core.Tracer)):
+        return False
+    if isinstance(v, _STATIC_TYPES) or isinstance(v, type):
         return True
     if isinstance(v, (list, tuple)):
-        return any(_is_dynamic(u) for u in v)
+        return all(_is_static(u) for u in v)
     if isinstance(v, dict):
-        return any(_is_dynamic(u) for u in v.values())
+        return all(_is_static(u) for u in v.values())
+    if isinstance(v, (set, frozenset)):
+        return all(_is_static(u) for u in v)
+    if callable(v):  # plain functions / partials / constructors
+        return True
     return False
+
+
+def _is_dynamic(v: Any) -> bool:
+    return not _is_static(v)
 
 
 def _freeze(v: Any) -> Any:
@@ -162,16 +181,20 @@ def _split(x: Any, frozen: bool) -> Tuple[Any, Any]:
             p.__dict__[k] = pv
             b.__dict__[k] = bv
         return p, b
-    if isinstance(x, (jax.Array, np.ndarray, jax.core.Tracer)):
-        return (None, x) if frozen else (x, None)
+    if _is_static(x):
+        return x, x  # static config appears on both sides
     if isinstance(x, (list, tuple)):
         pairs = [_split(u, frozen) for u in x]
         ctor = type(x)
         return ctor(a for a, _ in pairs), ctor(b for _, b in pairs)
     if isinstance(x, dict):
         pairs = {k: _split(v, frozen) for k, v in x.items()}
-        return {k: a for k, (a, _) in pairs.items()}, {k: b for k, (_, b) in pairs.items()}
-    return x, x  # static config appears on both sides
+        return (
+            {k: a for k, (a, _) in pairs.items()},
+            {k: b for k, (_, b) in pairs.items()},
+        )
+    # dynamic leaf (array, tracer, or unknown object)
+    return (None, x) if frozen else (x, None)
 
 
 def partition(tree: Any) -> Tuple[Any, Any]:
@@ -203,6 +226,93 @@ def combine(a: Any, b: Any) -> Any:
     if isinstance(a, dict):
         return {k: combine(a[k], b[k]) for k in a}
     return a
+
+
+def named_parameters(tree: Any, prefix: str = "", buffers: bool = False):
+    """Yield ``(dotted_name, array)`` pairs for the dynamic leaves of a module
+    tree (the role of ``nn.Module.named_parameters``). Buffers are excluded
+    unless ``buffers=True``."""
+    if isinstance(tree, Module):
+        bnames = tree.buffer_names
+        for k in sorted(tree.__dict__):
+            if k == "_buffer_names":
+                continue
+            if (k in bnames) and not buffers:
+                continue
+            name = f"{prefix}.{k}" if prefix else k
+            yield from named_parameters(tree.__dict__[k], name, buffers)
+    elif _is_static(tree):
+        return
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from named_parameters(v, f"{prefix}.{i}", buffers)
+    elif isinstance(tree, dict):
+        for k in sorted(tree, key=repr):
+            yield from named_parameters(tree[k], f"{prefix}.{k}", buffers)
+    else:
+        yield prefix, tree
+
+
+def update_parameters(tree: Any, updates: Dict[str, Any], prefix: str = "") -> Any:
+    """Functionally replace named leaves (as produced by
+    :func:`named_parameters`) with new values."""
+    if not updates:
+        return tree
+    if isinstance(tree, Module):
+        obj = object.__new__(type(tree))
+        for k, v in tree.__dict__.items():
+            name = f"{prefix}.{k}" if prefix else k
+            obj.__dict__[k] = update_parameters(v, updates, name)
+        return obj
+    if _is_static(tree):
+        return tree
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(
+            update_parameters(v, updates, f"{prefix}.{i}")
+            for i, v in enumerate(tree)
+        )
+    if isinstance(tree, dict):
+        return {
+            k: update_parameters(v, updates, f"{prefix}.{k}")
+            for k, v in tree.items()
+        }
+    return updates.get(prefix, tree)
+
+
+def named_modules(tree: Any, prefix: str = ""):
+    """Yield ``(dotted_name, module)`` pairs for every :class:`Module` in the
+    tree (the role of ``nn.Module.named_modules``)."""
+    if isinstance(tree, Module):
+        yield prefix, tree
+        for k in sorted(tree.__dict__):
+            if k == "_buffer_names":
+                continue
+            name = f"{prefix}.{k}" if prefix else k
+            yield from named_modules(tree.__dict__[k], name)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from named_modules(v, f"{prefix}.{i}")
+    elif isinstance(tree, dict):
+        for k in sorted(tree, key=repr):
+            yield from named_modules(tree[k], f"{prefix}.{k}")
+
+
+def map_modules(tree: Any, fn: Callable[[str, "Module"], "Module"], prefix: str = "") -> Any:
+    """Functionally rebuild the tree, replacing each module ``m`` at path ``p``
+    with ``fn(p, m)`` (applied bottom-up to children first)."""
+    if isinstance(tree, Module):
+        obj = object.__new__(type(tree))
+        for k, v in tree.__dict__.items():
+            name = f"{prefix}.{k}" if prefix else k
+            obj.__dict__[k] = map_modules(v, fn, name)
+        return fn(prefix, obj)
+    if isinstance(tree, (list, tuple)) and not _is_static(tree):
+        return type(tree)(
+            map_modules(v, fn, f"{prefix}.{i}") for i, v in enumerate(tree)
+        )
+    if isinstance(tree, dict) and not _is_static(tree):
+        return {k: map_modules(v, fn, f"{prefix}.{k}") for k, v in tree.items()}
+    return tree
 
 
 def tree_repr(x: Any, depth: int = 0) -> str:

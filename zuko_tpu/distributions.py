@@ -388,10 +388,12 @@ class MultivariateNormal(Distribution):
     def log_prob(self, x):
         d = x.shape[-1]
         diff = x - self.loc
-        # Solve L z = diff  (batched triangular solve)
-        z = jax.scipy.linalg.solve_triangular(
-            self.scale_tril, diff[..., None], lower=True
-        )[..., 0]
+        # Solve L z = diff (batched triangular solve); jax requires equal
+        # batch ranks, so broadcast explicitly.
+        batch = jnp.broadcast_shapes(diff.shape[:-1], self.scale_tril.shape[:-2])
+        L = jnp.broadcast_to(self.scale_tril, batch + self.scale_tril.shape[-2:])
+        diff = jnp.broadcast_to(diff, batch + diff.shape[-1:])
+        z = jax.scipy.linalg.solve_triangular(L, diff[..., None], lower=True)[..., 0]
         half_log_det = jnp.sum(
             jnp.log(jnp.abs(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))),
             axis=-1,

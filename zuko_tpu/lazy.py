@@ -1,0 +1,162 @@
+r"""Lazy distributions and transformations — the conditional DSL.
+
+Capability parity with the reference's ``zuko/lazy.py`` (335 LoC). The key
+architectural idea preserved from the reference (zuko/lazy.py:29-49): a flow is
+a parameter-holding module whose ``__call__(c)`` *builds and returns* a fresh
+:class:`~zuko_tpu.distributions.Distribution` bound to the context ``c``. In
+JAX, "building" under ``jit`` is free — it happens at trace time — so the lazy
+layer costs nothing at runtime.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+from .core import Module
+from .distributions import Distribution, NormalizingFlow
+from .transforms import ComposedTransform, Transform
+
+__all__ = [
+    "Flow",
+    "LazyComposedTransform",
+    "LazyDistribution",
+    "LazyInverse",
+    "LazyTransform",
+    "UnconditionalDistribution",
+    "UnconditionalTransform",
+]
+
+
+class LazyDistribution(Module):
+    r"""Abstract module whose forward pass returns a distribution
+    (reference: zuko/lazy.py:29-49)."""
+
+    def __call__(self, c: jax.Array = None) -> Distribution:
+        return self.forward(c)
+
+    def forward(self, c: jax.Array = None) -> Distribution:
+        raise NotImplementedError
+
+
+class LazyTransform(Module):
+    r"""Abstract module whose forward pass returns a transformation
+    (reference: zuko/lazy.py:52-78)."""
+
+    def __call__(self, c: jax.Array = None) -> Transform:
+        return self.forward(c)
+
+    def forward(self, c: jax.Array = None) -> Transform:
+        raise NotImplementedError
+
+    @property
+    def inv(self) -> "LazyTransform":
+        return LazyInverse(self)
+
+
+class LazyInverse(LazyTransform):
+    r"""Lazy inverse: ``forward(c) = base(c).inv``
+    (reference: zuko/lazy.py:81-98). Used to flip a flow for reverse-KL
+    sampling efficiency — see ``Flow(flow.transform.inv, flow.base)``."""
+
+    def __init__(self, transform: LazyTransform):
+        self.transform = transform
+
+    def forward(self, c: jax.Array = None) -> Transform:
+        return self.transform(c).inv
+
+    @property
+    def inv(self) -> LazyTransform:
+        return self.transform
+
+
+class LazyComposedTransform(LazyTransform):
+    r"""Sequence of lazy transformations composed at call time
+    (reference: zuko/lazy.py:101-128)."""
+
+    def __init__(self, *transforms: LazyTransform):
+        self.transforms = list(transforms)
+
+    def forward(self, c: jax.Array = None) -> Transform:
+        return ComposedTransform(*(t(c) for t in self.transforms))
+
+
+class Flow(LazyDistribution):
+    r"""Lazy normalizing flow: ``forward(c)`` returns
+    ``NormalizingFlow(transform(c), base(c).expand(c.shape[:-1]))`` — the
+    context batch shape propagates via ``expand``
+    (reference: zuko/lazy.py:131-172).
+
+    Arguments:
+        transform: a lazy transformation or sequence thereof.
+        base: a lazy distribution.
+    """
+
+    def __init__(
+        self,
+        transform: Union[LazyTransform, Sequence[LazyTransform]],
+        base: LazyDistribution,
+    ):
+        if isinstance(transform, (list, tuple)):
+            transform = LazyComposedTransform(*transform)
+        self.transform = transform
+        self.base = base
+
+    def forward(self, c: jax.Array = None) -> NormalizingFlow:
+        transform = self.transform(c)
+        if c is None:
+            base = self.base(c)
+        else:
+            base = self.base(c).expand(c.shape[:-1])
+        return NormalizingFlow(transform, base)
+
+
+class UnconditionalDistribution(LazyDistribution):
+    r"""Unconditional lazy distribution from a constructor; array arguments are
+    registered as parameters or buffers (reference: zuko/lazy.py:242-287).
+
+    Example:
+        >>> from zuko_tpu.distributions import DiagNormal
+        >>> base = UnconditionalDistribution(
+        ...     DiagNormal, jnp.zeros(3), jnp.ones(3), buffer=True)
+        >>> base().event_shape
+        (3,)
+    """
+
+    def __init__(self, f: Callable, *args, buffer: bool = False, **kwargs):
+        self.f = f
+        if buffer:
+            self.register_buffer("args", list(args))
+            self.register_buffer("kwargs", dict(kwargs))
+        else:
+            self.args = list(args)
+            self.kwargs = dict(kwargs)
+
+    def forward(self, c: jax.Array = None) -> Distribution:
+        return self.f(*self.args, **self.kwargs)
+
+
+class UnconditionalTransform(LazyTransform):
+    r"""Unconditional lazy transformation from a constructor
+    (reference: zuko/lazy.py:290-335).
+
+    Example:
+        >>> from zuko_tpu.transforms import SoftclipTransform
+        >>> t = UnconditionalTransform(SoftclipTransform, bound=11.0)
+        >>> float(t()(jnp.asarray(100.0)))  # doctest: +ELLIPSIS
+        9.9...
+    """
+
+    def __init__(self, f: Callable, *args, buffer: bool = False, **kwargs):
+        self.f = f
+        if buffer:
+            self.register_buffer("args", list(args))
+            self.register_buffer("kwargs", dict(kwargs))
+        else:
+            self.args = list(args)
+            self.kwargs = dict(kwargs)
+
+    def forward(self, c: jax.Array = None) -> Transform:
+        return self.f(*self.args, **self.kwargs)

@@ -1,0 +1,1130 @@
+r"""Bijective transformations.
+
+Capability parity with the reference's ``zuko/transforms.py`` (1,287 LoC),
+redesigned for XLA:
+
+* The protocol is ``forward`` / ``inverse`` / ``log_abs_det_jacobian(x, y)``
+  plus the fused ``call_and_ladj`` (the reference's global monkeypatch,
+  zuko/transforms.py:46-56) and the new fused ``inverse_and_ladj`` (which the
+  reference only computes implicitly inside ``rsample_and_log_prob``,
+  zuko/distributions.py:129-138).
+* Constraints machinery is reduced to the integers ``domain_dim`` /
+  ``codomain_dim`` (event dimensions consumed/produced) — the only part of
+  torch constraints the reference actually relies on.
+* Derivative-based log-Jacobians (reference uses ``torch.autograd.grad``,
+  zuko/transforms.py:623-637) use forward-mode ``jax.jvp`` — one fused pass,
+  no graph retention, TPU-friendly.
+* Autoregressive inversion is a ``lax.scan`` over passes (reference uses a
+  Python loop, zuko/transforms.py:994-1000).
+* Every searchsorted is the branchless ``sum(seq < value)`` trick the
+  reference already uses (zuko/transforms.py:521-523) — it maps directly onto
+  the VPU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import lax
+from jax.scipy import special as jsp
+from typing import Any, Callable, Sequence, Tuple
+
+from .core import Module
+from .utils import bisection, broadcast, gauss_legendre, odeint
+
+__all__ = [
+    "Transform",
+    "Inverse",
+    "ComposedTransform",
+    "DependentTransform",
+    "IdentityTransform",
+    "CosTransform",
+    "SinTransform",
+    "SoftclipTransform",
+    "CircularShiftTransform",
+    "SignedPowerTransform",
+    "AdditiveTransform",
+    "MonotonicAffineTransform",
+    "MonotonicRQSTransform",
+    "MonotonicTransform",
+    "BernsteinTransform",
+    "BoundedBernsteinTransform",
+    "GaussianizationTransform",
+    "UnconstrainedMonotonicTransform",
+    "SOSPolynomialTransform",
+    "AutoregressiveTransform",
+    "CouplingTransform",
+    "FreeFormJacobianTransform",
+    "PermutationTransform",
+    "RotationTransform",
+    "LULinearTransform",
+]
+
+Shape = Tuple[int, ...]
+
+
+def _sum_rightmost(x: jax.Array, n: int) -> jax.Array:
+    if n == 0:
+        return x
+    return jnp.sum(x, axis=tuple(range(-n, 0)))
+
+
+class Transform(Module):
+    r"""Abstract bijective transformation :math:`y = f(x)`.
+
+    ``domain_dim`` / ``codomain_dim`` are the numbers of event dimensions the
+    transformation consumes / produces (the role of torch constraints'
+    ``event_dim`` in the reference)."""
+
+    domain_dim: int = 0
+    codomain_dim: int = 0
+    bijective: bool = True
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.forward(x)
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def log_abs_det_jacobian(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def call_and_ladj(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        y = self.forward(x)
+        return y, self.log_abs_det_jacobian(x, y)
+
+    def inverse_and_ladj(self, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = self.inverse(y)
+        return x, self.log_abs_det_jacobian(x, y)
+
+    @property
+    def inv(self) -> "Transform":
+        return Inverse(self)
+
+    def forward_shape(self, shape: Shape) -> Shape:
+        return tuple(shape)
+
+    def inverse_shape(self, shape: Shape) -> Shape:
+        return tuple(shape)
+
+
+class Inverse(Transform):
+    r"""Lazy inverse of a transformation (role of torch's ``_InverseTransform``,
+    used throughout the reference via ``Transform.inv``)."""
+
+    def __init__(self, base: Transform):
+        self.base = base
+
+    @property
+    def domain_dim(self) -> int:
+        return self.base.codomain_dim
+
+    @property
+    def codomain_dim(self) -> int:
+        return self.base.domain_dim
+
+    def forward(self, x):
+        return self.base.inverse(x)
+
+    def inverse(self, y):
+        return self.base.forward(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return -self.base.log_abs_det_jacobian(y, x)
+
+    def call_and_ladj(self, x):
+        y, ladj = self.base.inverse_and_ladj(x)
+        return y, -ladj
+
+    def inverse_and_ladj(self, y):
+        x, ladj = self.base.call_and_ladj(y)
+        return x, -ladj
+
+    @property
+    def inv(self) -> Transform:
+        return self.base
+
+    def forward_shape(self, shape):
+        return self.base.inverse_shape(shape)
+
+    def inverse_shape(self, shape):
+        return self.base.forward_shape(shape)
+
+
+class ComposedTransform(Transform):
+    r"""Composition :math:`f = f_n \circ \dots \circ f_0` with event-dimension
+    accounting (reference: zuko/transforms.py:59-160).
+
+    Example:
+        >>> t = ComposedTransform(MonotonicAffineTransform(1.0, 0.0), SoftclipTransform(5.0))
+        >>> y = t(jnp.asarray(0.3))
+    """
+
+    def __init__(self, *transforms: Transform):
+        assert transforms, "'transforms' cannot be empty"
+
+        event_dim = 0
+        for t in reversed(transforms):
+            event_dim = t.domain_dim + max(event_dim - t.codomain_dim, 0)
+        self._domain_dim = event_dim
+        for t in transforms:
+            event_dim += t.codomain_dim - t.domain_dim
+        self._codomain_dim = event_dim
+        self.transforms = list(transforms)
+
+    @property
+    def domain_dim(self) -> int:
+        return self._domain_dim
+
+    @property
+    def codomain_dim(self) -> int:
+        return self._codomain_dim
+
+    def forward(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+    def inverse(self, y):
+        for t in reversed(self.transforms):
+            y = t.inverse(y)
+        return y
+
+    def log_abs_det_jacobian(self, x, y):
+        _, ladj = self.call_and_ladj(x)
+        return ladj
+
+    def call_and_ladj(self, x):
+        event_dim = self.domain_dim
+        acc = 0.0
+        for t in self.transforms:
+            x, ladj = t.call_and_ladj(x)
+            acc = acc + _sum_rightmost(ladj, event_dim - t.domain_dim)
+            event_dim += t.codomain_dim - t.domain_dim
+        return x, acc
+
+    def inverse_and_ladj(self, y):
+        event_dim = self.codomain_dim
+        acc = 0.0
+        for t in reversed(self.transforms):
+            y, ladj = t.inverse_and_ladj(y)
+            acc = acc + _sum_rightmost(ladj, event_dim - t.codomain_dim)
+            event_dim += t.domain_dim - t.codomain_dim
+        return y, acc
+
+    @property
+    def inv(self) -> Transform:
+        return ComposedTransform(*(t.inv for t in reversed(self.transforms)))
+
+    def forward_shape(self, shape):
+        for t in self.transforms:
+            shape = t.forward_shape(shape)
+        return tuple(shape)
+
+    def inverse_shape(self, shape):
+        for t in reversed(self.transforms):
+            shape = t.inverse_shape(shape)
+        return tuple(shape)
+
+
+class DependentTransform(Transform):
+    r"""Reinterprets the rightmost dimensions of a base transformation as
+    dependent, summing their log-Jacobian (reference: zuko/transforms.py:163-220)."""
+
+    def __init__(self, base: Transform, reinterpreted: int):
+        self.base = base
+        self.reinterpreted = int(reinterpreted)
+
+    @property
+    def domain_dim(self) -> int:
+        return self.base.domain_dim + self.reinterpreted
+
+    @property
+    def codomain_dim(self) -> int:
+        return self.base.codomain_dim + self.reinterpreted
+
+    def forward(self, x):
+        return self.base(x)
+
+    def inverse(self, y):
+        return self.base.inverse(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return _sum_rightmost(
+            self.base.log_abs_det_jacobian(x, y), self.reinterpreted
+        )
+
+    def call_and_ladj(self, x):
+        y, ladj = self.base.call_and_ladj(x)
+        return y, _sum_rightmost(ladj, self.reinterpreted)
+
+    def inverse_and_ladj(self, y):
+        x, ladj = self.base.inverse_and_ladj(y)
+        return x, _sum_rightmost(ladj, self.reinterpreted)
+
+    @property
+    def inv(self) -> Transform:
+        return DependentTransform(self.base.inv, self.reinterpreted)
+
+    def forward_shape(self, shape):
+        return self.base.forward_shape(shape)
+
+    def inverse_shape(self, shape):
+        return self.base.inverse_shape(shape)
+
+
+class IdentityTransform(Transform):
+    r"""The identity :math:`f(x) = x` (reference: zuko/transforms.py:223-241)."""
+
+    def forward(self, x):
+        return x
+
+    def inverse(self, y):
+        return y
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros_like(x)
+
+
+class CosTransform(Transform):
+    r""":math:`f(x) = -\cos(x)` on :math:`[0, \pi]`
+    (reference: zuko/transforms.py:244-263)."""
+
+    def forward(self, x):
+        return -jnp.cos(x)
+
+    def inverse(self, y):
+        return jnp.arccos(-y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.log(jnp.abs(jnp.sin(x)))
+
+
+class SinTransform(Transform):
+    r""":math:`f(x) = \sin(x)` on :math:`[-\pi/2, \pi/2]`
+    (reference: zuko/transforms.py:265-283)."""
+
+    def forward(self, x):
+        return jnp.sin(x)
+
+    def inverse(self, y):
+        return jnp.arcsin(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.log(jnp.abs(jnp.cos(x)))
+
+
+class SoftclipTransform(Transform):
+    r""":math:`f(x) = \frac{x}{1 + |x / B|}`, mapping :math:`\mathbb{R}` to
+    :math:`[-B, B]` (reference: zuko/transforms.py:286-316).
+
+    Example:
+        >>> t = SoftclipTransform(5.0)
+        >>> x = jnp.asarray(100.0)
+        >>> bool(jnp.allclose(t.inverse(t(x)), x, atol=1e-3))
+        True
+    """
+
+    def __init__(self, bound: float = 1.0):
+        self.bound = float(bound)
+
+    def forward(self, x):
+        return x / (1 + jnp.abs(x / self.bound))
+
+    def inverse(self, y):
+        return y / (1 - jnp.abs(y / self.bound))
+
+    def log_abs_det_jacobian(self, x, y):
+        return -2 * jnp.log1p(jnp.abs(x / self.bound))
+
+
+class CircularShiftTransform(Transform):
+    r""":math:`f(x) = (x \bmod 2B) - B`, a circular shift of :math:`[-B, B]`
+    (reference: zuko/transforms.py:319-351). Log-Jacobian is zero."""
+
+    def __init__(self, bound: float = 1.0):
+        self.bound = float(bound)
+
+    def forward(self, x):
+        return jnp.remainder(x, 2 * self.bound) - self.bound
+
+    def inverse(self, y):
+        return jnp.remainder(y, 2 * self.bound) - self.bound
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros_like(x)
+
+
+class SignedPowerTransform(Transform):
+    r""":math:`f(x) = \text{sign}(x) |x|^{\exp(\alpha)}`
+    (reference: zuko/transforms.py:354-378)."""
+
+    def __init__(self, alpha):
+        self.alpha = jnp.asarray(alpha)
+
+    def forward(self, x):
+        return x * jnp.abs(x) ** jnp.expm1(self.alpha)
+
+    def inverse(self, y):
+        return y * jnp.abs(y) ** jnp.expm1(-self.alpha)
+
+    def log_abs_det_jacobian(self, x, y):
+        return self.alpha + jnp.expm1(self.alpha) * jnp.log(jnp.abs(x))
+
+
+class AdditiveTransform(Transform):
+    r""":math:`f(x) = x + b` — the NICE coupling law
+    (reference: zuko/transforms.py:381-409)."""
+
+    def __init__(self, shift):
+        self.shift = jnp.asarray(shift)
+
+    def forward(self, x):
+        return x + self.shift
+
+    def inverse(self, y):
+        return y - self.shift
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros(jnp.broadcast_shapes(x.shape, self.shift.shape), x.dtype)
+
+
+class MonotonicAffineTransform(Transform):
+    r""":math:`f(x) = \exp(a) x + b` with minimum-slope soft-clamp
+    :math:`a \mapsto a / (1 + |a / \log s|)` (reference:
+    zuko/transforms.py:412-446) — the default univariate for MAF/NICE.
+
+    Example:
+        >>> t = MonotonicAffineTransform(jnp.asarray(1.0), jnp.asarray(0.5))
+        >>> x = jnp.asarray(2.0)
+        >>> bool(jnp.allclose(t.inverse(t(x)), x, atol=1e-6))
+        True
+    """
+
+    def __init__(self, shift, scale, slope: float = 1e-3):
+        self.shift = jnp.asarray(shift)
+        scale = jnp.asarray(scale)
+        self.log_scale = scale / (1 + jnp.abs(scale / math.log(slope)))
+        self.scale = jnp.exp(self.log_scale)
+
+    def forward(self, x):
+        return x * self.scale + self.shift
+
+    def inverse(self, y):
+        return (y - self.shift) / self.scale
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.broadcast_to(self.log_scale, jnp.broadcast_shapes(x.shape, self.log_scale.shape))
+
+
+class MonotonicRQSTransform(Transform):
+    r"""Monotonic rational-quadratic spline (Neural Spline Flows).
+
+    Semantics per the reference (zuko/transforms.py:449-567): raw widths /
+    heights / derivatives are slope-clamped, softmaxed and cumsummed into knots
+    on :math:`[-B, B]`; bin lookup is the branchless
+    ``sum(knots < value) - 1``; out-of-domain inputs pass through the identity
+    with zero log-Jacobian. Forward, inverse (analytic quadratic root) and both
+    fused ladj variants are closed-form.
+
+    Arguments:
+        widths: unconstrained bin widths, shape ``(*, K)``.
+        heights: unconstrained bin heights, shape ``(*, K)``.
+        derivatives: unconstrained knot derivatives, shape ``(*, K - 1)``.
+        bound: the (co)domain bound :math:`B`.
+        slope: minimum slope.
+
+    Example:
+        >>> key = jax.random.PRNGKey(0)
+        >>> w, h, d = jnp.zeros(8), jnp.zeros(8), jnp.zeros(7)
+        >>> t = MonotonicRQSTransform(w, h, d)
+        >>> x = jnp.asarray(1.3)
+        >>> bool(jnp.allclose(t.inverse(t(x)), x, atol=1e-6))
+        True
+    """
+
+    def __init__(self, widths, heights, derivatives, bound: float = 5.0, slope: float = 1e-3):
+        widths = jnp.asarray(widths)
+        heights = jnp.asarray(heights)
+        derivatives = jnp.asarray(derivatives)
+
+        log_slope = math.log(slope)
+        widths = widths / (1 + jnp.abs(2 * widths / log_slope))
+        heights = heights / (1 + jnp.abs(2 * heights / log_slope))
+        derivatives = derivatives / (1 + jnp.abs(derivatives / log_slope))
+
+        pad_width = [(0, 0)] * (widths.ndim - 1) + [(1, 0)]
+        widths = jnp.pad(jax.nn.softmax(widths, axis=-1), pad_width)
+        heights = jnp.pad(jax.nn.softmax(heights, axis=-1), pad_width)
+        pad_d = [(0, 0)] * (derivatives.ndim - 1) + [(1, 1)]
+        derivatives = jnp.pad(derivatives, pad_d)
+
+        self.horizontal = bound * (2 * jnp.cumsum(widths, axis=-1) - 1)
+        self.vertical = bound * (2 * jnp.cumsum(heights, axis=-1) - 1)
+        self.derivatives = jnp.exp(derivatives)
+
+    @property
+    def bins(self) -> int:
+        return self.horizontal.shape[-1] - 1
+
+    @staticmethod
+    def _searchsorted(seq, value):
+        # branchless searchsorted (reference: zuko/transforms.py:521-523)
+        return jnp.sum((seq < value[..., None]).astype(jnp.int32), axis=-1)
+
+    def _bin(self, k):
+        mask = (0 <= k) & (k < self.bins)
+        k = k % self.bins
+
+        ku, hs, vs, ds = broadcast(
+            k[..., None], self.horizontal, self.vertical, self.derivatives,
+            ignore=1,
+        )
+        kb = ku[..., 0]
+
+        def take(arr, idx):
+            return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+        x0 = take(hs, kb)
+        x1 = take(hs, kb + 1)
+        y0 = take(vs, kb)
+        y1 = take(vs, kb + 1)
+        d0 = take(ds, kb)
+        d1 = take(ds, kb + 1)
+        s = (y1 - y0) / (x1 - x0)
+        return mask, x0, x1, y0, y1, d0, d1, s
+
+    def forward(self, x):
+        y, _ = self.call_and_ladj(x)
+        return y
+
+    def call_and_ladj(self, x):
+        k = self._searchsorted(self.horizontal, x) - 1
+        mask, x0, x1, y0, y1, d0, d1, s = self._bin(k)
+
+        z = jnp.where(mask, (x - x0) / (x1 - x0), 0.0)
+        z1 = z * (1 - z)
+        denom = s + (d0 + d1 - 2 * s) * z1
+        y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
+        jacobian = (
+            s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+        )
+        return (
+            jnp.where(mask, y, x),
+            jnp.where(mask, jnp.log(jacobian), 0.0),
+        )
+
+    def inverse(self, y):
+        x, _ = self.inverse_and_ladj(y)
+        return x
+
+    def inverse_and_ladj(self, y):
+        k = self._searchsorted(self.vertical, y) - 1
+        mask, x0, x1, y0, y1, d0, d1, s = self._bin(k)
+
+        y_ = jnp.where(mask, y - y0, 0.0)
+        a = (y1 - y0) * (s - d0) + y_ * (d0 + d1 - 2 * s)
+        b = (y1 - y0) * d0 - y_ * (d0 + d1 - 2 * s)
+        c = -s * y_
+        disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
+        z = 2 * c / (-b - jnp.sqrt(disc))
+        z = jnp.where(mask, z, 0.0)
+        x = x0 + z * (x1 - x0)
+
+        z1 = z * (1 - z)
+        denom = s + (d0 + d1 - 2 * s) * z1
+        jacobian = (
+            s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+        )
+        return (
+            jnp.where(mask, x, y),
+            jnp.where(mask, -jnp.log(jacobian), 0.0),
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        _, ladj = self.call_and_ladj(x)
+        return ladj
+
+
+class MonotonicTransform(Transform):
+    r"""Transformation from a generic monotonic univariate function
+    :math:`f_\phi` (reference: zuko/transforms.py:570-637 — the NAF
+    ingredient).
+
+    The inverse is computed by bisection with
+    :math:`n = \lceil \log_2(2B/\epsilon) \rceil` iterations; gradients route
+    through the transform's own parameter pytree via implicit differentiation
+    (the role of the reference's explicit ``phi`` tuple). The log-Jacobian uses
+    forward-mode ``jax.jvp`` instead of ``torch.autograd.grad``
+    (zuko/transforms.py:623-637).
+    """
+
+    def __init__(
+        self,
+        f: Callable = None,
+        phi: Sequence = (),
+        bound: float = 10.0,
+        eps: float = 1e-6,
+    ):
+        if f is not None:
+            self._f = f
+        # phi must carry every traced array f depends on; f is then called as
+        # f(x, *phi). A closure over traced arrays would leak tracers through
+        # the implicit-diff custom_vjp (unlike torch, where the autograd graph
+        # tracks closures — reference: zuko/transforms.py:598-607).
+        self.phi = tuple(phi)
+        self.bound = float(bound)
+        self.eps = float(eps)
+
+    def f(self, x):
+        if self.phi:
+            return self._f(x, *self.phi)
+        return self._f(x)
+
+    def forward(self, x):
+        return self.f(x)
+
+    def inverse(self, y):
+        n = int(math.ceil(math.log2(2 * self.bound / self.eps)))
+        return bisection(
+            f=lambda x, t: t.f(x),
+            y=y,
+            a=jnp.full_like(y, -self.bound),
+            b=jnp.full_like(y, self.bound),
+            n=n,
+            phi=self,
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        _, ladj = self.call_and_ladj(x)
+        return ladj
+
+    def call_and_ladj(self, x):
+        y, dy = jax.jvp(self.f, (x,), (jnp.ones_like(x),))
+        return y, jnp.log(dy)
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        _, dy = jax.jvp(self.f, (x,), (jnp.ones_like(x),))
+        return x, -jnp.log(dy)
+
+
+class BernsteinTransform(MonotonicTransform):
+    r"""Monotonic Bernstein polynomial transformation (BPF ingredient).
+
+    Reference semantics (zuko/transforms.py:640-777): coefficients are
+    constrained increasing via softplus + cumsum with duplicated end diffs for
+    smooth bounds; the basis is Beta PDF evaluations; outside
+    :math:`[\epsilon, 1-\epsilon]` (unit coordinates) the polynomial is
+    linearly extrapolated with matching offset and slope, and the inverse uses
+    the closed linear form in the extrapolated regions.
+
+    Arguments:
+        theta: unconstrained coefficients, shape ``(*, M - 2)``.
+        bound: the domain bound :math:`B`.
+    """
+
+    def __init__(self, theta, bound: float = 5.0, eps: float = 1e-6):
+        super().__init__(None, bound=bound, eps=eps)
+        theta = jnp.asarray(theta)
+        self.theta = self._constrain_theta(theta)
+        self._setup_extrapolation()
+
+    @property
+    def order(self) -> int:
+        return self.theta.shape[-1] - 1
+
+    def _constrain_theta(self, utheta):
+        # reference: zuko/transforms.py:703-727
+        shift = math.log(2.0) * utheta.shape[-1] / 2
+        theta_min = utheta[..., :1]
+        rest = utheta[..., 1:]
+        rest = jnp.concatenate([rest[..., :1], rest, rest[..., -1:]], axis=-1)
+        diffs = jax.nn.softplus(rest)
+        diffs = jnp.concatenate([theta_min, diffs], axis=-1)
+        return jnp.cumsum(diffs, axis=-1) - shift
+
+    @staticmethod
+    def _basis_logpdf(x, order, dtype):
+        # Beta(i+1, order-i+1) log-pdfs for i = 0..order
+        # (reference: zuko/transforms.py:729-740)
+        alpha = jnp.arange(1, order + 2, dtype=dtype)
+        beta_p = jnp.arange(order + 1, 0, -1, dtype=dtype)
+        lognorm = (
+            jsp.gammaln(alpha) + jsp.gammaln(beta_p) - jsp.gammaln(alpha + beta_p)
+        )
+        return (
+            (alpha - 1) * jnp.log(x[..., None])
+            + (beta_p - 1) * jnp.log1p(-x[..., None])
+            - lognorm
+        )
+
+    @classmethod
+    def _poly(cls, x, theta):
+        order = theta.shape[-1] - 1
+        b = jnp.exp(cls._basis_logpdf(x, order, theta.dtype))
+        return jnp.mean(b * theta, axis=-1)
+
+    def _setup_extrapolation(self):
+        dtheta = self.order * (self.theta[..., 1:] - self.theta[..., :-1])
+        lo = jnp.asarray(self.eps, self.theta.dtype)
+        hi = jnp.asarray(1 - self.eps, self.theta.dtype)
+        self.offset = (self._poly(lo, self.theta), self._poly(hi, self.theta))
+        self.slope = (self._poly(lo, dtheta), self._poly(hi, dtheta))
+
+    def f(self, x):
+        u = (x + self.bound) / (2 * self.bound)  # map [-B, B] -> [0, 1]
+        lower = u <= self.eps
+        upper = u >= 1 - self.eps
+        u_safe = jnp.where(lower | upper, 0.5, u)
+        y = self._poly(u_safe, self.theta)
+        y0 = self.slope[0] * (u - self.eps) + self.offset[0]
+        y1 = self.slope[1] * (u - 1 + self.eps) + self.offset[1]
+        y = jnp.where(lower, y0, y)
+        y = jnp.where(upper, y1, y)
+        return y
+
+    def inverse(self, y):
+        # closed form in the extrapolated regions (zuko/transforms.py:762-777)
+        left = y <= self.offset[0]
+        right = y >= self.offset[1]
+        x = super().inverse(y)
+        x0 = ((y - self.offset[0]) / self.slope[0] + self.eps) * 2 * self.bound - self.bound
+        x1 = ((y - self.offset[1]) / self.slope[1] - self.eps + 1) * 2 * self.bound - self.bound
+        x = jnp.where(left, x0, x)
+        x = jnp.where(right, x1, x)
+        return x
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        _, dy = jax.jvp(self.f, (x,), (jnp.ones_like(x),))
+        return x, -jnp.log(dy)
+
+
+class BoundedBernsteinTransform(BernsteinTransform):
+    r"""Bernstein polynomial pinned to :math:`[-B, B] \to [-B, B]` with
+    identity-like behavior at the bounds (Be' = 1, Be'' = 0), suitable for
+    chaining (reference: zuko/transforms.py:780-831 — the BPF univariate).
+
+    Arguments:
+        theta: unconstrained coefficients, shape ``(*, M - 5)``.
+    """
+
+    def _constrain_theta(self, utheta):
+        # reference: zuko/transforms.py:797-818
+        theta_min = -self.bound * jnp.ones_like(utheta[..., :1])
+        d_bound = (2 * self.bound) / (utheta.shape[-1] + 4)
+        diffs = jax.nn.softmax(utheta, axis=-1) * (2 * self.bound - 4 * d_bound)
+        ones2 = d_bound * jnp.ones_like(diffs[..., :2])
+        diffs = jnp.concatenate([theta_min, ones2, diffs, ones2], axis=-1)
+        return jnp.cumsum(diffs, axis=-1)
+
+    def _setup_extrapolation(self):
+        # fixed offsets/slopes (reference: zuko/transforms.py:820-831)
+        dt = self.theta.dtype
+        self.offset = (jnp.asarray(-self.bound, dt), jnp.asarray(self.bound, dt))
+        self.slope = (
+            jnp.asarray(2 * self.bound, dt),
+            jnp.asarray(2 * self.bound, dt),
+        )
+
+
+class GaussianizationTransform(MonotonicTransform):
+    r"""Gaussianization: :math:`f(x) = \Phi^{-1}(\frac{1}{K}\sum_i
+    \Phi(\exp(a_i) x + b_i))` (reference: zuko/transforms.py:834-875 — the GF
+    univariate). Inverse by bisection.
+
+    Arguments:
+        shift: shifts :math:`b`, shape ``(*, K)``.
+        scale: unconstrained log-scales :math:`a`, shape ``(*, K)``.
+    """
+
+    def __init__(self, shift, scale, **kwargs):
+        super().__init__(None, **kwargs)
+        self.shift = jnp.asarray(shift)
+        self.scale = jnp.exp(jnp.asarray(scale))
+
+    def f(self, x):
+        z = x[..., None] * self.scale + self.shift
+        z = jsp.erf(z / math.sqrt(2))
+        z = jnp.mean(z, axis=-1) * (1 - 1e-6)
+        return jsp.erfinv(z) * math.sqrt(2)
+
+
+class UnconstrainedMonotonicTransform(MonotonicTransform):
+    r""":math:`f(x) = \int_0^x g(u) du` with a positive integrand :math:`g`,
+    estimated by n-point Gauss-Legendre quadrature; the log-Jacobian is exactly
+    :math:`\log g(x)` (reference: zuko/transforms.py:878-924 — the UMNN/UNAF
+    ingredient)."""
+
+    def __init__(self, g: Callable = None, n: int = 32, **kwargs):
+        super().__init__(None, **kwargs)
+        if g is not None:
+            self._g = g
+        self.n = int(n)
+
+    def g(self, x):
+        return self._g(x)
+
+    def f(self, x):
+        return gauss_legendre(
+            lambda u, t: t.g(u),
+            jnp.zeros_like(x),
+            x,
+            n=self.n,
+            phi=self,
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.log(self.g(x))
+
+    def call_and_ladj(self, x):
+        return self.f(x), jnp.log(self.g(x))
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        return x, -jnp.log(self.g(x))
+
+
+class SOSPolynomialTransform(UnconstrainedMonotonicTransform):
+    r"""Sum-of-squares polynomial transformation: the integrand is the mean of
+    :math:`K` squared polynomials of degree :math:`L` plus a minimum slope
+    (reference: zuko/transforms.py:927-963 — the SOSPF univariate).
+
+    Arguments:
+        a: polynomial coefficients, shape ``(*, K, L + 1)``.
+        slope: minimum slope.
+    """
+
+    def __init__(self, a, slope: float = 1e-3, **kwargs):
+        a = jnp.asarray(a)
+        super().__init__(None, n=a.shape[-1], **kwargs)
+        self.a = a
+        self.slope = float(slope)
+
+    def g(self, x):
+        u = x / self.bound
+        i = jnp.arange(self.a.shape[-1], dtype=jnp.int32)
+        powers = u[..., None] ** i  # (*, L+1)
+        p = 1 + jnp.einsum("...kl,...l->...k", self.a, powers)
+        return jnp.mean(p**2, axis=-1) + self.slope
+
+
+class AutoregressiveTransform(Transform):
+    r"""Autoregressive transformation :math:`y_i = f(x_i | x_{<i})`.
+
+    ``meta`` maps an input vector to a (vectorized univariate) transformation.
+    The forward/ladj path is a single hyper-network pass (reference:
+    zuko/transforms.py:991-992); the inverse is ``passes`` fixed-point sweeps,
+    exact by triangularity, restructured here as a ``lax.scan`` over passes
+    (reference Python loop: zuko/transforms.py:994-1000).
+    """
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(self, meta: Callable, passes: int):
+        self.meta = meta
+        self.passes = int(passes)
+
+    def forward(self, x):
+        return self.meta(x)(x)
+
+    def inverse(self, y):
+        def body(x, _):
+            x = self.meta(x).inv(y)
+            return x, None
+
+        x0 = jnp.zeros_like(y)
+        x, _ = lax.scan(body, x0, None, length=self.passes)
+        return x
+
+    def log_abs_det_jacobian(self, x, y):
+        return self.meta(x).log_abs_det_jacobian(x, y)
+
+    def call_and_ladj(self, x):
+        return self.meta(x).call_and_ladj(x)
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        _, ladj = self.meta(x).call_and_ladj(x)
+        return x, -ladj
+
+
+class CouplingTransform(Transform):
+    r"""Coupling transformation: :math:`y_a = x_a`,
+    :math:`y_b = f(x_b | x_a)` (reference: zuko/transforms.py:1010-1073).
+
+    The mask is static (host-side), so split/merge compile to static
+    gathers/scatters.
+    """
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(self, meta: Callable, mask):
+        self.meta = meta
+        mask = np.asarray(mask, bool)
+        self.idx_a = tuple(int(i) for i in np.nonzero(mask)[0])
+        self.idx_b = tuple(int(i) for i in np.nonzero(~mask)[0])
+        self.features = int(mask.shape[0])
+
+    def _split(self, x):
+        ia = np.asarray(self.idx_a, np.int32)
+        ib = np.asarray(self.idx_b, np.int32)
+        return x[..., ia], x[..., ib]
+
+    def _merge(self, x_a, x_b, shape):
+        ia = np.asarray(self.idx_a, np.int32)
+        ib = np.asarray(self.idx_b, np.int32)
+        x = jnp.zeros(shape, x_a.dtype)
+        x = x.at[..., ia].set(x_a)
+        x = x.at[..., ib].set(x_b)
+        return x
+
+    def forward(self, x):
+        x_a, x_b = self._split(x)
+        y_b = self.meta(x_a)(x_b)
+        return self._merge(x_a, y_b, x.shape)
+
+    def inverse(self, y):
+        y_a, y_b = self._split(y)
+        x_b = self.meta(y_a).inv(y_b)
+        return self._merge(y_a, x_b, y.shape)
+
+    def log_abs_det_jacobian(self, x, y):
+        x_a, x_b = self._split(x)
+        _, y_b = self._split(y)
+        return self.meta(x_a).log_abs_det_jacobian(x_b, y_b)
+
+    def call_and_ladj(self, x):
+        x_a, x_b = self._split(x)
+        y_b, ladj = self.meta(x_a).call_and_ladj(x_b)
+        return self._merge(x_a, y_b, x.shape), ladj
+
+    def inverse_and_ladj(self, y):
+        y_a, y_b = self._split(y)
+        x_b, ladj = self.meta(y_a).inverse_and_ladj(y_b)
+        return self._merge(y_a, x_b, y.shape), ladj
+
+
+class FreeFormJacobianTransform(Transform):
+    r"""Free-form Jacobian transformation (FFJORD/CNF):
+    :math:`x(t_1) = x_0 + \int_{t_0}^{t_1} f_\phi(t, x) dt`
+    (reference: zuko/transforms.py:1076-1179).
+
+    The log-Jacobian trace is computed *exactly* with forward-mode JVPs along
+    the coordinate basis (``D`` fused jvp columns — cheaper than the
+    reference's batched-identity VJP, zuko/transforms.py:1161-1169), or
+    stochastically with a Hutchinson estimate using an explicit PRNG ``key``
+    (reference: zuko/transforms.py:1171-1172). ``trace_scale = 1e-2`` relaxes
+    the ladj tolerance exactly as the reference does
+    (zuko/transforms.py:1123,1174-1179).
+
+    Arguments:
+        f: the dynamics, called as ``f(t, x, phi)``.
+        t0, t1: integration bounds.
+        phi: pytree of parameters of ``f`` (gradients route through it).
+        exact: exact trace vs Hutchinson.
+        key: PRNG key for the Hutchinson estimator.
+    """
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(
+        self,
+        f: Callable,
+        t0: float = 0.0,
+        t1: float = 1.0,
+        phi: Any = (),
+        atol: float = 1e-6,
+        rtol: float = 1e-5,
+        exact: bool = True,
+        key: jax.Array = None,
+    ):
+        self.f = f
+        self.t0 = float(t0)
+        self.t1 = float(t1)
+        self.phi = phi
+        self.atol = float(atol)
+        self.rtol = float(rtol)
+        self.exact = bool(exact)
+        self.key = key
+        self.trace_scale = 1e-2
+
+    def _dyn(self, t, x, p):
+        phi = p["phi"]
+        return self.f(t, x, phi) if _has_phi(phi) else self.f(t, x)
+
+    def forward(self, x):
+        return odeint(
+            self._dyn, x, self.t0, self.t1,
+            {"phi": self.phi}, self.atol, self.rtol,
+        )
+
+    @property
+    def inv(self) -> Transform:
+        # reference swaps integration bounds: zuko/transforms.py:1129-1138
+        return FreeFormJacobianTransform(
+            f=self.f,
+            t0=self.t1,
+            t1=self.t0,
+            phi=self.phi,
+            atol=self.atol,
+            rtol=self.rtol,
+            exact=self.exact,
+            key=self.key,
+        )
+
+    def inverse(self, y):
+        return odeint(
+            self._dyn, y, self.t1, self.t0,
+            {"phi": self.phi}, self.atol, self.rtol,
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        _, ladj = self.call_and_ladj(x)
+        return ladj
+
+    def call_and_ladj(self, x):
+        D = x.shape[-1]
+        scale = self.trace_scale
+
+        aux = {"phi": self.phi}
+        if not self.exact:
+            if self.key is None:
+                raise ValueError("Hutchinson trace requires a PRNG key")
+            aux["eps"] = jax.random.normal(self.key, x.shape, x.dtype)
+
+        def f_aug(t, state, p):
+            xt, _ = state
+            phi = p["phi"]
+            g = lambda u: self.f(t, u, phi) if _has_phi(phi) else self.f(t, u)
+            if self.exact:
+                basis = jnp.eye(D, dtype=xt.dtype)
+
+                def column(e):
+                    dx, je = jax.jvp(g, (xt,), (jnp.broadcast_to(e, xt.shape),))
+                    return dx, je
+
+                dxs, jes = jax.vmap(column)(basis)
+                dx = dxs[0]
+                trace = jnp.einsum("i...i->...", jes)
+            else:
+                eps = p["eps"]
+                dx, jeps = jax.jvp(g, (xt,), (eps,))
+                trace = jnp.sum(jeps * eps, axis=-1)
+            return dx, trace * scale
+
+        ladj0 = jnp.zeros(x.shape[:-1], x.dtype)
+        y, ladj = odeint(
+            f_aug, (x, ladj0), self.t0, self.t1,
+            phi=aux, atol=self.atol, rtol=self.rtol,
+        )
+        return y, ladj / scale
+
+    def inverse_and_ladj(self, y):
+        x, ladj = self.inv.call_and_ladj(y)
+        return x, -ladj
+
+
+def _has_phi(phi) -> bool:
+    return not (phi is None or (isinstance(phi, (tuple, list)) and len(phi) == 0))
+
+
+class PermutationTransform(Transform):
+    r"""Permutation of the last axis (reference: zuko/transforms.py:1182-1214).
+    The order is static, compiling to a static gather."""
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(self, order):
+        self.order = tuple(int(i) for i in np.asarray(order))
+
+    def forward(self, x):
+        return x[..., np.asarray(self.order, np.int32)]
+
+    def inverse(self, y):
+        return y[..., np.argsort(np.asarray(self.order)).astype(np.int32)]
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros_like(x[..., 0])
+
+    def call_and_ladj(self, x):
+        return self.forward(x), jnp.zeros_like(x[..., 0])
+
+    def inverse_and_ladj(self, y):
+        return self.inverse(y), jnp.zeros_like(y[..., 0])
+
+
+class RotationTransform(Transform):
+    r"""Rotation :math:`f(x) = R x` with :math:`R = \exp(A - A^T)` orthogonal
+    (reference: zuko/transforms.py:1217-1244 — GF inter-layer mixing)."""
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(self, A):
+        A = jnp.asarray(A)
+        self.R = jax.scipy.linalg.expm(A - jnp.swapaxes(A, -1, -2))
+
+    def forward(self, x):
+        return jnp.einsum("...ij,...j->...i", self.R, x)
+
+    def inverse(self, y):
+        return jnp.einsum("...ij,...i->...j", self.R, y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros_like(x[..., 0])
+
+    def call_and_ladj(self, x):
+        return self.forward(x), jnp.zeros_like(x[..., 0])
+
+    def inverse_and_ladj(self, y):
+        return self.inverse(y), jnp.zeros_like(y[..., 0])
+
+
+class LULinearTransform(Transform):
+    r"""Linear transformation :math:`f(x) = LUx`; the inverse is two
+    triangular solves (reference: zuko/transforms.py:1247-1287)."""
+
+    domain_dim = 1
+    codomain_dim = 1
+
+    def __init__(self, LU):
+        LU = jnp.asarray(LU)
+        eye = jnp.eye(LU.shape[-1], dtype=LU.dtype)
+        self.L = jnp.tril(LU)
+        self.U = jnp.triu(LU, k=1) + eye
+
+    def forward(self, x):
+        return jnp.einsum("...ij,...j->...i", self.L @ self.U, x)
+
+    def inverse(self, y):
+        z = jax.scipy.linalg.solve_triangular(self.L, y[..., None], lower=True)
+        x = jax.scipy.linalg.solve_triangular(
+            self.U, z, lower=False, unit_diagonal=True
+        )
+        return x[..., 0]
+
+    def log_abs_det_jacobian(self, x, y):
+        diag = jnp.diagonal(self.L, axis1=-2, axis2=-1)
+        ladj = jnp.sum(jnp.log(jnp.abs(diag)), axis=-1)
+        return jnp.broadcast_to(ladj, x.shape[:-1])
+
+    def call_and_ladj(self, x):
+        y = self.forward(x)
+        return y, self.log_abs_det_jacobian(x, y)
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        return x, -self.log_abs_det_jacobian(x, y)
