@@ -1,0 +1,97 @@
+r"""Benchmark: NSF log_prob throughput per chip vs the PyTorch reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The primary metric is NSF density-evaluation throughput (log_prob evals/s on
+one chip, UCI-POWER-shaped inputs: D=6, 3 transforms, hidden 64x64, 8 bins).
+``vs_baseline`` is the speedup over the reference implementation
+(probabilists/zuko on torch-CPU, the only hardware the reference supports
+here), measured in-process on the same host.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 4096
+FEATURES = 6
+TRANSFORMS = 3
+HIDDEN = (64, 64)
+BINS = 8
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+
+    from zuko_tpu.core import combine, partition
+    from zuko_tpu.flows import NSF
+
+    flow = NSF(
+        FEATURES, 0, transforms=TRANSFORMS, hidden_features=HIDDEN,
+        bins=BINS, key=jax.random.PRNGKey(0),
+    )
+    params, static = partition(flow)
+
+    @jax.jit
+    def log_prob(params, x):
+        return combine(params, static)(None).log_prob(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FEATURES))
+
+    # warmup / compile
+    log_prob(params, x).block_until_ready()
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = log_prob(params, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    return BATCH * n_iters / dt
+
+
+def bench_reference():
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from zuko.flows import NSF as TorchNSF
+
+        torch.manual_seed(0)
+        flow = TorchNSF(
+            FEATURES, 0, transforms=TRANSFORMS, hidden_features=HIDDEN,
+            bins=BINS,
+        )
+        flow.eval()
+        x = torch.randn(BATCH, FEATURES)
+
+        with torch.no_grad():
+            flow(None).log_prob(x)  # warmup
+            n_iters = 10
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                flow(None).log_prob(x)
+            dt = time.perf_counter() - t0
+        return BATCH * n_iters / dt
+    except Exception as e:  # pragma: no cover
+        print(f"# reference bench failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    ours = bench_ours()
+    ref = bench_reference()
+    vs = (ours / ref) if ref else None
+    print(json.dumps({
+        "metric": "nsf_log_prob_evals_per_s_per_chip",
+        "value": round(ours, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

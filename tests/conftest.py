@@ -8,7 +8,10 @@ validate multi-chip semantics without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The driver environment pins JAX_PLATFORMS=axon (a tunneled TPU) and a
+# sitecustomize imports jax before this file runs, so the env var alone is too
+# late — use jax.config (effective until backends initialize).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,10 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: compile times dominate on this host, and the
-# cache makes repeated suite runs cheap.
+# cache makes repeated suite runs cheap. (Safe only for locally-compiled CPU
+# executables — the platform is forced to cpu above.)
 jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,251 @@
+r"""Tests for zuko_tpu.flows — mirrors the reference battery
+(reference: tests/test_flows.py): log_prob shape+grads, sampling, rsample
+grads, invertibility (atol 1e-4), Jacobian correctness (atol 1e-3),
+serialization round-trip, triangular builders, and adjacency semantics."""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from functools import partial
+
+from zuko_tpu import serial
+from zuko_tpu.core import combine, named_parameters, partition
+from zuko_tpu.flows import (
+    BPF,
+    CNF,
+    GF,
+    MAF,
+    NAF,
+    NCSF,
+    NICE,
+    NSF,
+    SOSPF,
+    UNAF,
+    ElementWiseTransform,
+    GeneralCouplingTransform,
+    MaskedAutoregressiveTransform,
+)
+
+FLOWS = [NICE, MAF, NSF, SOSPF, NAF, UNAF, CNF, GF, BPF]
+
+
+def _make(F, key):
+    if F in (NAF, UNAF):
+        return F(3, 5, signal=8, key=key)
+    return F(3, 5, key=key)
+
+
+@pytest.mark.parametrize("F", FLOWS)
+def test_flows(tmp_path, F, key):
+    kf, kx, kc, ks = jax.random.split(key, 4)
+    flow = _make(F, kf)
+    name = F.__name__
+
+    # log_prob shape and gradients to every parameter
+    x = jax.random.normal(kx, (64, 3))
+    c = jax.random.normal(kc, (5,))
+
+    log_p = flow(c).log_prob(x)
+    assert log_p.shape == (64,), name
+
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(c).log_prob(x))
+
+    grads = jax.grad(loss)(params)
+    for n, g in named_parameters(grads):
+        assert jnp.all(jnp.isfinite(g)), (name, n)
+
+    # Sampling
+    s = flow(c).sample(ks, (32,))
+    assert s.shape == (32, 3), name
+
+    # Reparameterization trick
+    def sample_loss(p):
+        xs = combine(p, static)(c).rsample(ks, (8,))
+        return jnp.sqrt(jnp.sum(xs**2))
+
+    grads = jax.grad(sample_loss)(params)
+    for n, g in named_parameters(grads):
+        assert jnp.all(jnp.isfinite(g)), (name, n)
+
+    # Invertibility
+    xb = jax.random.normal(kx, (64, 3))
+    cb = jax.random.normal(kc, (64, 5))
+    t = flow(cb).transform
+    z = t.inv(t(xb))
+    assert jnp.allclose(xb, z, atol=1e-4), name
+
+    # Jacobian
+    x1 = jax.random.normal(kx, (3,))
+    c1 = jax.random.normal(kc, (5,))
+    t = flow(c1).transform
+    y1 = t(x1)
+
+    J = jax.jacrev(t)(x1)
+    J_inv = jax.jacrev(t.inv)(y1)
+    assert jnp.allclose(J, jnp.linalg.inv(J_inv), atol=1e-3), name
+
+    _, ladj = jnp.linalg.slogdet(J)
+    assert jnp.allclose(t.log_abs_det_jacobian(x1, y1), ladj, atol=1e-3), name
+
+    # Serialization round-trip (reference: tests/test_flows.py:77-91)
+    path = tmp_path / "flow.pkl"
+    serial.save(path, flow)
+    flow_bis = serial.load(path)
+
+    lp = flow(c1).log_prob(x1)
+    lp_bis = flow_bis(c1).log_prob(x1)
+    assert jnp.allclose(lp, lp_bis), name
+
+    # Params-only checkpoint
+    path2 = tmp_path / "flow.npz"
+    serial.save_params(path2, flow)
+    flow_ter = serial.load_params(flow, path2)
+    assert jnp.allclose(flow_ter(c1).log_prob(x1), lp), name
+
+    # Printing
+    assert repr(flow), name
+
+
+def test_ncsf(key):
+    kf, kx = jax.random.split(key)
+    flow = NCSF(3, 5, key=kf)
+    c = jax.random.normal(kx, (5,))
+    x = flow(c).sample(kx, (16,))
+    assert x.shape == (16, 3)
+    lp = flow(c).log_prob(x)
+    assert jnp.all(jnp.isfinite(lp))
+
+
+def test_triangular_transforms(key):
+    rng = np.random.RandomState(7)
+    order = rng.permutation(5)
+
+    adjacency = rng.rand(5, 5) < 0.25
+    adjacency = adjacency | np.eye(5, dtype=bool)
+    adjacency = np.tril(adjacency)
+    adjacency[1, 0] = True
+    adjacency = adjacency[order, :][:, order]
+
+    Ts = [
+        ElementWiseTransform,
+        GeneralCouplingTransform,
+        partial(GeneralCouplingTransform, mask=order % 2 == 0),
+        MaskedAutoregressiveTransform,
+        partial(MaskedAutoregressiveTransform, passes=2),
+        partial(MaskedAutoregressiveTransform, order=order),
+        partial(MaskedAutoregressiveTransform, adjacency=adjacency),
+    ]
+
+    for T in Ts:
+        tname = getattr(T, "func", T).__name__
+
+        # Without context
+        t = T(5, key=key)
+        x = jax.random.normal(key, (16, 5))
+        y = t(None)(x)
+        assert y.shape == x.shape, tname
+        assert jnp.allclose(t(None).inv(y), x, atol=1e-4), tname
+
+        # With context
+        t = T(5, 7, key=key)
+        c = jax.random.normal(key, (7,))
+        y = t(c)(x)
+        assert y.shape == x.shape, tname
+        assert jnp.allclose(t(c).inv(y), x, atol=1e-4), tname
+
+        # Jacobian triangularity: |diag J| log-sum == ladj
+        t = T(5, key=key)
+        x1 = jax.random.normal(key, (5,))
+        tr = t(None)
+        y1 = tr(x1)
+        J = jax.jacrev(tr)(x1)
+        _, ladj = jnp.linalg.slogdet(J)
+        assert jnp.allclose(tr.log_abs_det_jacobian(x1, y1), ladj, atol=1e-4), tname
+        assert jnp.allclose(
+            jnp.sum(jnp.log(jnp.abs(jnp.diag(J)))), ladj, atol=1e-4
+        ), tname
+
+
+def test_adjacency_matrix(key):
+    T = MaskedAutoregressiveTransform
+    rng = np.random.RandomState(11)
+    order = rng.permutation(5)
+
+    adjacency = rng.rand(5, 5) < 0.25
+    adjacency = adjacency | np.eye(5, dtype=bool)
+    adjacency = np.tril(adjacency)
+    adjacency[1, 0] = True
+    adjacency = adjacency[order, :][:, order]
+
+    t = T(5, adjacency=adjacency, key=key)
+    x = jax.random.normal(key, (5,))
+
+    J = jax.jacrev(t(None))(x)
+    assert jnp.allclose(J[~adjacency], 0.0)
+
+    # False on the diagonal
+    invalid = adjacency.copy()
+    invalid[0, 0] = False
+    with pytest.raises(AssertionError, match="ones on the diagonal"):
+        T(5, adjacency=invalid, key=key)
+
+    # Cycles
+    invalid = adjacency.copy()
+    invalid[0, 1] = True
+    invalid[1, 0] = True
+    with pytest.raises(AssertionError, match="contains cycles"):
+        T(5, adjacency=invalid, key=key)
+
+
+def test_context_adjacency_matrix(key):
+    T = MaskedAutoregressiveTransform
+    rng = np.random.RandomState(13)
+    order = rng.permutation(5)
+
+    adjacency = rng.rand(5, 5) < 0.25
+    adjacency = adjacency | np.eye(5, dtype=bool)
+    adjacency = np.tril(adjacency)
+    adjacency = adjacency[order, :][:, order]
+
+    adjacency_context = rng.rand(5, 2) < 0.5
+    valid = np.concatenate([adjacency, adjacency_context], axis=1)
+
+    t = T(features=5, context=2, adjacency=valid, key=key)
+    x = jax.random.normal(key, (5,))
+    c = jax.random.normal(key, (2,))
+    y = t(c)(x)
+
+    assert y.shape == x.shape
+    assert jnp.allclose(t(c).inv(y), x, atol=1e-4)
+
+    J = jax.jacrev(t(c))(x)
+    assert jnp.allclose(J[~adjacency], 0.0)
+
+    _, ladj = jnp.linalg.slogdet(J)
+    assert jnp.allclose(t(c).log_abs_det_jacobian(x, y), ladj, atol=1e-4)
+    assert jnp.allclose(jnp.sum(jnp.log(jnp.abs(jnp.diag(J)))), ladj, atol=1e-4)
+
+    invalid = np.concatenate([adjacency, rng.rand(5, 1) < 0.5], axis=1)
+    with pytest.raises(AssertionError, match="5 or 7 columns"):
+        T(features=5, context=2, adjacency=invalid, key=key)
+
+
+def test_unconditional_flows(key):
+    for F in [MAF, NICE]:
+        flow = F(3, key=key)
+        d = flow(None)
+        x = d.sample(key, (8,))
+        assert x.shape == (8, 3)
+        lp = d.log_prob(x)
+        assert lp.shape == (8,)
+
+        # fused sampling + log_prob
+        x2, lp2 = d.rsample_and_log_prob(key, (8,))
+        assert jnp.allclose(lp2, d.log_prob(x2), atol=1e-5)

@@ -1,0 +1,79 @@
+r"""Tests for zuko_tpu.ops — fallback correctness and (via interpret mode)
+Pallas kernel equivalence with the reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zuko_tpu.ops import masked_linear as ml_mod
+from zuko_tpu.ops import rqs as rqs_mod
+from zuko_tpu.transforms import MonotonicRQSTransform
+
+
+def test_rqs_fallback_matches_transform(key):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    w = jax.random.normal(k1, (8,))
+    h = jax.random.normal(k2, (8,))
+    d = jax.random.normal(k3, (7,))
+    t = MonotonicRQSTransform(w, h, d)
+
+    x = jnp.linspace(-6.0, 6.0, 41)
+    y, ladj = rqs_mod.rqs_forward(x, t.horizontal, t.vertical, t.derivatives)
+    y2, ladj2 = t.call_and_ladj(x)
+    assert jnp.allclose(y, y2)
+    assert jnp.allclose(ladj, ladj2)
+
+    xi, ladj_i = rqs_mod.rqs_inverse(y, t.horizontal, t.vertical, t.derivatives)
+    assert jnp.allclose(xi, x, atol=1e-6)
+    assert jnp.allclose(ladj_i, -ladj, atol=1e-6)
+
+
+def test_rqs_gradients(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.normal(k1, (8,))
+    h = jax.random.normal(k2, (8,))
+    d = jax.random.normal(k3, (7,))
+    t = MonotonicRQSTransform(w, h, d)
+
+    def f(x):
+        y, ladj = rqs_mod.rqs_forward(x, t.horizontal, t.vertical, t.derivatives)
+        return jnp.sum(y) + jnp.sum(ladj)
+
+    g = jax.grad(f)(jnp.asarray([0.5, -1.0, 2.0]))
+    assert jnp.all(jnp.isfinite(g))
+
+
+def test_masked_linear_fallback(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (16, 10))
+    w = jax.random.normal(k2, (6, 10))
+    mask = (jax.random.uniform(k3, (6, 10)) < 0.5).astype(w.dtype)
+    b = jnp.ones(6)
+
+    y = ml_mod.masked_linear(x, w, mask, b)
+    ref = x @ (mask * w).T + b
+    assert jnp.allclose(y, ref, atol=1e-6)
+
+    # no-bias path
+    y = ml_mod.masked_linear(x, w, mask, None)
+    assert jnp.allclose(y, x @ (mask * w).T, atol=1e-6)
+
+
+def test_masked_linear_pallas_interpret(key):
+    # run the actual Pallas kernel in interpreter mode on CPU
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (16, 10), jnp.float32)
+    w = jax.random.normal(k2, (6, 10), jnp.float32)
+    mask = (jax.random.uniform(k3, (6, 10)) < 0.5).astype(jnp.float32)
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+        with pltpu.force_tpu_interpret_mode():
+            y = ml_mod._masked_linear_pallas(x, w, mask, None)
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+
+    ref = x @ (mask * w).T
+    assert jnp.allclose(y, ref, atol=1e-5)

@@ -153,6 +153,11 @@ class MaskedLinear(Linear):
     def _matrix(self):
         return self.mask * self.weight
 
+    def __call__(self, x):
+        from .ops.masked_linear import masked_linear
+
+        return masked_linear(x, self.weight, self.mask, self.bias)
+
 
 class _Sequential(Module):
     """Minimal sequential container over a list of callable modules."""

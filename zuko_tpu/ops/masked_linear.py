@@ -1,0 +1,133 @@
+r"""Masked-linear (MADE) Pallas kernel.
+
+The reference computes ``F.linear(x, mask * W, b)`` (zuko/nn.py:217-218),
+materializing the masked weight matrix in memory every call. This kernel fuses
+the mask application into the MXU tiles: each program loads a ``(TO, TI)``
+weight tile and its mask tile into VMEM, masks in-register, and feeds the MXU —
+no masked-weight intermediate in HBM.
+
+For the small widths of tabular flows XLA's own fusion is close to optimal;
+the win grows with hidden width (wide MADE conditioners) where the masked
+weight no longer fits cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["masked_linear"]
+
+
+def _kernel(x_ref, w_ref, m_ref, out_ref):
+    w = w_ref[:] * m_ref[:]
+    out_ref[:] = jax.lax.dot_general(
+        x_ref[:], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def masked_linear(x, weight, mask, bias=None):
+    r"""Compute ``x @ (mask * weight).T + bias``.
+
+    On TPU (with kernels enabled) this uses a fused Pallas kernel wrapped in a
+    custom VJP with an analytic jnp backward; elsewhere it is plain jnp,
+    differentiable in both forward and reverse mode.
+
+    Arguments:
+        x: inputs ``(..., In)``.
+        weight: ``(Out, In)``.
+        mask: ``(Out, In)`` 0/1.
+        bias: optional ``(Out,)``.
+    """
+    from . import kernels_enabled
+
+    use_pallas = (
+        kernels_enabled()
+        and pltpu is not None
+        and x.dtype == jnp.float32
+        and weight.ndim == 2
+    )
+
+    if not use_pallas:
+        y = jnp.einsum("...ij,...j->...i", mask * weight, x)
+        return y if bias is None else y + bias
+
+    return _masked_linear_tpu(x, weight, mask, bias)
+
+
+@jax.custom_vjp
+def _masked_linear_tpu(x, weight, mask, bias):
+    return _masked_linear_pallas(x, weight, mask, bias)
+
+
+def _masked_linear_tpu_fwd(x, weight, mask, bias):
+    return _masked_linear_pallas(x, weight, mask, bias), (x, weight, mask, bias)
+
+
+def _masked_linear_tpu_bwd(res, g):
+    x, weight, mask, bias = res
+    mw = mask * weight
+    dx = jnp.einsum("...i,ij->...j", g, mw)
+    gw = g.reshape(-1, g.shape[-1])
+    xw = x.reshape(-1, x.shape[-1])
+    dw = jnp.einsum("ni,nj->ij", gw, xw) * mask
+    db = None if bias is None else jnp.sum(gw, axis=0).reshape(bias.shape)
+    return dx, dw, jnp.zeros_like(mask), db
+
+
+_masked_linear_tpu.defvjp(_masked_linear_tpu_fwd, _masked_linear_tpu_bwd)
+
+
+def _masked_linear_pallas(x, weight, mask, bias, block: int = 128):
+    out_f, in_f = weight.shape
+
+    batch_shape = x.shape[:-1]
+    xb = x.reshape(-1, in_f)
+    n = xb.shape[0]
+
+    xb = _pad_to(xb, block, 0)
+    xb = _pad_to(xb, block, 1)
+    wp = _pad_to(_pad_to(weight, block, 0), block, 1)
+    mp = _pad_to(_pad_to(mask.astype(weight.dtype), block, 0), block, 1)
+
+    m, ip = xb.shape
+    op = wp.shape[0]
+
+    grid = (m // block, op // block)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, ip), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ip), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ip), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, block), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, op), x.dtype),
+    )(xb, wp, mp)
+
+    out = out[:n, :out_f].reshape(batch_shape + (out_f,))
+    return out if bias is None else out + bias

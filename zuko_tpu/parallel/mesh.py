@@ -1,0 +1,109 @@
+r"""Device mesh construction and sharding rules.
+
+Design (TPU-first, per the scaling-book recipe): pick a mesh, annotate
+shardings on inputs and parameters, let XLA insert the collectives, profile,
+iterate. For tabular flows the feature dimension is small, so the winning
+layout is: **replicate parameters, shard the batch/sample axes over ``data``**;
+the ``model`` axis is available for stacked per-feature networks (NAF/UNAF
+``stack=features``), mixture components, and wide hyper-MLP hidden layers
+(tensor parallelism).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from typing import Any, Optional, Sequence
+
+from ..core import Module, named_parameters, update_parameters
+from ..nn import Linear, MaskedLinear
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "shard_module",
+    "tensor_parallel_spec",
+]
+
+
+def make_mesh(
+    model: int = 1,
+    data: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    ``data`` defaults to ``n_devices // model``. On a multi-host pod slice,
+    call :func:`jax.distributed.initialize` first; devices then span all
+    hosts and the data axis rides ICI/DCN automatically.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with their leading (batch) axis sharded over ``data``."""
+    out = [
+        jax.device_put(
+            a, NamedSharding(mesh, P("data", *([None] * (jnp.ndim(a) - 1))))
+        )
+        for a in arrays
+    ]
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree: Any):
+    """Fully replicate every array leaf of a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+
+    def place(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return jax.device_put(jnp.asarray(x), sharding)
+        return x
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def tensor_parallel_spec(module: Any) -> dict:
+    """Propose PartitionSpecs for a module tree: stacked Linear weights shard
+    their stack dimension over ``model``; hyper-MLP hidden layers shard
+    alternately out/in (Megatron-style column/row split); everything else is
+    replicated. Returns ``{dotted_name: PartitionSpec}``."""
+    specs = {}
+    from ..core import named_modules
+
+    for mname, m in named_modules(module):
+        if not isinstance(m, (Linear, MaskedLinear)):
+            continue
+        w = m.weight
+        prefix = f"{mname}." if mname else ""
+        if w.ndim == 3:  # stacked operators: shard the stack dim
+            specs[f"{prefix}weight"] = P("model", None, None)
+            if m.bias is not None:
+                specs[f"{prefix}bias"] = P("model", None)
+    return specs
+
+
+def shard_module(mesh: Mesh, module: Any, specs: Optional[dict] = None):
+    """Place a module's arrays on the mesh: leaves named in ``specs`` get the
+    given PartitionSpec, everything else is replicated."""
+    specs = {} if specs is None else specs
+    updates = {}
+    for name, leaf in named_parameters(module, buffers=True):
+        if leaf is None or not isinstance(leaf, (jax.Array, np.ndarray)):
+            continue
+        spec = specs.get(name, P())
+        updates[name] = jax.device_put(
+            jnp.asarray(leaf), NamedSharding(mesh, spec)
+        )
+    return update_parameters(module, updates)

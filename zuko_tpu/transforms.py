@@ -101,8 +101,11 @@ class Transform(Module):
         return y, self.log_abs_det_jacobian(x, y)
 
     def inverse_and_ladj(self, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        r"""Fused inverse: returns :math:`(f^{-1}(y), \log|\det J_{f^{-1}}(y)|)`
+        — the log-Jacobian of the *inverse* map (equal to minus the forward
+        log-Jacobian at :math:`x = f^{-1}(y)`)."""
         x = self.inverse(y)
-        return x, self.log_abs_det_jacobian(x, y)
+        return x, -self.log_abs_det_jacobian(x, y)
 
     @property
     def inv(self) -> "Transform":
@@ -140,12 +143,13 @@ class Inverse(Transform):
         return -self.base.log_abs_det_jacobian(y, x)
 
     def call_and_ladj(self, x):
-        y, ladj = self.base.inverse_and_ladj(x)
-        return y, -ladj
+        # base.inverse_and_ladj already returns the inverse-map ladj, which IS
+        # this transform's forward ladj.
+        return self.base.inverse_and_ladj(x)
 
     def inverse_and_ladj(self, y):
-        x, ladj = self.base.call_and_ladj(y)
-        return x, -ladj
+        # the inverse of Inverse(f) is f; its ladj at y is f's forward ladj.
+        return self.base.call_and_ladj(y)
 
     @property
     def inv(self) -> Transform:
@@ -506,47 +510,19 @@ class MonotonicRQSTransform(Transform):
         return y
 
     def call_and_ladj(self, x):
-        k = self._searchsorted(self.horizontal, x) - 1
-        mask, x0, x1, y0, y1, d0, d1, s = self._bin(k)
+        # fused kernel with jnp fallback (zuko_tpu/ops/rqs.py)
+        from .ops.rqs import rqs_forward
 
-        z = jnp.where(mask, (x - x0) / (x1 - x0), 0.0)
-        z1 = z * (1 - z)
-        denom = s + (d0 + d1 - 2 * s) * z1
-        y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
-        jacobian = (
-            s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
-        )
-        return (
-            jnp.where(mask, y, x),
-            jnp.where(mask, jnp.log(jacobian), 0.0),
-        )
+        return rqs_forward(x, self.horizontal, self.vertical, self.derivatives)
 
     def inverse(self, y):
         x, _ = self.inverse_and_ladj(y)
         return x
 
     def inverse_and_ladj(self, y):
-        k = self._searchsorted(self.vertical, y) - 1
-        mask, x0, x1, y0, y1, d0, d1, s = self._bin(k)
+        from .ops.rqs import rqs_inverse
 
-        y_ = jnp.where(mask, y - y0, 0.0)
-        a = (y1 - y0) * (s - d0) + y_ * (d0 + d1 - 2 * s)
-        b = (y1 - y0) * d0 - y_ * (d0 + d1 - 2 * s)
-        c = -s * y_
-        disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
-        z = 2 * c / (-b - jnp.sqrt(disc))
-        z = jnp.where(mask, z, 0.0)
-        x = x0 + z * (x1 - x0)
-
-        z1 = z * (1 - z)
-        denom = s + (d0 + d1 - 2 * s) * z1
-        jacobian = (
-            s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
-        )
-        return (
-            jnp.where(mask, x, y),
-            jnp.where(mask, -jnp.log(jacobian), 0.0),
-        )
+        return rqs_inverse(y, self.horizontal, self.vertical, self.derivatives)
 
     def log_abs_det_jacobian(self, x, y):
         _, ladj = self.call_and_ladj(x)
@@ -1032,8 +1008,9 @@ class FreeFormJacobianTransform(Transform):
         return y, ladj / scale
 
     def inverse_and_ladj(self, y):
-        x, ladj = self.inv.call_and_ladj(y)
-        return x, -ladj
+        # self.inv integrates backwards; its forward ladj IS the inverse-map
+        # ladj of this transform.
+        return self.inv.call_and_ladj(y)
 
 
 def _has_phi(phi) -> bool:
@@ -1110,9 +1087,14 @@ class LULinearTransform(Transform):
         return jnp.einsum("...ij,...j->...i", self.L @ self.U, x)
 
     def inverse(self, y):
-        z = jax.scipy.linalg.solve_triangular(self.L, y[..., None], lower=True)
+        # jax requires equal batch ranks for triangular_solve
+        batch = jnp.broadcast_shapes(y.shape[:-1], self.L.shape[:-2])
+        L = jnp.broadcast_to(self.L, batch + self.L.shape[-2:])
+        U = jnp.broadcast_to(self.U, batch + self.U.shape[-2:])
+        y = jnp.broadcast_to(y, batch + y.shape[-1:])
+        z = jax.scipy.linalg.solve_triangular(L, y[..., None], lower=True)
         x = jax.scipy.linalg.solve_triangular(
-            self.U, z, lower=False, unit_diagonal=True
+            U, z, lower=False, unit_diagonal=True
         )
         return x[..., 0]
 
