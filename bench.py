@@ -14,16 +14,19 @@ import os
 import sys
 import time
 
-BATCH = 4096
+BATCH = 65536
 FEATURES = 6
 TRANSFORMS = 3
 HIDDEN = (64, 64)
 BINS = 8
+REPEATS = 10  # amortized inside one jit call (the tunnel adds ~3.5 ms/call)
 
 
 def bench_ours():
     import jax
     import jax.numpy as jnp
+
+    from jax import lax
 
     from zuko_tpu.core import combine, partition
     from zuko_tpu.flows import NSF
@@ -35,22 +38,27 @@ def bench_ours():
     params, static = partition(flow)
 
     @jax.jit
-    def log_prob(params, x):
-        return combine(params, static)(None).log_prob(x)
+    def log_prob_loop(params, x):
+        def body(carry, _):
+            model = combine(params, static)
+            return carry + jnp.sum(model(None).log_prob(x + 1e-9 * carry)), None
+
+        out, _ = lax.scan(body, 0.0, None, length=REPEATS)
+        return out
 
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FEATURES))
 
     # warmup / compile
-    log_prob(params, x).block_until_ready()
+    log_prob_loop(params, x).block_until_ready()
 
-    n_iters = 50
+    n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = log_prob(params, x)
+        out = log_prob_loop(params, x)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
-    return BATCH * n_iters / dt
+    return BATCH * REPEATS * n_iters / dt
 
 
 def bench_reference():
@@ -70,7 +78,7 @@ def bench_reference():
 
         with torch.no_grad():
             flow(None).log_prob(x)  # warmup
-            n_iters = 10
+            n_iters = 5
             t0 = time.perf_counter()
             for _ in range(n_iters):
                 flow(None).log_prob(x)

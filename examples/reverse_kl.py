@@ -1,0 +1,49 @@
+r"""Reverse-KL variational inference on a ring energy (reference tutorial:
+docs/tutorials/reverse_kl.ipynb; final-epoch loss anchor ~= -1.59).
+
+The flow is pre-inverted (``Flow(flow.transform.inv, flow.base)``) so the
+sampling direction is the cheap forward pass — the reference's trick
+(zuko/lazy.py:81-98).
+
+Run: python examples/reverse_kl.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zuko_tpu.core import combine, partition
+from zuko_tpu.data import ring_energy
+from zuko_tpu.flows import NSF, Flow
+from zuko_tpu.parallel import make_reverse_kl_step
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    flow = NSF(2, 0, transforms=3, key=key)
+    inv = Flow(flow.transform.inv, flow.base)
+
+    params, static = partition(inv)
+    init_fn, step_fn = make_reverse_kl_step(
+        static, ring_energy, n_samples=256, lr=1e-3
+    )
+    state = init_fn(params)
+
+    steps_per_epoch, epochs = 256, 8
+    for epoch in range(epochs):
+        losses = []
+        for _ in range(steps_per_epoch):
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, sub)
+            losses.append(float(loss))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f} ± {np.std(losses):.3f}")
+
+    print("reference anchor: -1.5888 ± 0.018")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,11 @@ import pytest
 
 from zuko_tpu.transforms import (
     AdditiveTransform,
+    AffineTransform,
+    ExpTransform,
+    SigmoidTransform,
+    SoftplusTransform,
+    TanhTransform,
     AutoregressiveTransform,
     BernsteinTransform,
     BoundedBernsteinTransform,
@@ -50,6 +55,11 @@ def _univariate_cases(batched: bool):
 
     return [
         (IdentityTransform(), (-5.0, 5.0)),
+        (ExpTransform(), (-3.0, 3.0)),
+        (SigmoidTransform(), (-5.0, 5.0)),
+        (SoftplusTransform(), (-5.0, 5.0)),
+        (TanhTransform(), (-3.0, 3.0)),
+        (AffineTransform(rnd(), 1.0 + jnp.abs(rnd())), (-5.0, 5.0)),
         (CosTransform(), (1e-2, math.pi - 1e-2)),
         (SinTransform(), (-math.pi / 2 + 1e-2, math.pi / 2 - 1e-2)),
         (SoftclipTransform(), (-5.0, 5.0)),

@@ -42,6 +42,11 @@ __all__ = [
     "ComposedTransform",
     "DependentTransform",
     "IdentityTransform",
+    "ExpTransform",
+    "SigmoidTransform",
+    "SoftplusTransform",
+    "TanhTransform",
+    "AffineTransform",
     "CosTransform",
     "SinTransform",
     "SoftclipTransform",
@@ -323,6 +328,83 @@ class SinTransform(Transform):
 
     def log_abs_det_jacobian(self, x, y):
         return jnp.log(jnp.abs(jnp.cos(x)))
+
+
+class ExpTransform(Transform):
+    r""":math:`f(x) = \exp(x)` (part of the torch namespace the reference
+    re-exports, zuko/transforms.py:37; used e.g. with a Gamma base in the
+    reference test battery)."""
+
+    def forward(self, x):
+        return jnp.exp(x)
+
+    def inverse(self, y):
+        return jnp.log(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return x
+
+
+class SigmoidTransform(Transform):
+    r""":math:`f(x) = \sigma(x)` mapping to :math:`(0, 1)` (torch namespace
+    parity; used in the reference tutorials)."""
+
+    def forward(self, x):
+        return jax.nn.sigmoid(x)
+
+    def inverse(self, y):
+        return jnp.log(y) - jnp.log1p(-y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return -jax.nn.softplus(x) - jax.nn.softplus(-x)
+
+
+class SoftplusTransform(Transform):
+    r""":math:`f(x) = \log(1 + e^x)` mapping to :math:`(0, \infty)` (torch
+    namespace parity)."""
+
+    def forward(self, x):
+        return jax.nn.softplus(x)
+
+    def inverse(self, y):
+        return y + jnp.log(-jnp.expm1(-y))
+
+    def log_abs_det_jacobian(self, x, y):
+        return -jax.nn.softplus(-x)
+
+
+class TanhTransform(Transform):
+    r""":math:`f(x) = \tanh(x)` mapping to :math:`(-1, 1)` (torch namespace
+    parity)."""
+
+    def forward(self, x):
+        return jnp.tanh(x)
+
+    def inverse(self, y):
+        return jnp.arctanh(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return 2 * (math.log(2.0) - x - jax.nn.softplus(-2 * x))
+
+
+class AffineTransform(Transform):
+    r""":math:`f(x) = a x + b` with fixed (unconstrained-sign) scale (torch
+    namespace parity; for trainable flows use
+    :class:`MonotonicAffineTransform`)."""
+
+    def __init__(self, shift, scale):
+        self.shift = jnp.asarray(shift)
+        self.scale = jnp.asarray(scale)
+
+    def forward(self, x):
+        return self.scale * x + self.shift
+
+    def inverse(self, y):
+        return (y - self.shift) / self.scale
+
+    def log_abs_det_jacobian(self, x, y):
+        shape = jnp.broadcast_shapes(x.shape, self.scale.shape)
+        return jnp.broadcast_to(jnp.log(jnp.abs(self.scale)), shape)
 
 
 class SoftclipTransform(Transform):
