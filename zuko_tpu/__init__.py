@@ -8,8 +8,35 @@ full flow zoo, GMM mixtures and Bayesian wrappers — redesigned TPU-first.
 
 __version__ = "0.1.0"
 
-from . import core, distributions, flows, lazy, nn, transforms, utils  # noqa: F401
+from . import (  # noqa: F401
+    bayesian,
+    core,
+    data,
+    distributions,
+    flows,
+    lazy,
+    mixtures,
+    nn,
+    ops,
+    parallel,
+    serial,
+    transforms,
+    utils,
+)
+from .bayesian import BayesianModel  # noqa: F401
 from .core import Module, combine, partition  # noqa: F401
 from .flows import (  # noqa: F401
-    BPF, CNF, GF, MAF, NAF, NCSF, NICE, NSF, RealNVP, SOSPF, UNAF, Flow,
+    BPF,
+    CNF,
+    GF,
+    MAF,
+    NAF,
+    NCSF,
+    NICE,
+    NSF,
+    Flow,
+    RealNVP,
+    SOSPF,
+    UNAF,
 )
+from .mixtures import GMM  # noqa: F401

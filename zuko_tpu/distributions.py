@@ -47,6 +47,7 @@ __all__ = [
     "Beta",
     "Gamma",
     "Laplace",
+    "Bernoulli",
     "NormalizingFlow",
     "Joint",
     "Mixture",
@@ -209,6 +210,43 @@ class Uniform(Distribution):
     @property
     def mean(self):
         return jnp.broadcast_to((self.low + self.high) / 2, self.batch_shape)
+
+
+class Bernoulli(Distribution):
+    r"""Bernoulli distribution (torch namespace parity; the reference's VAE
+    tutorial uses it as the decoder likelihood)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, logits=None, probs=None):
+        if logits is None:
+            probs = jnp.asarray(probs)
+            logits = jnp.log(probs) - jnp.log1p(-probs)
+        self.logits = jnp.asarray(logits)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.logits.shape
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def log_prob(self, x):
+        # -BCE-with-logits: x*log p + (1-x)*log(1-p)
+        return x * self.logits - jax.nn.softplus(self.logits)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape)
+        return (u < self.probs).astype(self.logits.dtype)
+
+    def expand(self, batch_shape: Shape):
+        return Bernoulli(jnp.broadcast_to(self.logits, batch_shape))
+
+    @property
+    def mean(self):
+        return self.probs
 
 
 class Laplace(Distribution):

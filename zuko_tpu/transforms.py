@@ -47,6 +47,7 @@ __all__ = [
     "SoftplusTransform",
     "TanhTransform",
     "AffineTransform",
+    "PowerTransform",
     "CosTransform",
     "SinTransform",
     "SoftclipTransform",
@@ -300,6 +301,22 @@ class IdentityTransform(Transform):
 
     def log_abs_det_jacobian(self, x, y):
         return jnp.zeros_like(x)
+
+
+class PowerTransform(Transform):
+    r""":math:`f(x) = x^a` on the positive reals (torch namespace parity)."""
+
+    def __init__(self, exponent):
+        self.exponent = jnp.asarray(exponent)
+
+    def forward(self, x):
+        return x**self.exponent
+
+    def inverse(self, y):
+        return y ** (1 / self.exponent)
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.log(jnp.abs(self.exponent * y / x))
 
 
 class CosTransform(Transform):
