@@ -32,8 +32,10 @@ def main():
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, xb, k):
+    def step(carry, batch):
+        params, opt_state = carry
+        xb, k = batch
+
         def loss_fn(p):
             m = combine(p, static)
             rflow = m.reparameterize(k)
@@ -42,18 +44,27 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    rng = np.random.RandomState(0)
+    batch, n = 64, x.shape[0]
+    n_batches = n // batch
+
+    @jax.jit
+    def epoch_fn(params, opt_state, k):
+        kp, ks = jax.random.split(k)
+        perm = jax.random.permutation(kp, n)
+        xs = x[perm[: n_batches * batch]].reshape(n_batches, batch, -1)
+        keys = jax.random.split(ks, n_batches)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (xs, keys)
+        )
+        return params, opt_state, losses
+
     for epoch in range(8):
-        perm = rng.permutation(x.shape[0])
-        losses = []
-        for i in range(0, x.shape[0] - 64 + 1, 64):
-            key, sub = jax.random.split(key)
-            xb = x[perm[i : i + 64]]
-            params, opt_state, loss = step(params, opt_state, xb, sub)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f} ± {np.std(losses):.3f}")
+        key, sub = jax.random.split(key)
+        params, opt_state, losses = epoch_fn(params, opt_state, sub)
+        losses = np.asarray(losses)
+        print(f"epoch {epoch}: loss {losses.mean():.4f} ± {losses.std():.3f}")
 
     print("reference anchor: 0.4636 ± 0.122")
 

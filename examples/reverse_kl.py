@@ -34,13 +34,17 @@ def main():
     state = init_fn(params)
 
     steps_per_epoch, epochs = 256, 8
+
+    @jax.jit
+    def epoch_fn(state, key):
+        keys = jax.random.split(key, steps_per_epoch)
+        return jax.lax.scan(step_fn, state, keys)
+
     for epoch in range(epochs):
-        losses = []
-        for _ in range(steps_per_epoch):
-            key, sub = jax.random.split(key)
-            state, loss = step_fn(state, sub)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f} ± {np.std(losses):.3f}")
+        key, sub = jax.random.split(key)
+        state, losses = epoch_fn(state, sub)
+        losses = np.asarray(losses)
+        print(f"epoch {epoch}: loss {losses.mean():.4f} ± {losses.std():.3f}")
 
     print("reference anchor: -1.5888 ± 0.018")
 

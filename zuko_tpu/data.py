@@ -19,32 +19,34 @@ import numpy as np
 __all__ = ["two_moons", "ring_energy", "uci_power"]
 
 
-def two_moons(n: int, noise: float = 0.05, seed: int = 0):
-    """Two interleaving half-circles with Gaussian noise, standardized like
-    the reference tutorial (labels returned as the conditioning variable)."""
+def two_moons(n: int, sigma: float = 1e-1, seed: int = 0):
+    """Two-moons dataset, exactly the reference tutorial's generator
+    (docs/tutorials/forward_kl.ipynb cell 3):
+
+    ``theta ~ U(0, 2pi)``, ``label = theta > pi``,
+    ``x = (cos t + label - 1/2, sin t + label/2 - 1/4) + N(0, sigma)``.
+    """
     rng = np.random.RandomState(seed)
-    n_out = n // 2
-    n_in = n - n_out
+    theta = 2 * np.pi * rng.rand(n)
+    label = (theta > np.pi).astype(np.float64)
 
-    theta_out = rng.uniform(0, np.pi, n_out)
-    theta_in = rng.uniform(0, np.pi, n_in)
-
-    outer = np.stack([np.cos(theta_out), np.sin(theta_out)], axis=-1)
-    inner = np.stack([1 - np.cos(theta_in), 1 - np.sin(theta_in) - 0.5], axis=-1)
-
-    x = np.concatenate([outer, inner], axis=0)
-    x = x + noise * rng.randn(*x.shape)
-    y = np.concatenate([np.zeros(n_out), np.ones(n_in)])
-
-    perm = rng.permutation(n)
-    return x[perm].astype(np.float32), y[perm].astype(np.float32)
+    x = np.stack(
+        [
+            np.cos(theta) + label - 1 / 2,
+            np.sin(theta) + label / 2 - 1 / 4,
+        ],
+        axis=-1,
+    )
+    x = x + sigma * rng.randn(n, 2)
+    return x.astype(np.float32), label.astype(np.float32)
 
 
-def ring_energy(x, radius: float = 2.0, width: float = 0.25):
-    """Log-energy of a ring target (reverse-KL tutorial's energy analog):
-    ``log E(x) = -((|x| - r) / w)^2 / 2``."""
-    r = jnp.linalg.norm(x, axis=-1)
-    return -(((r - radius) / width) ** 2) / 2
+def ring_energy(x):
+    r"""The reference reverse-KL tutorial's multi-modal log-energy
+    (docs/tutorials/reverse_kl.ipynb cell 3):
+    :math:`\log U(x) = \sin(\pi x_1) - 2 (x_1^2 + x_2^2 - 2)^2`."""
+    x1, x2 = x[..., 0], x[..., 1]
+    return jnp.sin(jnp.pi * x1) - 2 * (x1**2 + x2**2 - 2) ** 2
 
 
 def uci_power(path: str = None, n: int = 65536, seed: int = 0):

@@ -113,36 +113,78 @@ def train_mle(
     verbose: bool = False,
 ):
     r"""Reference-parity MLE loop (Adam, shuffled minibatches — the tutorial
-    recipe). Returns ``(trained_flow, per-epoch mean losses)``."""
+    recipe, docs/tutorials/forward_kl.ipynb cell 9).
+
+    TPU-first structure: the dataset lives on device and a whole epoch is ONE
+    jitted ``lax.scan`` over shuffled minibatches — no per-step host↔device
+    round-trips (which dominate wall-clock through a tunneled chip).
+
+    Returns ``(trained_flow, per-epoch mean losses)``.
+    """
     import numpy as np
 
     key = jax.random.PRNGKey(0) if key is None else key
     params, static = partition(flow)
-    init_fn, step_fn = make_mle_step(static, lr=lr)
-    state = init_fn(params)
+    optimizer = _default_optimizer(lr)
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
-    data = np.asarray(data)
+    data = jnp.asarray(np.asarray(data))
+    ctx = None if context is None else jnp.asarray(np.asarray(context))
+    if mesh is not None:
+        from .mesh import replicate
+
+        data = replicate(mesh, data)
+        state = replicate(mesh, state)
+        if ctx is not None:
+            ctx = replicate(mesh, ctx)
+
     n = data.shape[0]
-    losses = []
+    n_batches = n // batch_size
 
+    def loss_fn(params, x, c):
+        model = combine(params, static)
+        return -jnp.mean(model(c).log_prob(x))
+
+    @jax.jit
+    def epoch_fn(state: TrainState, perm):
+        xs = data[perm[: n_batches * batch_size]].reshape(
+            (n_batches, batch_size) + data.shape[1:]
+        )
+        if ctx is not None:
+            cs = ctx[perm[: n_batches * batch_size]].reshape(
+                (n_batches, batch_size) + ctx.shape[1:]
+            )
+        else:
+            cs = None
+
+        def body(state, batch):
+            x = batch if cs is None else batch[0]
+            c = None if cs is None else batch[1]
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, x, c)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new = TrainState(
+                optax.apply_updates(state.params, updates),
+                opt_state,
+                state.step + 1,
+            )
+            return new, loss
+
+        batches = xs if cs is None else (xs, cs)
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, losses
+
+    losses = []
     for epoch in range(epochs):
         key, sub = jax.random.split(key)
-        perm = np.asarray(jax.random.permutation(sub, n))
-        epoch_losses = []
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
-            x = jnp.asarray(data[idx])
-            c = None if context is None else jnp.asarray(np.asarray(context)[idx])
-            if mesh is not None:
-                from .mesh import shard_batch
-
-                x = shard_batch(mesh, x)
-                if c is not None:
-                    c = shard_batch(mesh, c)
-            state, loss = step_fn(state, x, c)
-            epoch_losses.append(float(loss))
-        losses.append(float(np.mean(epoch_losses)))
+        perm = jax.random.permutation(sub, n)
+        state, epoch_losses = epoch_fn(state, perm)
+        epoch_losses = np.asarray(epoch_losses)
+        losses.append(float(epoch_losses.mean()))
         if verbose:
-            print(f"epoch {epoch}: loss {losses[-1]:.4f} ± {np.std(epoch_losses):.3f}")
+            print(
+                f"epoch {epoch}: loss {losses[-1]:.4f} ± {epoch_losses.std():.3f}"
+            )
 
     return combine(state.params, static), losses
