@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     nn,
     ops,
     parallel,
+    profiling,
     serial,
     transforms,
     utils,

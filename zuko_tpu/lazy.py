@@ -25,6 +25,7 @@ __all__ = [
     "LazyDistribution",
     "LazyInverse",
     "LazyTransform",
+    "Unconditional",
     "UnconditionalDistribution",
     "UnconditionalTransform",
 ]
@@ -111,6 +112,25 @@ class Flow(LazyDistribution):
         else:
             base = self.base(c).expand(c.shape[:-1])
         return NormalizingFlow(transform, base)
+
+
+def Unconditional(f: Callable, *args, **kwargs):
+    r"""Deprecated predecessor of :class:`UnconditionalDistribution` /
+    :class:`UnconditionalTransform` (reference: zuko/lazy.py:175-239, which
+    warns identically). Dispatches on the return type of ``f``."""
+    import warnings
+
+    warnings.warn(
+        "'Unconditional' is deprecated; use 'UnconditionalDistribution' or"
+        " 'UnconditionalTransform' instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+
+    probe = f(*args, **{k: v for k, v in kwargs.items() if k != "buffer"})
+    if isinstance(probe, Distribution):
+        return UnconditionalDistribution(f, *args, **kwargs)
+    return UnconditionalTransform(f, *args, **kwargs)
 
 
 class UnconditionalDistribution(LazyDistribution):
