@@ -22,11 +22,16 @@ from zuko_tpu.flows import NSF
 
 def main():
     key = jax.random.PRNGKey(0)
-    x, _ = two_moons(16384, seed=0)
+    x, label = two_moons(16384, seed=0)
     x = jnp.asarray(x)
+    c = jnp.asarray(label)[:, None]
 
-    flow = NSF(2, 0, transforms=3, key=key)
-    model = BayesianModel(flow, key=key)
+    # variational last hyper layer only, conditional on the moon label —
+    # the tutorial's configuration (bayesian_flows.ipynb cell 21)
+    flow = NSF(2, context=1, transforms=3, hidden_features=(64, 64), key=key)
+    model = BayesianModel(
+        flow, init_logvar=-9.0, include_params=["**.hyper.layers.4"], key=key
+    )
 
     params, static = partition(model)
     opt = optax.adam(1e-3)
@@ -34,12 +39,12 @@ def main():
 
     def step(carry, batch):
         params, opt_state = carry
-        xb, k = batch
+        xb, cb, k = batch
 
         def loss_fn(p):
             m = combine(p, static)
             rflow = m.reparameterize(k)
-            nll = -jnp.mean(rflow(None).log_prob(xb))
+            nll = -jnp.mean(rflow(cb).log_prob(xb))
             return nll + 1e-6 * m.kl_divergence()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -54,9 +59,10 @@ def main():
         kp, ks = jax.random.split(k)
         perm = jax.random.permutation(kp, n)
         xs = x[perm[: n_batches * batch]].reshape(n_batches, batch, -1)
+        cs = c[perm[: n_batches * batch]].reshape(n_batches, batch, -1)
         keys = jax.random.split(ks, n_batches)
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (xs, keys)
+            step, (params, opt_state), (xs, cs, keys)
         )
         return params, opt_state, losses
 

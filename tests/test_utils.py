@@ -158,3 +158,39 @@ def test_odeint_under_jit():
 
     x0 = jnp.asarray([1.0, 2.0])
     assert jnp.allclose(run(x0), x0 * jnp.exp(-1.0), atol=1e-6)
+
+
+def test_newton_bisection_value_and_grad():
+    from zuko_tpu.utils import newton_bisection
+
+    f = lambda x: x**3 + x
+    y = jnp.linspace(-5.0, 5.0, 11)
+    x = newton_bisection(f, y, -3.0, 3.0, n=20)
+    assert jnp.allclose(f(x), y, atol=1e-9)
+
+    def solve(y):
+        return newton_bisection(f, y, -3.0, 3.0, n=20)
+
+    y0 = jnp.asarray(2.0)
+    x0 = solve(y0)
+    g = jax.grad(solve)(y0)
+    assert jnp.allclose(g, 1.0 / (3 * x0**2 + 1), atol=1e-6)
+
+
+def test_newton_bisection_phi_grad():
+    from zuko_tpu.utils import newton_bisection
+
+    def f(x, phi):
+        return phi * x**3
+
+    phi0 = jnp.asarray(2.0)
+    y = jnp.asarray(16.0)
+
+    def solve(phi):
+        return newton_bisection(f, y, 0.0, 10.0, n=25, phi=phi)
+
+    x = solve(phi0)
+    assert jnp.allclose(x, 2.0, atol=1e-8)
+    # x = (y/phi)^(1/3) => dx/dphi = -x / (3 phi)
+    g = jax.grad(solve)(phi0)
+    assert jnp.allclose(g, -2.0 / 6.0, atol=1e-6)

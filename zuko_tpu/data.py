@@ -62,15 +62,16 @@ def uci_power(path: str = None, n: int = 65536, seed: int = 0):
     rng = np.random.RandomState(seed)
     D = 6
 
+    # one fixed generative structure shared by all splits
+    centers = rng.randn(3, D) * 1.5
+    A = rng.randn(D, D) * 0.3 + np.eye(D)
+
     def make(m):
-        # correlated, multi-modal surrogate
         z = rng.randn(m, D)
         mix = rng.randint(0, 3, m)
-        centers = rng.randn(3, D) * 1.5
-        x = z * 0.6 + centers[mix]
-        A = rng.randn(D, D) * 0.3 + np.eye(D)
-        x = x @ A
-        x = (x - x.mean(0)) / x.std(0)
+        x = (z * 0.6 + centers[mix]) @ A
         return x.astype(np.float32)
 
-    return make(n), make(n // 8), make(n // 8)
+    train = make(n)
+    mu, sd = train.mean(0), train.std(0)
+    return tuple(((s - mu) / sd).astype(np.float32) for s in (train, make(n // 8), make(n // 8)))

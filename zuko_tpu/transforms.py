@@ -667,13 +667,19 @@ class MonotonicTransform(Transform):
         return self.f(x)
 
     def inverse(self, y):
-        n = int(math.ceil(math.log2(2 * self.bound / self.eps)))
-        return bisection(
+        # Safeguarded Newton needs far fewer iterations than the reference's
+        # pure bisection (zuko/transforms.py:609-617) for the same tolerance;
+        # the bracket halves every step even when Newton is rejected.
+        from .utils import newton_bisection
+
+        n = int(math.ceil(math.log2(2 * self.bound / self.eps))) + 4
+        return newton_bisection(
             f=lambda x, t: t.f(x),
             y=y,
             a=jnp.full_like(y, -self.bound),
             b=jnp.full_like(y, self.bound),
             n=n,
+            xtol=self.eps,
             phi=self,
         )
 

@@ -37,6 +37,7 @@ __all__ = [
     "bisection",
     "broadcast",
     "gauss_legendre",
+    "newton_bisection",
     "odeint",
     "unpack",
 ]
@@ -164,6 +165,90 @@ def bisection(
     a = jnp.broadcast_to(jnp.asarray(a, dtype), y.shape).astype(dtype)
     b = jnp.broadcast_to(jnp.asarray(b, dtype), y.shape).astype(dtype)
     return _bisection(g, n, y.astype(dtype), a, b, phi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _newton_bisection(f, n, xtol, y, a, b, phi):
+    # Safeguarded Newton ("rtsafe"): take the Newton step only when it stays
+    # inside the bracket AND makes fast-enough progress (|2 r| <= |dxold f'|,
+    # the Numerical-Recipes criterion that prevents oscillation); otherwise
+    # bisect — so the bracket provably shrinks. Early exit when every element
+    # has converged; the loop is inside a custom_vjp, so non-differentiable
+    # control flow is fine.
+    def cond(st):
+        lo, hi, x, dxold, it = st
+        return (it < n) & (jnp.max(jnp.minimum(hi - lo, jnp.abs(dxold))) > xtol)
+
+    def body(st):
+        lo, hi, x, dxold, it = st
+        fx, dfx = jax.jvp(lambda u: f(u, phi), (x,), (jnp.ones_like(x),))
+        r = fx - y
+        below = r < 0
+        lo = jnp.where(below, x, lo)
+        hi = jnp.where(below, hi, x)
+        xn = x - r / dfx
+        ok = (
+            (xn >= lo) & (xn <= hi) & jnp.isfinite(xn)
+            & (jnp.abs(2 * r) <= jnp.abs(dxold * dfx))
+        )
+        x_new = jnp.where(ok, xn, (lo + hi) / 2)
+        return lo, hi, x_new, x_new - x, it + 1
+
+    x0 = (a + b) / 2
+    _, _, x, _, _ = lax.while_loop(
+        cond, body, (a, b, x0, b - a, jnp.asarray(0, jnp.int32))
+    )
+    return x
+
+
+def _newton_bisection_fwd(f, n, xtol, y, a, b, phi):
+    x = _newton_bisection(f, n, xtol, y, a, b, phi)
+    return x, (x, phi)
+
+
+def _newton_bisection_bwd(f, n, xtol, res, g):
+    return _bisection_bwd(f, n, res, g)
+
+
+_newton_bisection.defvjp(_newton_bisection_fwd, _newton_bisection_bwd)
+
+
+def newton_bisection(
+    f: Callable,
+    y: jax.Array,
+    a: Union[float, jax.Array],
+    b: Union[float, jax.Array],
+    n: int = 32,
+    xtol: float = 1e-8,
+    phi: Any = (),
+) -> jax.Array:
+    r"""Solve ``f(x) = y`` for increasing ``f`` with safeguarded Newton
+    iterations: each step takes the Newton update when it stays inside the
+    current bracket and falls back to bisection otherwise. Quadratic
+    convergence on smooth regions at roughly half the f-evaluations of pure
+    bisection (the reference uses pure bisection, zuko/utils.py:118-209; this
+    is the north-star upgrade for the NAF/UNAF sampling path).
+
+    Gradients use the same implicit-function-theorem custom VJP as
+    :func:`bisection`.
+
+    Example:
+        >>> f = lambda x: x**3 + x
+        >>> x = newton_bisection(f, jnp.asarray(10.0), -3.0, 3.0)
+        >>> bool(jnp.allclose(f(x), 10.0, atol=1e-6))
+        True
+    """
+    if _empty_phi(phi):
+        g = lambda x, _: f(x)
+        phi = ()
+    else:
+        g = f
+
+    y = jnp.asarray(y)
+    dtype = jnp.result_type(y, jnp.asarray(a), jnp.asarray(b))
+    a = jnp.broadcast_to(jnp.asarray(a, dtype), y.shape).astype(dtype)
+    b = jnp.broadcast_to(jnp.asarray(b, dtype), y.shape).astype(dtype)
+    return _newton_bisection(g, n, float(xtol), y.astype(dtype), a, b, phi)
 
 
 # ------------------------------------------------------------- gauss-legendre
