@@ -34,6 +34,7 @@ from jax.flatten_util import ravel_pytree
 from typing import Any, Callable, Sequence, Tuple, Union
 
 __all__ = [
+    "Partial",
     "bisection",
     "broadcast",
     "gauss_legendre",
@@ -41,6 +42,40 @@ __all__ = [
     "odeint",
     "unpack",
 ]
+
+
+def _make_partial():
+    # deferred import to avoid a cycle (core has no deps on utils)
+    from .core import Module
+
+    class Partial(Module):
+        r"""``functools.partial`` as a module: positional/keyword array
+        arguments become parameters (or frozen buffers with ``buffer=True``)
+        of the pytree (reference: zuko/utils.py:26-115).
+
+        Example:
+            >>> import jax.numpy as jnp
+            >>> mul = Partial(jnp.multiply, jnp.asarray(2.0))
+            >>> float(mul(jnp.asarray(3.0)))
+            6.0
+        """
+
+        def __init__(self, f, *args, buffer: bool = False, **kwargs):
+            self.f = f
+            if buffer:
+                self.register_buffer("args", list(args))
+                self.register_buffer("kwargs", dict(kwargs))
+            else:
+                self.args = list(args)
+                self.kwargs = dict(kwargs)
+
+        def __call__(self, *args, **kwargs):
+            return self.f(*self.args, *args, **{**self.kwargs, **kwargs})
+
+    return Partial
+
+
+Partial = _make_partial()
 
 
 def _empty_phi(phi: Any) -> bool:
