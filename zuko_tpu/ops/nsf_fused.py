@@ -1,0 +1,278 @@
+r"""Fully-fused NSF density kernel.
+
+One Pallas program computes the ENTIRE NSF ``log_prob`` for a batch tile:
+all masked-MLP hyper passes (MXU), the spline parameter constraint pipeline
+(slope clamp → softmax → cumsum → knots), the rational-quadratic spline
+evaluation with log-Jacobian, and the standard-normal base log-density —
+without materializing a single intermediate in HBM.
+
+Rationale (see PERF.md): the jnp/XLA path is activation-bandwidth-bound
+(~6.4KB HBM traffic per example); fused, the traffic is just inputs, outputs
+and one pass over the weights per batch tile, turning the op compute-bound.
+
+Forward-only: wrapped in a ``jax.custom_vjp`` whose backward differentiates
+the identical jnp math, so training works transparently.
+
+Reference anchors for the math: zuko/transforms.py:449-567 (spline),
+zuko/nn.py:202-218 (masked linear), zuko/flows/autoregressive.py:207-215
+(hyper-net → univariate parameters).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["fused_nsf_log_prob", "extract_nsf_params"]
+
+_TB = 512  # batch tile
+
+
+def extract_nsf_params(flow):
+    """Pull the per-layer (weights, biases, masks) out of an unconditional NSF
+    flow module, verifying the expected structure. Returns a list of
+    per-AR-layer dicts plus the static config."""
+    from ..flows.autoregressive import MaskedAutoregressiveTransform
+    from ..nn import MaskedLinear
+
+    layers = []
+    bins = None
+    for t in flow.transform.transforms:
+        assert isinstance(t, MaskedAutoregressiveTransform), type(t)
+        shapes = t.shapes
+        assert len(shapes) == 3, "expected RQS shapes [(K,), (K,), (K-1,)]"
+        K = shapes[0][0]
+        bins = K if bins is None else bins
+        assert bins == K
+        lins = [l for l in t.hyper.layers if isinstance(l, MaskedLinear)]
+        layers.append({
+            "weights": [l.weight for l in lins],
+            "biases": [l.bias for l in lins],
+            "masks": [l.mask for l in lins],
+        })
+    return layers, {"bins": bins}
+
+
+def _constrain_and_spline(x_f, phi_f, K, bound, slope):
+    """Per-feature spline: phi_f (TB, 3K-1) raw → y (TB,), ladj (TB,).
+    Mirrors MonotonicRQSTransform.__init__ + call_and_ladj exactly."""
+    log_s = math.log(slope)
+
+    w = phi_f[:, :K]
+    h = phi_f[:, K : 2 * K]
+    d = phi_f[:, 2 * K : 3 * K - 1]
+
+    w = w / (1 + jnp.abs(2 * w / log_s))
+    h = h / (1 + jnp.abs(2 * h / log_s))
+    d = d / (1 + jnp.abs(d / log_s))
+
+    w = jax.nn.softmax(w, axis=-1)
+    h = jax.nn.softmax(h, axis=-1)
+
+    # cumsum as a triangular matmul (Mosaic has no cumsum primitive)
+    tri = jnp.triu(jnp.ones((K, K), w.dtype))
+    cw = jnp.dot(w, tri, preferred_element_type=jnp.float32)
+    ch = jnp.dot(h, tri, preferred_element_type=jnp.float32)
+
+    ones = jnp.ones_like(w[:, :1])
+    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=-1)
+    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=-1)
+    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=-1)
+
+    k = jnp.sum((hs < x_f[:, None]).astype(jnp.int32), axis=-1) - 1
+    mask = (0 <= k) & (k < K)
+    k = k % K
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    sel0 = iota == k[:, None]
+    sel1 = iota == (k[:, None] + 1)
+
+    def take(a, s):
+        return jnp.sum(jnp.where(s, a, 0.0), axis=-1)
+
+    x0, x1 = take(hs, sel0), take(hs, sel1)
+    y0, y1 = take(vs, sel0), take(vs, sel1)
+    d0, d1 = take(ds, sel0), take(ds, sel1)
+    s = (y1 - y0) / (x1 - x0)
+
+    z = jnp.where(mask, (x_f - x0) / (x1 - x0), 0.0)
+    z1 = z * (1 - z)
+    denom = s + (d0 + d1 - 2 * s) * z1
+    y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
+    jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+
+    return jnp.where(mask, y, x_f), jnp.where(mask, jnp.log(jac), 0.0)
+
+
+def _layer_math(x, Ws, bs, Ms, F, K, bound, slope):
+    """One AR layer: masked MLP + per-feature spline. x (TB, F) → y, ladj."""
+    h = x
+    n = len(Ws)
+    for i, (W, b, M) in enumerate(zip(Ws, bs, Ms)):
+        h = jax.lax.dot_general(
+            h, M * W,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+
+    T = 3 * K - 1
+    ys, ladjs = [], []
+    for f in range(F):
+        y_f, l_f = _constrain_and_spline(
+            x[:, f], h[:, f * T : (f + 1) * T], K, bound, slope
+        )
+        ys.append(y_f[:, None])
+        ladjs.append(l_f[:, None])
+    return jnp.concatenate(ys, axis=-1), jnp.concatenate(ladjs, axis=-1)
+
+
+def _full_math(x, flat_params, layout, F, K, bound, slope):
+    """Whole-flow math shared by the Pallas kernel body and the jnp
+    fallback/backward: all AR layers + standard-normal base log-prob."""
+    acc = jnp.zeros_like(x[:, 0])
+    idx = 0
+    for Ws_n in layout:
+        Ws, bs, Ms = [], [], []
+        for _ in range(Ws_n):
+            Ws.append(flat_params[idx]); idx += 1
+            bs.append(flat_params[idx]); idx += 1
+            Ms.append(flat_params[idx]); idx += 1
+        x, ladj = _layer_math(x, Ws, bs, Ms, F, K, bound, slope)
+        acc = acc + jnp.sum(ladj, axis=-1)
+
+    base = -0.5 * jnp.sum(x**2, axis=-1) - 0.5 * F * math.log(2 * math.pi)
+    return base + acc
+
+
+def _kernel(*refs, layout, F, K, bound, slope, n_params):
+    x_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    out_ref = refs[1 + n_params]
+
+    x = x_ref[:, :F]
+    flat = [r[:] for r in param_refs]
+    out_ref[:, 0] = _full_math(x, flat, layout, F, K, bound, slope)
+
+
+def fused_nsf_log_prob(flow, x, bound: float = 5.0, slope: float = 1e-3):
+    r"""Compute ``flow(None).log_prob(x)`` for an unconditional NSF with one
+    fused Pallas kernel per batch tile (jnp fallback off-TPU). Differentiable
+    via a custom VJP whose backward runs the identical jnp math.
+
+    Example (TPU):
+        >>> flow = NSF(6, 0, transforms=3, key=key)   # doctest: +SKIP
+        >>> lp = fused_nsf_log_prob(flow, x)          # doctest: +SKIP
+    """
+    layers, cfg = extract_nsf_params(flow)
+    K = cfg["bins"]
+    F = x.shape[-1]
+
+    flat_params = []
+    layout = []
+    for layer in layers:
+        layout.append(len(layer["weights"]))
+        for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
+            flat_params += [W, b, M]
+    layout = tuple(layout)
+
+    return _fused_op(
+        tuple(layout), F, K, float(bound), float(slope), x, *flat_params
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_op(layout, F, K, bound, slope, x, *flat_params):
+    return _fused_impl(layout, F, K, bound, slope, x, *flat_params)
+
+
+def _fused_fwd(layout, F, K, bound, slope, x, *flat_params):
+    out = _fused_impl(layout, F, K, bound, slope, x, *flat_params)
+    return out, (x, flat_params)
+
+
+def _fused_bwd(layout, F, K, bound, slope, res, g):
+    x, flat_params = res
+    _, vjp = jax.vjp(
+        lambda x, fp: _full_math(x, list(fp), layout, F, K, bound, slope),
+        x, flat_params,
+    )
+    dx, dfp = vjp(g)
+    return (dx, *dfp)
+
+
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_impl(layout, F, K, bound, slope, x, *flat_params):
+    from . import kernels_enabled
+
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, F)
+
+    # Status (round 1): the kernel is numerically correct in interpret mode
+    # but miscompiles on v5e Mosaic with these narrow (K+1 = 9 lane) tiles,
+    # and its per-feature loop underutilizes the VPU (0.21x the XLA path).
+    # The XLA path is already ~30% of the bandwidth roofline, so the fused
+    # path stays opt-in (ZUKO_TPU_FUSED_NSF=1) until a lane-aligned layout
+    # (features x knots packed into 128 lanes) lands.
+    import os
+
+    use_pallas = (
+        os.environ.get("ZUKO_TPU_FUSED_NSF", "0") == "1"
+        and pltpu is not None
+        and x.dtype == jnp.float32
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+
+    if not use_pallas:
+        return _full_math(
+            xf, list(flat_params), layout, F, K, bound, slope
+        ).reshape(batch_shape)
+
+    n = xf.shape[0]
+    pad = (-n) % _TB
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(
+            p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for p in flat_params
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, layout=layout, F=F, K=K, bound=bound, slope=slope,
+            n_params=n_params,
+        ),
+        grid=(m // _TB,),
+        in_specs=[
+            pl.BlockSpec((_TB, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (_TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, 1), x.dtype),
+    )(xf, *flat_params)
+
+    out = out[:, 0]
+    if pad:
+        out = out[:n]
+    return out.reshape(batch_shape)
