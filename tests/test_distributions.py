@@ -97,3 +97,46 @@ def test_truncated_cdf_sampling(key):
     x = d.sample(key, (4096,))
     assert float(x.min()) >= -1.0
     assert float(x.max()) <= 2.0
+
+
+def test_extra_primitives(key):
+    from zuko_tpu.distributions import (
+        Cauchy,
+        Exponential,
+        Gamma,
+        Gumbel,
+        Laplace,
+        LogNormal,
+        StudentT,
+        Beta,
+    )
+
+    ds = [
+        Exponential(1.5),
+        LogNormal(0.2, 0.8),
+        Cauchy(0.0, 1.0),
+        StudentT(4.0),
+        Gumbel(0.0, 1.0),
+        Laplace(0.0, 1.0),
+        Gamma(2.0, 1.0),
+        Beta(2.0, 3.0),
+    ]
+    shape = (2**16,)
+
+    for d in ds:
+        name = type(d).__name__
+        x = d.sample(key, shape)
+        assert x.shape == shape, name
+        lp = d.log_prob(x)
+        assert jnp.all(jnp.isfinite(lp)), name
+
+        # MC normalization over the sample range
+        lower, upper = x.min(), x.max()
+        width = upper - lower
+        u = Uniform(lower, upper).sample(key, shape)
+        mass = jnp.mean(jnp.exp(d.log_prob(u))) * width
+        assert 0.85 <= float(mass) <= 1.1, (name, float(mass))
+
+        d2 = d.expand((7,))
+        assert d2.batch_shape == (7,), name
+        assert d2.log_prob(d2.sample(key)).shape == (7,), name

@@ -48,6 +48,11 @@ __all__ = [
     "Gamma",
     "Laplace",
     "Bernoulli",
+    "Exponential",
+    "LogNormal",
+    "Cauchy",
+    "StudentT",
+    "Gumbel",
     "NormalizingFlow",
     "Joint",
     "Mixture",
@@ -287,6 +292,182 @@ class Laplace(Distribution):
     @property
     def mean(self):
         return jnp.broadcast_to(self.loc, self.batch_shape)
+
+
+class Exponential(Distribution):
+    r"""Exponential distribution with ``rate`` (torch namespace parity)."""
+
+    def __init__(self, rate=1.0):
+        self.rate = jnp.asarray(rate)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.rate.shape
+
+    def log_prob(self, x):
+        return jnp.log(self.rate) - self.rate * x + jnp.where(x >= 0, 0.0, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.exponential(key, shape, self.rate.dtype) / self.rate
+
+    def cdf(self, x):
+        return -jnp.expm1(-self.rate * x)
+
+    def icdf(self, q):
+        return -jnp.log1p(-q) / self.rate
+
+    def expand(self, batch_shape: Shape):
+        return Exponential(jnp.broadcast_to(self.rate, batch_shape))
+
+    @property
+    def mean(self):
+        return 1 / self.rate
+
+
+class LogNormal(Distribution):
+    r"""Log-normal distribution (torch namespace parity)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
+    def log_prob(self, x):
+        lx = jnp.log(x)
+        z = (lx - self.loc) / self.scale
+        return (
+            -0.5 * z**2 - lx - jnp.log(self.scale)
+            - 0.5 * math.log(2 * math.pi)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        eps = jax.random.normal(key, shape, dtype=self.loc.dtype)
+        return jnp.exp(self.loc + self.scale * eps)
+
+    def cdf(self, x):
+        return 0.5 * (1 + jsp.erf((jnp.log(x) - self.loc) / (self.scale * math.sqrt(2))))
+
+    def icdf(self, q):
+        return jnp.exp(self.loc + self.scale * math.sqrt(2) * jsp.erfinv(2 * q - 1))
+
+    def expand(self, batch_shape: Shape):
+        return LogNormal(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.exp(self.loc + self.scale**2 / 2)
+
+
+class Cauchy(Distribution):
+    r"""Cauchy distribution (torch namespace parity)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -jnp.log1p(z**2) - jnp.log(math.pi * self.scale)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return self.loc + self.scale * jax.random.cauchy(key, shape, self.loc.dtype)
+
+    def cdf(self, x):
+        return jnp.arctan((x - self.loc) / self.scale) / math.pi + 0.5
+
+    def icdf(self, q):
+        return self.loc + self.scale * jnp.tan(math.pi * (q - 0.5))
+
+    def expand(self, batch_shape: Shape):
+        return Cauchy(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+
+class StudentT(Distribution):
+    r"""Student's t distribution (torch namespace parity)."""
+
+    def __init__(self, df, loc=0.0, scale=1.0):
+        self.df = jnp.asarray(df)
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.df.shape, self.loc.shape, self.scale.shape
+        )
+
+    def log_prob(self, x):
+        v = self.df
+        z = (x - self.loc) / self.scale
+        return (
+            jsp.gammaln((v + 1) / 2) - jsp.gammaln(v / 2)
+            - 0.5 * jnp.log(v * math.pi) - jnp.log(self.scale)
+            - (v + 1) / 2 * jnp.log1p(z**2 / v)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        t = jax.random.t(key, jnp.broadcast_to(self.df, shape), shape)
+        return self.loc + self.scale * t
+
+    def expand(self, batch_shape: Shape):
+        return StudentT(
+            jnp.broadcast_to(self.df, batch_shape),
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+
+class Gumbel(Distribution):
+    r"""Gumbel (extreme value) distribution (torch namespace parity)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -(z + jnp.exp(-z)) - jnp.log(self.scale)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return self.loc + self.scale * jax.random.gumbel(key, shape, self.loc.dtype)
+
+    def cdf(self, x):
+        return jnp.exp(-jnp.exp(-(x - self.loc) / self.scale))
+
+    def icdf(self, q):
+        return self.loc - self.scale * jnp.log(-jnp.log(q))
+
+    def expand(self, batch_shape: Shape):
+        return Gumbel(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return self.loc + self.scale * 0.5772156649015329
 
 
 class Gamma(Distribution):
