@@ -77,3 +77,23 @@ def test_masked_linear_pallas_interpret(key):
 
     ref = x @ (mask * w).T
     assert jnp.allclose(y, ref, atol=1e-5)
+
+
+def test_fused_nsf_fallback(key):
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops.nsf_fused import fused_nsf_log_prob
+
+    flow = NSF(4, 0, transforms=2, hidden_features=(16, 16), key=key)
+    x = jax.random.normal(key, (64, 4))
+    lp_ref = flow(None).log_prob(x)
+    lp = fused_nsf_log_prob(flow, x)
+    assert jnp.allclose(lp, lp_ref, atol=1e-5)
+
+    # gradients agree with the reference path
+    from zuko_tpu.core import combine, partition
+
+    params, static = partition(flow)
+    g1 = jax.grad(lambda p: -jnp.mean(combine(p, static)(None).log_prob(x)))(params)
+    g2 = jax.grad(lambda p: -jnp.mean(fused_nsf_log_prob(combine(p, static), x)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert jnp.allclose(a, b, atol=1e-6)

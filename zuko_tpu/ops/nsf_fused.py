@@ -80,10 +80,17 @@ def _constrain_and_spline(x_f, phi_f, K, bound, slope):
     w = jax.nn.softmax(w, axis=-1)
     h = jax.nn.softmax(h, axis=-1)
 
-    # cumsum as a triangular matmul (Mosaic has no cumsum primitive)
-    tri = jnp.triu(jnp.ones((K, K), w.dtype))
-    cw = jnp.dot(w, tri, preferred_element_type=jnp.float32)
-    ch = jnp.dot(h, tri, preferred_element_type=jnp.float32)
+    # exact unrolled cumsum over the (small, static) K axis. NOTE: a
+    # triangular-matmul cumsum runs on the MXU at default (bfloat16-pass)
+    # precision on TPU and corrupts the knot positions by ~1e-2.
+    def cumsum_cols(a):
+        cols = [a[:, :1]]
+        for j in range(1, K):
+            cols.append(cols[-1] + a[:, j : j + 1])
+        return jnp.concatenate(cols, axis=-1)
+
+    cw = cumsum_cols(w)
+    ch = cumsum_cols(h)
 
     ones = jnp.ones_like(w[:, :1])
     hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=-1)
@@ -167,6 +174,114 @@ def _kernel(*refs, layout, F, K, bound, slope, n_params):
     out_ref[:, 0] = _full_math(x, flat, layout, F, K, bound, slope)
 
 
+# --------------------------------------------------------- transposed kernel
+#
+# Lane-aligned layout: the BATCH rides the 128-lane dimension and the (small)
+# knot/feature axes ride sublanes. Every elementwise/reduction op is then
+# fully lane-parallel across the batch tile, and no tile is narrower than the
+# batch — which avoids the narrow-lane Mosaic issues of the row-major kernel
+# and the 9/128-lane VPU waste.
+
+
+def _constrain_and_spline_T(x_f, phi_f, K, bound, slope):
+    """x_f (1, TB); phi_f (3K-1, TB) raw -> y (1, TB), ladj (1, TB)."""
+    log_s = math.log(slope)
+
+    w = phi_f[:K, :]
+    h = phi_f[K : 2 * K, :]
+    d = phi_f[2 * K : 3 * K - 1, :]
+
+    w = w / (1 + jnp.abs(2 * w / log_s))
+    h = h / (1 + jnp.abs(2 * h / log_s))
+    d = d / (1 + jnp.abs(d / log_s))
+
+    def softmax0(a):
+        a = a - jnp.max(a, axis=0, keepdims=True)
+        e = jnp.exp(a)
+        return e / jnp.sum(e, axis=0, keepdims=True)
+
+    w = softmax0(w)
+    h = softmax0(h)
+
+    # exact unrolled cumsum over the K sublanes (a triangular MATMUL would
+    # run at the MXU's default bfloat16-pass precision and corrupt knots)
+    def cumsum_rows(a):
+        rows = [a[:1, :]]
+        for j in range(1, K):
+            rows.append(rows[-1] + a[j : j + 1, :])
+        return jnp.concatenate(rows, axis=0)
+
+    cw = cumsum_rows(w)
+    ch = cumsum_rows(h)
+
+    ones = jnp.ones_like(w[:1, :])
+    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=0)
+    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=0)
+    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=0)
+
+    k = jnp.sum((hs < x_f).astype(jnp.int32), axis=0, keepdims=True) - 1
+    mask = (0 <= k) & (k < K)
+    k = k % K
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 0)
+    sel0 = iota == k
+    sel1 = iota == k + 1
+
+    def take(a, s):
+        return jnp.sum(jnp.where(s, a, 0.0), axis=0, keepdims=True)
+
+    x0, x1 = take(hs, sel0), take(hs, sel1)
+    y0, y1 = take(vs, sel0), take(vs, sel1)
+    d0, d1 = take(ds, sel0), take(ds, sel1)
+    s = (y1 - y0) / (x1 - x0)
+
+    z = jnp.where(mask, (x_f - x0) / (x1 - x0), 0.0)
+    z1 = z * (1 - z)
+    denom = s + (d0 + d1 - 2 * s) * z1
+    y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
+    jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+
+    return jnp.where(mask, y, x_f), jnp.where(mask, jnp.log(jac), 0.0)
+
+
+def _full_math_T(xT, flat_params, layout, F, K, bound, slope):
+    """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
+    T = 3 * K - 1
+    acc = jnp.zeros_like(xT[:1, :])
+    idx = 0
+    for Ws_n in layout:
+        h = xT
+        for i in range(Ws_n):
+            W = flat_params[idx]; idx += 1
+            b = flat_params[idx]; idx += 1
+            M = flat_params[idx]; idx += 1
+            h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) + b[:, None]
+            if i < Ws_n - 1:
+                h = jnp.maximum(h, 0.0)
+        ys = []
+        for f in range(F):
+            y_f, l_f = _constrain_and_spline_T(
+                xT[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope
+            )
+            ys.append(y_f)
+            acc = acc + l_f
+        xT = jnp.concatenate(ys, axis=0)
+
+    base = -0.5 * jnp.sum(xT**2, axis=0, keepdims=True) \
+        - 0.5 * F * math.log(2 * math.pi)
+    return base + acc
+
+
+def _kernel_T(*refs, layout, F, K, bound, slope, n_params):
+    x_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    out_ref = refs[1 + n_params]
+
+    xT = x_ref[:F, :]
+    flat = [r[:] for r in param_refs]
+    out_ref[:, :] = _full_math_T(xT, flat, layout, F, K, bound, slope)
+
+
 def fused_nsf_log_prob(flow, x, bound: float = 5.0, slope: float = 1e-3):
     r"""Compute ``flow(None).log_prob(x)`` for an unconditional NSF with one
     fused Pallas kernel per batch tile (jnp fallback off-TPU). Differentiable
@@ -231,7 +346,7 @@ def _fused_impl(layout, F, K, bound, slope, x, *flat_params):
     import os
 
     use_pallas = (
-        os.environ.get("ZUKO_TPU_FUSED_NSF", "0") == "1"
+        os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
         and pltpu is not None
         and x.dtype == jnp.float32
         and jax.default_backend() not in ("cpu", "gpu")
@@ -256,23 +371,25 @@ def _fused_impl(layout, F, K, bound, slope, x, *flat_params):
         for p in flat_params
     ]
 
+    xT = xf.T  # (F, m): batch rides the lane dimension inside the kernel
+
     out = pl.pallas_call(
         functools.partial(
-            _kernel, layout=layout, F=F, K=K, bound=bound, slope=slope,
+            _kernel_T, layout=layout, F=F, K=K, bound=bound, slope=slope,
             n_params=n_params,
         ),
         grid=(m // _TB,),
         in_specs=[
-            pl.BlockSpec((_TB, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=pl.BlockSpec(
-            (_TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m, 1), x.dtype),
-    )(xf, *flat_params)
+        out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
+    )(xT, *flat_params)
 
-    out = out[:, 0]
+    out = out[0, :]
     if pad:
         out = out[:n]
     return out.reshape(batch_shape)
