@@ -34,9 +34,9 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-__all__ = ["fused_nsf_log_prob", "extract_nsf_params"]
+__all__ = ["fused_nsf_log_prob", "fused_nsf_sample", "extract_nsf_params"]
 
-_TB = 512  # batch tile
+_TB = 1024  # batch tile (swept on v5e: 1024 > 2048 > 512 > 256)
 
 
 def extract_nsf_params(flow):
@@ -280,6 +280,196 @@ def _kernel_T(*refs, layout, F, K, bound, slope, n_params):
     xT = x_ref[:F, :]
     flat = [r[:] for r in param_refs]
     out_ref[:, :] = _full_math_T(xT, flat, layout, F, K, bound, slope)
+
+
+# ----------------------------------------------------------- fused sampling
+
+
+def _spline_inverse_T(y_f, phi_f, K, bound, slope):
+    """Transposed spline inverse: y_f (1, TB), phi_f (3K-1, TB) -> x (1, TB).
+    Analytic quadratic-root inverse (reference: zuko/transforms.py:534-548)."""
+    log_s = math.log(slope)
+
+    w = phi_f[:K, :]
+    h = phi_f[K : 2 * K, :]
+    d = phi_f[2 * K : 3 * K - 1, :]
+
+    w = w / (1 + jnp.abs(2 * w / log_s))
+    h = h / (1 + jnp.abs(2 * h / log_s))
+    d = d / (1 + jnp.abs(d / log_s))
+
+    def softmax0(a):
+        a = a - jnp.max(a, axis=0, keepdims=True)
+        e = jnp.exp(a)
+        return e / jnp.sum(e, axis=0, keepdims=True)
+
+    w = softmax0(w)
+    h = softmax0(h)
+
+    def cumsum_rows(a):
+        rows = [a[:1, :]]
+        for j in range(1, K):
+            rows.append(rows[-1] + a[j : j + 1, :])
+        return jnp.concatenate(rows, axis=0)
+
+    cw = cumsum_rows(w)
+    ch = cumsum_rows(h)
+
+    ones = jnp.ones_like(w[:1, :])
+    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=0)
+    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=0)
+    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=0)
+
+    k = jnp.sum((vs < y_f).astype(jnp.int32), axis=0, keepdims=True) - 1
+    mask = (0 <= k) & (k < K)
+    k = k % K
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 0)
+    sel0 = iota == k
+    sel1 = iota == k + 1
+
+    def take(a, s):
+        return jnp.sum(jnp.where(s, a, 0.0), axis=0, keepdims=True)
+
+    x0, x1 = take(hs, sel0), take(hs, sel1)
+    y0, y1 = take(vs, sel0), take(vs, sel1)
+    d0, d1 = take(ds, sel0), take(ds, sel1)
+    s = (y1 - y0) / (x1 - x0)
+
+    y_ = jnp.where(mask, y_f - y0, 0.0)
+    a = (y1 - y0) * (s - d0) + y_ * (d0 + d1 - 2 * s)
+    b = (y1 - y0) * d0 - y_ * (d0 + d1 - 2 * s)
+    c = -s * y_
+    disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
+    z = 2 * c / (-b - jnp.sqrt(disc))
+    z = jnp.where(mask, z, 0.0)
+    x = x0 + z * (x1 - x0)
+
+    return jnp.where(mask, x, y_f)
+
+
+def _sample_math_T(zT, flat_params, layout, F, K, bound, slope):
+    """Transposed AR inversion of the whole flow: zT (F, TB) base draws ->
+    samples (F, TB). Each layer runs `F` fixed-point sweeps (exact by
+    triangularity — reference: zuko/transforms.py:994-1000); weights stay in
+    VMEM across sweeps."""
+    T = 3 * K - 1
+
+    # per-layer parameter slices (forward order)
+    per_layer = []
+    idx = 0
+    for Ws_n in layout:
+        ps = flat_params[idx : idx + 3 * Ws_n]
+        idx += 3 * Ws_n
+        per_layer.append(ps)
+
+    y = zT
+    for ps in reversed(per_layer):
+        x = jnp.zeros_like(y)
+        for _ in range(F):  # passes
+            h = x
+            n = len(ps) // 3
+            for i in range(n):
+                W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
+                h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) \
+                    + b[:, None]
+                if i < n - 1:
+                    h = jnp.maximum(h, 0.0)
+            xs = []
+            for f in range(F):
+                xs.append(
+                    _spline_inverse_T(
+                        y[f : f + 1, :], h[f * T : (f + 1) * T, :],
+                        K, bound, slope,
+                    )
+                )
+            x = jnp.concatenate(xs, axis=0)
+        y = x
+    return y
+
+
+def _sample_kernel_T(*refs, layout, F, K, bound, slope, n_params):
+    z_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    out_ref = refs[1 + n_params]
+
+    zT = z_ref[:F, :]
+    flat = [r[:] for r in param_refs]
+    out_ref[:F, :] = _sample_math_T(zT, flat, layout, F, K, bound, slope)
+
+
+def fused_nsf_sample(flow, key, sample_shape, bound: float = 5.0,
+                     slope: float = 1e-3):
+    r"""Draw samples from an unconditional NSF with one fused Pallas kernel:
+    base draws + every autoregressive fixed-point sweep of every layer run
+    per batch tile with the weights pinned in VMEM (jnp fallback off-TPU).
+
+    Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
+    for the differentiable path.
+    """
+    import os
+
+    layers, cfg = extract_nsf_params(flow)
+    K = cfg["bins"]
+    F = layers[0]["masks"][0].shape[1]  # input features of first layer
+
+    flat_params = []
+    layout = []
+    for layer in layers:
+        layout.append(len(layer["weights"]))
+        for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
+            flat_params += [W, b, M]
+    layout = tuple(layout)
+
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), jnp.float32)
+    zf = z.reshape(-1, F)
+    n = zf.shape[0]
+
+    use_pallas = (
+        os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
+        and pltpu is not None
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+
+    if not use_pallas:
+        out = _sample_math_T(
+            zf.T, list(flat_params), layout, F, K, bound, slope
+        ).T
+        return out.reshape(z.shape)
+
+    pad = (-n) % _TB
+    if pad:
+        zf = jnp.pad(zf, ((0, pad), (0, 0)))
+    m = zf.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(
+            p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for p in flat_params
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sample_kernel_T, layout=layout, F=F, K=K, bound=bound,
+            slope=slope, n_params=n_params,
+        ),
+        grid=(m // _TB,),
+        in_specs=[
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((F, m), jnp.float32),
+    )(zf.T, *flat_params)
+
+    out = out.T
+    if pad:
+        out = out[:n]
+    return out.reshape(z.shape)
 
 
 def fused_nsf_log_prob(flow, x, bound: float = 5.0, slope: float = 1e-3):
