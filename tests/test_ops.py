@@ -97,3 +97,15 @@ def test_fused_nsf_fallback(key):
     g2 = jax.grad(lambda p: -jnp.mean(fused_nsf_log_prob(combine(p, static), x)))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         assert jnp.allclose(a, b, atol=1e-6)
+
+
+def test_fused_nsf_sample_fallback(key):
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops.nsf_fused import fused_nsf_sample
+
+    flow = NSF(4, 0, transforms=2, hidden_features=(16, 16), key=key)
+    ks = jax.random.PRNGKey(5)
+    x_ref = flow(None).sample(ks, (64,))
+    x = fused_nsf_sample(flow, ks, (64,))
+    assert x.shape == (64, 4)
+    assert jnp.allclose(x, x_ref, atol=1e-5)

@@ -421,13 +421,18 @@ def fused_nsf_sample(flow, key, sample_shape, bound: float = 5.0,
             flat_params += [W, b, M]
     layout = tuple(layout)
 
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), jnp.float32)
+    try:  # match the base distribution's dtype so draws equal flow.sample's
+        dtype = jnp.asarray(flow.base.args[0]).dtype
+    except (AttributeError, IndexError):
+        dtype = flat_params[0].dtype
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
     zf = z.reshape(-1, F)
     n = zf.shape[0]
 
     use_pallas = (
         os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
         and pltpu is not None
+        and dtype == jnp.float32
         and jax.default_backend() not in ("cpu", "gpu")
     )
 
