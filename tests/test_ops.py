@@ -109,3 +109,31 @@ def test_fused_nsf_sample_fallback(key):
     x = fused_nsf_sample(flow, ks, (64,))
     assert x.shape == (64, 4)
     assert jnp.allclose(x, x_ref, atol=1e-5)
+
+
+def test_fused_nsf_conditional_and_vi(key):
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops.nsf_fused import (
+        fused_nsf_log_prob,
+        fused_nsf_sample_and_log_prob,
+    )
+
+    flow = NSF(3, 5, transforms=2, hidden_features=(16, 16), key=key)
+    c = jax.random.normal(key, (32, 5))
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+
+    lp = fused_nsf_log_prob(flow, x, c)
+    assert jnp.allclose(lp, flow(c).log_prob(x), atol=1e-5)
+
+    xs, lp = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(5), (32,), c=c)
+    assert xs.shape == (32, 3)
+    assert jnp.allclose(lp, flow(c).log_prob(xs), atol=1e-5)
+
+    # conditional gradients through the fused path
+    from zuko_tpu.core import combine, partition
+
+    params, static = partition(flow)
+    g1 = jax.grad(lambda p: -jnp.mean(combine(p, static)(c).log_prob(x)))(params)
+    g2 = jax.grad(lambda p: -jnp.mean(fused_nsf_log_prob(combine(p, static), x, c)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert jnp.allclose(a, b, atol=1e-6)

@@ -64,116 +64,6 @@ def extract_nsf_params(flow):
     return layers, {"bins": bins}
 
 
-def _constrain_and_spline(x_f, phi_f, K, bound, slope):
-    """Per-feature spline: phi_f (TB, 3K-1) raw → y (TB,), ladj (TB,).
-    Mirrors MonotonicRQSTransform.__init__ + call_and_ladj exactly."""
-    log_s = math.log(slope)
-
-    w = phi_f[:, :K]
-    h = phi_f[:, K : 2 * K]
-    d = phi_f[:, 2 * K : 3 * K - 1]
-
-    w = w / (1 + jnp.abs(2 * w / log_s))
-    h = h / (1 + jnp.abs(2 * h / log_s))
-    d = d / (1 + jnp.abs(d / log_s))
-
-    w = jax.nn.softmax(w, axis=-1)
-    h = jax.nn.softmax(h, axis=-1)
-
-    # exact unrolled cumsum over the (small, static) K axis. NOTE: a
-    # triangular-matmul cumsum runs on the MXU at default (bfloat16-pass)
-    # precision on TPU and corrupts the knot positions by ~1e-2.
-    def cumsum_cols(a):
-        cols = [a[:, :1]]
-        for j in range(1, K):
-            cols.append(cols[-1] + a[:, j : j + 1])
-        return jnp.concatenate(cols, axis=-1)
-
-    cw = cumsum_cols(w)
-    ch = cumsum_cols(h)
-
-    ones = jnp.ones_like(w[:, :1])
-    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=-1)
-    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=-1)
-    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=-1)
-
-    k = jnp.sum((hs < x_f[:, None]).astype(jnp.int32), axis=-1) - 1
-    mask = (0 <= k) & (k < K)
-    k = k % K
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
-    sel0 = iota == k[:, None]
-    sel1 = iota == (k[:, None] + 1)
-
-    def take(a, s):
-        return jnp.sum(jnp.where(s, a, 0.0), axis=-1)
-
-    x0, x1 = take(hs, sel0), take(hs, sel1)
-    y0, y1 = take(vs, sel0), take(vs, sel1)
-    d0, d1 = take(ds, sel0), take(ds, sel1)
-    s = (y1 - y0) / (x1 - x0)
-
-    z = jnp.where(mask, (x_f - x0) / (x1 - x0), 0.0)
-    z1 = z * (1 - z)
-    denom = s + (d0 + d1 - 2 * s) * z1
-    y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
-    jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
-
-    return jnp.where(mask, y, x_f), jnp.where(mask, jnp.log(jac), 0.0)
-
-
-def _layer_math(x, Ws, bs, Ms, F, K, bound, slope):
-    """One AR layer: masked MLP + per-feature spline. x (TB, F) → y, ladj."""
-    h = x
-    n = len(Ws)
-    for i, (W, b, M) in enumerate(zip(Ws, bs, Ms)):
-        h = jax.lax.dot_general(
-            h, M * W,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b
-        if i < n - 1:
-            h = jnp.maximum(h, 0.0)
-
-    T = 3 * K - 1
-    ys, ladjs = [], []
-    for f in range(F):
-        y_f, l_f = _constrain_and_spline(
-            x[:, f], h[:, f * T : (f + 1) * T], K, bound, slope
-        )
-        ys.append(y_f[:, None])
-        ladjs.append(l_f[:, None])
-    return jnp.concatenate(ys, axis=-1), jnp.concatenate(ladjs, axis=-1)
-
-
-def _full_math(x, flat_params, layout, F, K, bound, slope):
-    """Whole-flow math shared by the Pallas kernel body and the jnp
-    fallback/backward: all AR layers + standard-normal base log-prob."""
-    acc = jnp.zeros_like(x[:, 0])
-    idx = 0
-    for Ws_n in layout:
-        Ws, bs, Ms = [], [], []
-        for _ in range(Ws_n):
-            Ws.append(flat_params[idx]); idx += 1
-            bs.append(flat_params[idx]); idx += 1
-            Ms.append(flat_params[idx]); idx += 1
-        x, ladj = _layer_math(x, Ws, bs, Ms, F, K, bound, slope)
-        acc = acc + jnp.sum(ladj, axis=-1)
-
-    base = -0.5 * jnp.sum(x**2, axis=-1) - 0.5 * F * math.log(2 * math.pi)
-    return base + acc
-
-
-def _kernel(*refs, layout, F, K, bound, slope, n_params):
-    x_ref = refs[0]
-    param_refs = refs[1 : 1 + n_params]
-    out_ref = refs[1 + n_params]
-
-    x = x_ref[:, :F]
-    flat = [r[:] for r in param_refs]
-    out_ref[:, 0] = _full_math(x, flat, layout, F, K, bound, slope)
-
-
 # --------------------------------------------------------- transposed kernel
 #
 # Lane-aligned layout: the BATCH rides the 128-lane dimension and the (small)
@@ -244,20 +134,34 @@ def _constrain_and_spline_T(x_f, phi_f, K, bound, slope):
     return jnp.where(mask, y, x_f), jnp.where(mask, jnp.log(jac), 0.0)
 
 
-def _full_math_T(xT, flat_params, layout, F, K, bound, slope):
+def _hyper_T(xT, cT, ps):
+    """Masked hyper-MLP in transposed layout: concat(x, c) -> phi (T*F, TB).
+    (reference conditioning: zuko/flows/autoregressive.py:207-215)."""
+    h = xT if cT is None else jnp.concatenate([xT, cT], axis=0)
+    n = len(ps) // 3
+    for i in range(n):
+        W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
+        h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) + b[:, None]
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+    return h
+
+
+def _split_layers(flat_params, layout):
+    per_layer = []
+    idx = 0
+    for Ws_n in layout:
+        per_layer.append(flat_params[idx : idx + 3 * Ws_n])
+        idx += 3 * Ws_n
+    return per_layer
+
+
+def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     T = 3 * K - 1
     acc = jnp.zeros_like(xT[:1, :])
-    idx = 0
-    for Ws_n in layout:
-        h = xT
-        for i in range(Ws_n):
-            W = flat_params[idx]; idx += 1
-            b = flat_params[idx]; idx += 1
-            M = flat_params[idx]; idx += 1
-            h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) + b[:, None]
-            if i < Ws_n - 1:
-                h = jnp.maximum(h, 0.0)
+    for ps in _split_layers(flat_params, layout):
+        h = _hyper_T(xT, cT, ps)
         ys = []
         for f in range(F):
             y_f, l_f = _constrain_and_spline_T(
@@ -272,14 +176,15 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope):
     return base + acc
 
 
-def _kernel_T(*refs, layout, F, K, bound, slope, n_params):
+def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params):
     x_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
     out_ref = refs[1 + n_params]
 
     xT = x_ref[:F, :]
+    cT = x_ref[F : F + C, :] if C else None
     flat = [r[:] for r in param_refs]
-    out_ref[:, :] = _full_math_T(xT, flat, layout, F, K, bound, slope)
+    out_ref[:, :] = _full_math_T(xT, flat, layout, F, K, bound, slope, cT)
 
 
 # ----------------------------------------------------------- fused sampling
@@ -348,33 +253,26 @@ def _spline_inverse_T(y_f, phi_f, K, bound, slope):
     return jnp.where(mask, x, y_f)
 
 
-def _sample_math_T(zT, flat_params, layout, F, K, bound, slope):
+def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
+                   want_log_prob=False):
     """Transposed AR inversion of the whole flow: zT (F, TB) base draws ->
     samples (F, TB). Each layer runs `F` fixed-point sweeps (exact by
     triangularity — reference: zuko/transforms.py:994-1000); weights stay in
-    VMEM across sweeps."""
+    VMEM across sweeps. With ``want_log_prob`` also returns
+    ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) — the fused
+    reverse-KL quantity (reference: zuko/distributions.py:129-138)."""
     T = 3 * K - 1
+    per_layer = _split_layers(flat_params, layout)
 
-    # per-layer parameter slices (forward order)
-    per_layer = []
-    idx = 0
-    for Ws_n in layout:
-        ps = flat_params[idx : idx + 3 * Ws_n]
-        idx += 3 * Ws_n
-        per_layer.append(ps)
+    if want_log_prob:
+        acc = -0.5 * jnp.sum(zT**2, axis=0, keepdims=True) \
+            - 0.5 * F * math.log(2 * math.pi)
 
     y = zT
     for ps in reversed(per_layer):
         x = jnp.zeros_like(y)
         for _ in range(F):  # passes
-            h = x
-            n = len(ps) // 3
-            for i in range(n):
-                W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
-                h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) \
-                    + b[:, None]
-                if i < n - 1:
-                    h = jnp.maximum(h, 0.0)
+            h = _hyper_T(x, cT, ps)
             xs = []
             for f in range(F):
                 xs.append(
@@ -384,42 +282,79 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope):
                     )
                 )
             x = jnp.concatenate(xs, axis=0)
+        if want_log_prob:
+            h = _hyper_T(x, cT, ps)
+            for f in range(F):
+                _, l_f = _constrain_and_spline_T(
+                    x[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope
+                )
+                acc = acc + l_f
         y = x
+
+    if want_log_prob:
+        return y, acc
     return y
 
 
-def _sample_kernel_T(*refs, layout, F, K, bound, slope, n_params):
+def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
+                     want_log_prob):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
-    out_ref = refs[1 + n_params]
 
     zT = z_ref[:F, :]
+    cT = z_ref[F : F + C, :] if C else None
     flat = [r[:] for r in param_refs]
-    out_ref[:F, :] = _sample_math_T(zT, flat, layout, F, K, bound, slope)
+    if want_log_prob:
+        out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
+        x, lp = _sample_math_T(
+            zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True
+        )
+        out_ref[:F, :] = x
+        lp_ref[:, :] = lp
+    else:
+        out_ref = refs[1 + n_params]
+        out_ref[:F, :] = _sample_math_T(
+            zT, flat, layout, F, K, bound, slope, cT
+        )
 
 
-def fused_nsf_sample(flow, key, sample_shape, bound: float = 5.0,
-                     slope: float = 1e-3):
-    r"""Draw samples from an unconditional NSF with one fused Pallas kernel:
-    base draws + every autoregressive fixed-point sweep of every layer run
-    per batch tile with the weights pinned in VMEM (jnp fallback off-TPU).
-
-    Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
-    for the differentiable path.
-    """
-    import os
-
+def _flatten_flow(flow):
     layers, cfg = extract_nsf_params(flow)
-    K = cfg["bins"]
-    F = layers[0]["masks"][0].shape[1]  # input features of first layer
-
-    flat_params = []
-    layout = []
+    flat_params, layout = [], []
     for layer in layers:
         layout.append(len(layer["weights"]))
         for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
             flat_params += [W, b, M]
-    layout = tuple(layout)
+    return flat_params, tuple(layout), cfg["bins"]
+
+
+def _use_pallas_fused(dtype):
+    import os
+
+    return (
+        os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
+        and pltpu is not None
+        and dtype == jnp.float32
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+
+
+def fused_nsf_sample(flow, key, sample_shape, c=None, bound: float = 5.0,
+                     slope: float = 1e-3, want_log_prob: bool = False):
+    r"""Draw samples from an NSF with one fused Pallas kernel: base draws and
+    every autoregressive fixed-point sweep of every layer run per batch tile
+    with the weights pinned in VMEM (jnp fallback off-TPU). Supports a
+    conditioning context ``c`` and, with ``want_log_prob``, also returns
+    ``log q(x)`` — the fused reverse-KL path.
+
+    Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
+    for the differentiable path.
+    """
+    flat_params, layout, K = _flatten_flow(flow)
+    F = flat_params[0].shape[1]
+    if c is not None:
+        c = jnp.asarray(c)
+        F -= c.shape[-1]
 
     try:  # match the base distribution's dtype so draws equal flow.sample's
         dtype = jnp.asarray(flow.base.args[0]).dtype
@@ -429,23 +364,29 @@ def fused_nsf_sample(flow, key, sample_shape, bound: float = 5.0,
     zf = z.reshape(-1, F)
     n = zf.shape[0]
 
-    use_pallas = (
-        os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
-        and pltpu is not None
-        and dtype == jnp.float32
-        and jax.default_backend() not in ("cpu", "gpu")
-    )
+    if c is not None:
+        C = c.shape[-1]
+        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
+        zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
+    else:
+        C = 0
+        zc = zf
 
-    if not use_pallas:
+    if not _use_pallas_fused(dtype):
+        cT = zc[:, F:].T if C else None
         out = _sample_math_T(
-            zf.T, list(flat_params), layout, F, K, bound, slope
-        ).T
-        return out.reshape(z.shape)
+            zc[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
+            want_log_prob=want_log_prob,
+        )
+        if want_log_prob:
+            x, lp = out
+            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
+        return out.T.reshape(z.shape)
 
     pad = (-n) % _TB
     if pad:
-        zf = jnp.pad(zf, ((0, pad), (0, 0)))
-    m = zf.shape[0]
+        zc = jnp.pad(zc, ((0, pad), (0, 0)))
+    m = zc.shape[0]
 
     n_params = len(flat_params)
     param_specs = [
@@ -455,102 +396,120 @@ def fused_nsf_sample(flow, key, sample_shape, bound: float = 5.0,
         for p in flat_params
     ]
 
+    if want_log_prob:
+        out_specs = (
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((F, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((F, m), dtype)
+
     out = pl.pallas_call(
         functools.partial(
-            _sample_kernel_T, layout=layout, F=F, K=K, bound=bound,
-            slope=slope, n_params=n_params,
+            _sample_kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
+            slope=slope, n_params=n_params, want_log_prob=want_log_prob,
         ),
         grid=(m // _TB,),
         in_specs=[
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((F, m), jnp.float32),
-    )(zf.T, *flat_params)
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(zc.T, *flat_params)
 
-    out = out.T
-    if pad:
-        out = out[:n]
+    if want_log_prob:
+        x, lp = out
+        x = x.T[:n] if pad else x.T
+        lp = lp[0, :n] if pad else lp[0, :]
+        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+
+    out = out.T[:n] if pad else out.T
     return out.reshape(z.shape)
 
 
-def fused_nsf_log_prob(flow, x, bound: float = 5.0, slope: float = 1e-3):
-    r"""Compute ``flow(None).log_prob(x)`` for an unconditional NSF with one
-    fused Pallas kernel per batch tile (jnp fallback off-TPU). Differentiable
-    via a custom VJP whose backward runs the identical jnp math.
+def fused_nsf_sample_and_log_prob(flow, key, sample_shape, c=None, **kwargs):
+    r"""Fused sampling + density: one kernel produces both ``x ~ q`` and
+    ``log q(x)`` (the reverse-KL workhorse, reference:
+    zuko/distributions.py:129-138)."""
+    return fused_nsf_sample(
+        flow, key, sample_shape, c=c, want_log_prob=True, **kwargs
+    )
+
+
+def fused_nsf_log_prob(flow, x, c=None, bound: float = 5.0,
+                       slope: float = 1e-3):
+    r"""Compute ``flow(c).log_prob(x)`` for an NSF with one fused Pallas
+    kernel per batch tile (jnp fallback off-TPU). Differentiable via a custom
+    VJP whose backward runs the identical jnp math.
 
     Example (TPU):
         >>> flow = NSF(6, 0, transforms=3, key=key)   # doctest: +SKIP
         >>> lp = fused_nsf_log_prob(flow, x)          # doctest: +SKIP
     """
-    layers, cfg = extract_nsf_params(flow)
-    K = cfg["bins"]
+    flat_params, layout, K = _flatten_flow(flow)
     F = x.shape[-1]
 
-    flat_params = []
-    layout = []
-    for layer in layers:
-        layout.append(len(layer["weights"]))
-        for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
-            flat_params += [W, b, M]
-    layout = tuple(layout)
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        xb = jnp.broadcast_shapes(x.shape[:-1], c.shape[:-1])
+        x = jnp.broadcast_to(x, xb + (F,))
+        c = jnp.broadcast_to(c, xb + (C,)).astype(x.dtype)
+        xc = jnp.concatenate([x, c], axis=-1)
+    else:
+        C = 0
+        xc = x
 
     return _fused_op(
-        tuple(layout), F, K, float(bound), float(slope), x, *flat_params
+        layout, F, C, K, float(bound), float(slope), xc, *flat_params
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _fused_op(layout, F, K, bound, slope, x, *flat_params):
-    return _fused_impl(layout, F, K, bound, slope, x, *flat_params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_op(layout, F, C, K, bound, slope, xc, *flat_params):
+    return _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params)
 
 
-def _fused_fwd(layout, F, K, bound, slope, x, *flat_params):
-    out = _fused_impl(layout, F, K, bound, slope, x, *flat_params)
-    return out, (x, flat_params)
+def _fused_fwd(layout, F, C, K, bound, slope, xc, *flat_params):
+    out = _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params)
+    return out, (xc, flat_params)
 
 
-def _fused_bwd(layout, F, K, bound, slope, res, g):
-    x, flat_params = res
-    _, vjp = jax.vjp(
-        lambda x, fp: _full_math(x, list(fp), layout, F, K, bound, slope),
-        x, flat_params,
-    )
-    dx, dfp = vjp(g)
-    return (dx, *dfp)
+def _fused_bwd(layout, F, C, K, bound, slope, res, g):
+    xc, flat_params = res
+
+    def ref_math(xc, fp):
+        xf = xc.reshape(-1, F + C)
+        cT = xf[:, F:].T if C else None
+        return _full_math_T(
+            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT
+        )[0, :].reshape(xc.shape[:-1])
+
+    _, vjp = jax.vjp(ref_math, xc, flat_params)
+    dxc, dfp = vjp(g)
+    return (dxc, *dfp)
 
 
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _fused_impl(layout, F, K, bound, slope, x, *flat_params):
-    from . import kernels_enabled
+def _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params):
+    batch_shape = xc.shape[:-1]
+    xf = xc.reshape(-1, F + C)
 
-    batch_shape = x.shape[:-1]
-    xf = x.reshape(-1, F)
-
-    # Status (round 1): the kernel is numerically correct in interpret mode
-    # but miscompiles on v5e Mosaic with these narrow (K+1 = 9 lane) tiles,
-    # and its per-feature loop underutilizes the VPU (0.21x the XLA path).
-    # The XLA path is already ~30% of the bandwidth roofline, so the fused
-    # path stays opt-in (ZUKO_TPU_FUSED_NSF=1) until a lane-aligned layout
-    # (features x knots packed into 128 lanes) lands.
-    import os
-
-    use_pallas = (
-        os.environ.get("ZUKO_TPU_FUSED_NSF", "1") == "1"
-        and pltpu is not None
-        and x.dtype == jnp.float32
-        and jax.default_backend() not in ("cpu", "gpu")
-    )
-
-    if not use_pallas:
-        return _full_math(
-            xf, list(flat_params), layout, F, K, bound, slope
-        ).reshape(batch_shape)
+    if not _use_pallas_fused(xc.dtype):
+        cT = xf[:, F:].T if C else None
+        return _full_math_T(
+            xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT
+        )[0, :].reshape(batch_shape)
 
     n = xf.shape[0]
     pad = (-n) % _TB
@@ -566,22 +525,22 @@ def _fused_impl(layout, F, K, bound, slope, x, *flat_params):
         for p in flat_params
     ]
 
-    xT = xf.T  # (F, m): batch rides the lane dimension inside the kernel
+    xT = xf.T  # (F+C, m): batch rides the lane dimension inside the kernel
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel_T, layout=layout, F=F, K=K, bound=bound, slope=slope,
-            n_params=n_params,
+            _kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
+            slope=slope, n_params=n_params,
         ),
         grid=(m // _TB,),
         in_specs=[
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, m), xc.dtype),
     )(xT, *flat_params)
 
     out = out[0, :]
