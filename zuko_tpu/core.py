@@ -17,7 +17,6 @@ filtered-transform helpers (so optimizers only touch trainable leaves).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from typing import Any, Callable, Dict, Tuple

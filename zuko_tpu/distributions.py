@@ -30,9 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jax import lax
 from jax.scipy import special as jsp
-from typing import Any, Callable, Sequence, Tuple, Union
+from typing import Tuple
 
 from .core import Module
 from .utils import broadcast

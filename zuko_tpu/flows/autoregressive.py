@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 from .gaussianization import ElementWiseTransform
 from ..distributions import DiagNormal

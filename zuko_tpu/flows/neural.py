@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from typing import Any
-
 from .autoregressive import MaskedAutoregressiveTransform
 from ..core import Module
 from ..distributions import DiagNormal

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Callable, Sequence, Union
 
 from .core import Module
 from .distributions import Distribution, NormalizingFlow

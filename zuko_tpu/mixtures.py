@@ -18,9 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from typing import Sequence
 
-from .core import Module, tree_replace
+from .core import tree_replace
 from .distributions import DiagNormal, Mixture, MultivariateNormal
 from .lazy import LazyDistribution
 from .nn import MLP

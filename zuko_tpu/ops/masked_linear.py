@@ -13,8 +13,6 @@ weight no longer fits cache.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

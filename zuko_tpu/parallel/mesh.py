@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from typing import Any, Optional, Sequence
 
-from ..core import Module, named_parameters, update_parameters
+from ..core import named_parameters, update_parameters
 from ..nn import Linear, MaskedLinear
 
 __all__ = [

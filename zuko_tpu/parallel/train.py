@@ -9,7 +9,7 @@ the psum over grads at the ``mean`` reduction — the collective rides ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 
 from typing import Any
 
-from .core import Module, named_parameters, update_parameters
+from .core import named_parameters, update_parameters
 
 __all__ = ["save", "load", "save_params", "load_params"]
 
