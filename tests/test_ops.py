@@ -137,3 +137,28 @@ def test_fused_nsf_conditional_and_vi(key):
     g2 = jax.grad(lambda p: -jnp.mean(fused_nsf_log_prob(combine(p, static), x, c)))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         assert jnp.allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("F,C,K,hidden,layers", [
+    (2, 0, 4, (8,), 1),
+    (5, 3, 8, (16, 16), 2),
+    (7, 2, 6, (24, 24, 24), 3),
+])
+def test_fused_nsf_configs(key, F, C, K, hidden, layers):
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops.nsf_fused import (
+        fused_nsf_log_prob,
+        fused_nsf_sample_and_log_prob,
+    )
+
+    flow = NSF(F, C, transforms=layers, hidden_features=hidden, bins=K, key=key)
+    c = jax.random.normal(key, (16, C)) if C else None
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, F))
+
+    ref = flow(c).log_prob(x) if C else flow(None).log_prob(x)
+    lp = fused_nsf_log_prob(flow, x, c)
+    assert jnp.allclose(lp, ref, atol=1e-5), (F, C, K)
+
+    xs, lps = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(4), (16,), c=c)
+    ref_s = flow(c).log_prob(xs) if C else flow(None).log_prob(xs)
+    assert jnp.allclose(lps, ref_s, atol=1e-5), (F, C, K)
