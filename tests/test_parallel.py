@@ -105,3 +105,30 @@ def test_dryrun_multichip():
     assert jnp.isfinite(out)
 
     dryrun_multichip(8)
+
+
+def test_sharded_fused_log_prob(key):
+    from zuko_tpu.parallel import sharded_fused_log_prob
+
+    flow = _flow(key)
+    x = jax.random.normal(key, (64, 4))
+    lp_ref = flow(None).log_prob(x)
+
+    mesh = make_mesh(model=1)
+    with mesh:
+        xs = shard_batch(mesh, x)
+        lp = sharded_fused_log_prob(mesh, flow, xs)
+    assert jnp.allclose(lp, lp_ref, atol=1e-5)
+
+    # conditional
+    from zuko_tpu.flows import NSF
+
+    cflow = NSF(3, 5, transforms=2, hidden_features=(16, 16), key=key)
+    c = jax.random.normal(key, (64, 5))
+    x3 = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    lp_ref = cflow(c).log_prob(x3)
+    with mesh:
+        lp = sharded_fused_log_prob(
+            mesh, cflow, shard_batch(mesh, x3), shard_batch(mesh, c)
+        )
+    assert jnp.allclose(lp, lp_ref, atol=1e-5)

@@ -13,6 +13,7 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
     shard_module,
+    sharded_fused_log_prob,
     tensor_parallel_spec,
 )
 from .train import (  # noqa: F401
@@ -30,6 +31,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_module",
+    "sharded_fused_log_prob",
     "tensor_parallel_spec",
     "train_mle",
 ]

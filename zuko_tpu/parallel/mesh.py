@@ -26,6 +26,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_module",
+    "sharded_fused_log_prob",
     "tensor_parallel_spec",
 ]
 
@@ -92,6 +93,36 @@ def tensor_parallel_spec(module: Any) -> dict:
             if m.bias is not None:
                 specs[f"{prefix}bias"] = P("model", None)
     return specs
+
+
+def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
+    """Data-parallel fused NSF density: wraps the fused kernel in
+    ``shard_map`` over the ``data`` axis (a bare ``pallas_call`` under ``jit``
+    constrains partitioning; ``shard_map`` makes the per-device shapes
+    explicit so the kernel runs independently per chip). The flow's
+    parameters ride in as closed-over (replicated) constants."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.nsf_fused import fused_nsf_log_prob
+
+    if c is None:
+        fn = shard_map(
+            lambda xs: fused_nsf_log_prob(flow, xs),
+            mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P("data"),
+            check_rep=False,
+        )
+        return fn(x)
+
+    fn = shard_map(
+        lambda xs, cs: fused_nsf_log_prob(flow, xs, cs),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    return fn(x, c)
 
 
 def shard_module(mesh: Mesh, module: Any, specs: Optional[dict] = None):
