@@ -162,3 +162,21 @@ def test_fused_nsf_configs(key, F, C, K, hidden, layers):
     xs, lps = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(4), (16,), c=c)
     ref_s = flow(c).log_prob(xs) if C else flow(None).log_prob(xs)
     assert jnp.allclose(lps, ref_s, atol=1e-5), (F, C, K)
+
+
+def test_fused_maf(key):
+    from zuko_tpu.flows import MAF
+    from zuko_tpu.ops.nsf_fused import (
+        fused_flow_log_prob,
+        fused_nsf_sample_and_log_prob,
+    )
+
+    flow = MAF(4, 3, transforms=2, hidden_features=(16, 16), key=key)
+    c = jax.random.normal(key, (32, 3))
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 4))
+
+    assert jnp.allclose(
+        fused_flow_log_prob(flow, x, c), flow(c).log_prob(x), atol=1e-5
+    )
+    xs, lp = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(5), (32,), c=c)
+    assert jnp.allclose(lp, flow(c).log_prob(xs), atol=1e-5)

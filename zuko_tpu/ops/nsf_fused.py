@@ -34,7 +34,13 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-__all__ = ["fused_nsf_log_prob", "fused_nsf_sample", "extract_nsf_params"]
+__all__ = [
+    "extract_nsf_params",
+    "fused_flow_log_prob",
+    "fused_flow_sample",
+    "fused_nsf_log_prob",
+    "fused_nsf_sample",
+]
 
 _TB = 1024  # batch tile (swept on v5e: 1024 > 2048 > 512 > 256)
 
@@ -48,20 +54,26 @@ def extract_nsf_params(flow):
 
     layers = []
     bins = None
+    univ = None
     for t in flow.transform.transforms:
         assert isinstance(t, MaskedAutoregressiveTransform), type(t)
         shapes = t.shapes
-        assert len(shapes) == 3, "expected RQS shapes [(K,), (K,), (K-1,)]"
-        K = shapes[0][0]
+        if len(shapes) == 3:  # NSF: [(K,), (K,), (K-1,)]
+            kind, K = "rqs", shapes[0][0]
+        elif shapes == ((), ()):  # MAF: MonotonicAffineTransform
+            kind, K = "affine", 0
+        else:
+            raise AssertionError(f"unsupported univariate shapes {shapes}")
         bins = K if bins is None else bins
-        assert bins == K
+        univ = kind if univ is None else univ
+        assert bins == K and univ == kind, "layers must share a univariate"
         lins = [l for l in t.hyper.layers if isinstance(l, MaskedLinear)]
         layers.append({
             "weights": [l.weight for l in lins],
             "biases": [l.bias for l in lins],
             "masks": [l.mask for l in lins],
         })
-    return layers, {"bins": bins}
+    return layers, {"bins": bins, "univ": univ or "rqs"}
 
 
 # --------------------------------------------------------- transposed kernel
@@ -156,16 +168,18 @@ def _split_layers(flat_params, layout):
     return per_layer
 
 
-def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None):
+def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
+                 univ="rqs"):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
-    T = 3 * K - 1
+    T = _univ_size(univ, K)
     acc = jnp.zeros_like(xT[:1, :])
     for ps in _split_layers(flat_params, layout):
         h = _hyper_T(xT, cT, ps)
         ys = []
         for f in range(F):
-            y_f, l_f = _constrain_and_spline_T(
-                xT[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope
+            y_f, l_f = _univ_forward(
+                xT[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope,
+                univ,
             )
             ys.append(y_f)
             acc = acc + l_f
@@ -176,7 +190,7 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None):
     return base + acc
 
 
-def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params):
+def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
     x_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
     out_ref = refs[1 + n_params]
@@ -184,7 +198,9 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params):
     xT = x_ref[:F, :]
     cT = x_ref[F : F + C, :] if C else None
     flat = [r[:] for r in param_refs]
-    out_ref[:, :] = _full_math_T(xT, flat, layout, F, K, bound, slope, cT)
+    out_ref[:, :] = _full_math_T(
+        xT, flat, layout, F, K, bound, slope, cT, univ
+    )
 
 
 # ----------------------------------------------------------- fused sampling
@@ -253,15 +269,44 @@ def _spline_inverse_T(y_f, phi_f, K, bound, slope):
     return jnp.where(mask, x, y_f)
 
 
+def _affine_T(x_f, phi_f, slope, inverse):
+    """Transposed MonotonicAffineTransform (reference:
+    zuko/transforms.py:412-446): phi (2, TB) = (shift, raw scale)."""
+    log_s = math.log(slope)
+    shift = phi_f[:1, :]
+    raw = phi_f[1:2, :]
+    log_scale = raw / (1 + jnp.abs(raw / log_s))
+    scale = jnp.exp(log_scale)
+    if inverse:
+        return (x_f - shift) / scale, -log_scale
+    return x_f * scale + shift, log_scale
+
+
+def _univ_size(univ, K):
+    return 3 * K - 1 if univ == "rqs" else 2
+
+
+def _univ_forward(x_f, phi_f, K, bound, slope, univ):
+    if univ == "rqs":
+        return _constrain_and_spline_T(x_f, phi_f, K, bound, slope)
+    return _affine_T(x_f, phi_f, slope, inverse=False)
+
+
+def _univ_inverse(y_f, phi_f, K, bound, slope, univ):
+    if univ == "rqs":
+        return _spline_inverse_T(y_f, phi_f, K, bound, slope)
+    return _affine_T(y_f, phi_f, slope, inverse=True)[0]
+
+
 def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
-                   want_log_prob=False):
+                   want_log_prob=False, univ="rqs"):
     """Transposed AR inversion of the whole flow: zT (F, TB) base draws ->
     samples (F, TB). Each layer runs `F` fixed-point sweeps (exact by
     triangularity — reference: zuko/transforms.py:994-1000); weights stay in
     VMEM across sweeps. With ``want_log_prob`` also returns
     ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) — the fused
     reverse-KL quantity (reference: zuko/distributions.py:129-138)."""
-    T = 3 * K - 1
+    T = _univ_size(univ, K)
     per_layer = _split_layers(flat_params, layout)
 
     if want_log_prob:
@@ -276,17 +321,18 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
             xs = []
             for f in range(F):
                 xs.append(
-                    _spline_inverse_T(
+                    _univ_inverse(
                         y[f : f + 1, :], h[f * T : (f + 1) * T, :],
-                        K, bound, slope,
+                        K, bound, slope, univ,
                     )
                 )
             x = jnp.concatenate(xs, axis=0)
         if want_log_prob:
             h = _hyper_T(x, cT, ps)
             for f in range(F):
-                _, l_f = _constrain_and_spline_T(
-                    x[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope
+                _, l_f = _univ_forward(
+                    x[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound,
+                    slope, univ,
                 )
                 acc = acc + l_f
         y = x
@@ -297,7 +343,7 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
 
 
 def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
-                     want_log_prob):
+                     want_log_prob, univ):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
 
@@ -307,14 +353,15 @@ def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
     if want_log_prob:
         out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
         x, lp = _sample_math_T(
-            zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True
+            zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True,
+            univ=univ,
         )
         out_ref[:F, :] = x
         lp_ref[:, :] = lp
     else:
         out_ref = refs[1 + n_params]
         out_ref[:F, :] = _sample_math_T(
-            zT, flat, layout, F, K, bound, slope, cT
+            zT, flat, layout, F, K, bound, slope, cT, univ=univ
         )
 
 
@@ -325,7 +372,7 @@ def _flatten_flow(flow):
         layout.append(len(layer["weights"]))
         for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
             flat_params += [W, b, M]
-    return flat_params, tuple(layout), cfg["bins"]
+    return flat_params, tuple(layout), cfg["bins"], cfg["univ"]
 
 
 def _use_pallas_fused(dtype):
@@ -350,7 +397,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None, bound: float = 5.0,
     Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
     for the differentiable path.
     """
-    flat_params, layout, K = _flatten_flow(flow)
+    flat_params, layout, K, univ = _flatten_flow(flow)
     F = flat_params[0].shape[1]
     if c is not None:
         c = jnp.asarray(c)
@@ -376,7 +423,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None, bound: float = 5.0,
         cT = zc[:, F:].T if C else None
         out = _sample_math_T(
             zc[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
-            want_log_prob=want_log_prob,
+            want_log_prob=want_log_prob, univ=univ,
         )
         if want_log_prob:
             x, lp = out
@@ -415,6 +462,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None, bound: float = 5.0,
         functools.partial(
             _sample_kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
             slope=slope, n_params=n_params, want_log_prob=want_log_prob,
+            univ=univ,
         ),
         grid=(m // _TB,),
         in_specs=[
@@ -454,7 +502,7 @@ def fused_nsf_log_prob(flow, x, c=None, bound: float = 5.0,
         >>> flow = NSF(6, 0, transforms=3, key=key)   # doctest: +SKIP
         >>> lp = fused_nsf_log_prob(flow, x)          # doctest: +SKIP
     """
-    flat_params, layout, K = _flatten_flow(flow)
+    flat_params, layout, K, univ = _flatten_flow(flow)
     F = x.shape[-1]
 
     if c is not None:
@@ -469,28 +517,28 @@ def fused_nsf_log_prob(flow, x, c=None, bound: float = 5.0,
         xc = x
 
     return _fused_op(
-        layout, F, C, K, float(bound), float(slope), xc, *flat_params
+        layout, F, C, K, float(bound), float(slope), univ, xc, *flat_params
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _fused_op(layout, F, C, K, bound, slope, xc, *flat_params):
-    return _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_op(layout, F, C, K, bound, slope, univ, xc, *flat_params):
+    return _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params)
 
 
-def _fused_fwd(layout, F, C, K, bound, slope, xc, *flat_params):
-    out = _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params)
+def _fused_fwd(layout, F, C, K, bound, slope, univ, xc, *flat_params):
+    out = _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params)
     return out, (xc, flat_params)
 
 
-def _fused_bwd(layout, F, C, K, bound, slope, res, g):
+def _fused_bwd(layout, F, C, K, bound, slope, univ, res, g):
     xc, flat_params = res
 
     def ref_math(xc, fp):
         xf = xc.reshape(-1, F + C)
         cT = xf[:, F:].T if C else None
         return _full_math_T(
-            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT
+            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ
         )[0, :].reshape(xc.shape[:-1])
 
     _, vjp = jax.vjp(ref_math, xc, flat_params)
@@ -501,14 +549,15 @@ def _fused_bwd(layout, F, C, K, bound, slope, res, g):
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params):
+def _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params):
     batch_shape = xc.shape[:-1]
     xf = xc.reshape(-1, F + C)
 
     if not _use_pallas_fused(xc.dtype):
         cT = xf[:, F:].T if C else None
         return _full_math_T(
-            xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT
+            xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
+            univ,
         )[0, :].reshape(batch_shape)
 
     n = xf.shape[0]
@@ -530,7 +579,7 @@ def _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params):
     out = pl.pallas_call(
         functools.partial(
             _kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
-            slope=slope, n_params=n_params,
+            slope=slope, n_params=n_params, univ=univ,
         ),
         grid=(m // _TB,),
         in_specs=[
@@ -547,3 +596,8 @@ def _fused_impl(layout, F, C, K, bound, slope, xc, *flat_params):
     if pad:
         out = out[:n]
     return out.reshape(batch_shape)
+
+
+# The fused family also covers MAF (affine univariate) — friendlier aliases.
+fused_flow_log_prob = fused_nsf_log_prob
+fused_flow_sample = fused_nsf_sample
