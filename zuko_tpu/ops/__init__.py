@@ -1,19 +1,25 @@
 r"""Pallas (Mosaic TPU) kernels for the hot numeric cores.
 
-Reference anchors (what these accelerate): the rational-quadratic spline
-forward/inverse with fused log-Jacobian (zuko/transforms.py:449-567) and the
-MADE masked-linear pass (zuko/nn.py:202-218).
+Three tiers (see PERF.md for measurements):
 
-Kernels are enabled on TPU backends when ``ZUKO_TPU_KERNELS`` is not set to
-``0``; every kernel has a pure-jnp fallback with identical semantics, used on
-CPU and in tests.
+* ``nsf_fused`` — whole-flow fused kernels (`fused_nsf_log_prob`,
+  `fused_nsf_sample`, `fused_nsf_sample_and_log_prob`; NSF splines or MAF
+  affine univariates, optional context): every hyper-net matmul, spline
+  constraint and evaluation in one kernel per batch tile. 1.2-1.5x the XLA
+  path; on by default on TPU (`ZUKO_TPU_FUSED_NSF=0` to disable).
+* ``rqs`` / ``masked_linear`` — per-op kernels (reference anchors:
+  zuko/transforms.py:449-567, zuko/nn.py:202-218). Bit-exact but they break
+  XLA whole-graph fusion at tabular sizes, so opt-in via
+  ``ZUKO_TPU_KERNELS=1``.
+* Every kernel has a pure-jnp fallback with identical semantics, used on
+  CPU/GPU and inside custom-VJP backwards.
 """
 
 import os
 
 import jax
 
-__all__ = ["kernels_enabled", "rqs", "masked_linear"]
+__all__ = ["kernels_enabled", "masked_linear", "nsf_fused", "rqs"]
 
 
 def kernels_enabled() -> bool:
@@ -32,4 +38,4 @@ def kernels_enabled() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-from . import masked_linear, rqs  # noqa: E402, F401
+from . import masked_linear, nsf_fused, rqs  # noqa: E402, F401
