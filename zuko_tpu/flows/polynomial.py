@@ -1,15 +1,16 @@
-r"""Polynomial flows (SOSPF / BPF).
+r"""Polynomial flows: sum-of-squares (SOSPF) and Bernstein (BPF).
 
-Capability parity with the reference's ``zuko/flows/polynomial.py``.
+Both are MAF recipes with polynomial univariates
+(capability parity: zuko/flows/polynomial.py).
 """
 
 from __future__ import annotations
 
 __all__ = ["BPF", "SOSPF", "ShiftedSOSPTransform"]
 
-import jax
-
 from functools import partial
+
+import jax
 
 from .autoregressive import MAF
 from ..lazy import UnconditionalTransform
@@ -23,70 +24,69 @@ from ..transforms import (
 
 
 def ShiftedSOSPTransform(a, constant, slope: float = 1e-3):
-    r"""Shifted sum-of-squares polynomial transformation
+    r"""A sum-of-squares polynomial transformation followed by a learned shift
     (reference: zuko/flows/polynomial.py:23-29)."""
-    return ComposedTransform(
-        SOSPolynomialTransform(a, slope=slope),
-        AdditiveTransform(constant),
-    )
+    poly = SOSPolynomialTransform(a, slope=slope)
+    return ComposedTransform(poly, AdditiveTransform(constant))
+
+
+def _interleave_softclip(lazy_transforms, bound: float = 11.0):
+    """Insert ``SoftclipTransform(bound)`` between autoregressive layers to
+    keep features inside the invertibility domain (the reference applies the
+    same guard, zuko/flows/polynomial.py:73-76)."""
+    for i in reversed(range(1, len(lazy_transforms))):
+        lazy_transforms.insert(
+            i, UnconditionalTransform(SoftclipTransform, bound=bound)
+        )
 
 
 class SOSPF(MAF):
-    r"""Sum-of-squares polynomial flow (Jaini et al., 2019): MAF with SOSP
-    univariates and SoftclipTransform(11) interleaved
-    (reference: zuko/flows/polynomial.py:32-76).
+    r"""Sum-of-squares polynomial flow (Jaini et al., 2019): the univariate is
+    the exact integral of a sum of ``polynomials`` squared polynomials of
+    degree ``degree`` (reference recipe: zuko/flows/polynomial.py:32-76).
+
+    Warning:
+        Invertibility is only guaranteed on :math:`[-10, 10]`; standardize
+        features first.
 
     Example:
-        >>> flow = SOSPF(3, transforms=2, key=jax.random.PRNGKey(0))
         >>> import jax.numpy as jnp
-        >>> flow(None).log_prob(jnp.asarray([[0.1, 0.2, -0.4]])).shape
-        (1,)
+        >>> flow = SOSPF(3, transforms=2, key=jax.random.PRNGKey(0))
+        >>> flow(None).log_prob(jnp.zeros((5, 3))).shape
+        (5,)
     """
 
-    def __init__(
-        self,
-        features: int,
-        context: int = 0,
-        degree: int = 4,
-        polynomials: int = 3,
-        slope: float = 1e-3,
-        **kwargs,
-    ):
+    def __init__(self, features, context=0, degree=4, polynomials=3,
+                 slope=1e-3, **kwargs):
+        sosp = partial(ShiftedSOSPTransform, slope=slope)
         super().__init__(
-            features=features,
-            context=context,
-            univariate=partial(ShiftedSOSPTransform, slope=slope),
+            features, context,
+            univariate=sosp,
             shapes=[(polynomials, degree + 1), ()],
             **kwargs,
         )
-
-        layers = self.transform.transforms
-        for i in reversed(range(1, len(layers))):
-            layers.insert(i, UnconditionalTransform(SoftclipTransform, bound=11.0))
+        _interleave_softclip(self.transform.transforms)
 
 
 class BPF(MAF):
     r"""Bernstein polynomial flow (Sick et al., 2020; Arpogaus et al., 2022):
-    MAF with bounded Bernstein univariates
-    (reference: zuko/flows/polynomial.py:79-117).
+    bounded Bernstein univariates of order derived from ``degree``
+    (reference recipe: zuko/flows/polynomial.py:79-117).
+
+    Warning:
+        The polynomial acts on :math:`[-5, 5]`; out-of-domain features pass
+        through untransformed.
 
     Example:
-        >>> flow = BPF(3, transforms=2, key=jax.random.PRNGKey(0))
         >>> import jax.numpy as jnp
-        >>> flow(None).log_prob(jnp.asarray([[0.1, 0.2, -0.4]])).shape
-        (1,)
+        >>> flow = BPF(3, transforms=2, key=jax.random.PRNGKey(0))
+        >>> flow(None).log_prob(jnp.zeros((5, 3))).shape
+        (5,)
     """
 
-    def __init__(
-        self,
-        features: int,
-        context: int = 0,
-        degree: int = 16,
-        **kwargs,
-    ):
+    def __init__(self, features, context=0, degree=16, **kwargs):
         super().__init__(
-            features=features,
-            context=context,
+            features, context,
             univariate=BoundedBernsteinTransform,
             shapes=[(degree + 1,)],
             **kwargs,

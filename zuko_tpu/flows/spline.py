@@ -1,17 +1,19 @@
-r"""Spline flows (NSF / NCSF).
+r"""Spline flows: NSF and its circular variant NCSF.
 
-Capability parity with the reference's ``zuko/flows/spline.py``.
+Both are MAF recipes with rational-quadratic-spline univariates
+(capability parity: zuko/flows/spline.py). On TPU the spline math runs
+through the fused kernel path (zuko_tpu/ops) when available.
 """
 
 from __future__ import annotations
 
 __all__ = ["NCSF", "NSF", "CircularRQSTransform"]
 
-import jax
-import jax.numpy as jnp
-
 from functools import partial
 from math import pi
+
+import jax
+import jax.numpy as jnp
 
 from .autoregressive import MAF
 from ..distributions import BoxUniform
@@ -22,15 +24,20 @@ from ..transforms import (
     MonotonicRQSTransform,
 )
 
+_RQS_SHAPES = lambda bins: [(bins,), (bins,), (bins - 1,)]  # noqa: E731
+
 
 class NSF(MAF):
-    r"""Neural spline flow (Durkan et al., 2019): MAF with monotonic
-    rational-quadratic spline transformations, ``K = 8`` bins by default;
-    coupling via ``passes=2`` (reference: zuko/flows/spline.py:21-62).
+    r"""Neural spline flow (Durkan et al., 2019).
+
+    A masked autoregressive flow whose univariate transformations are
+    monotonic rational-quadratic splines with ``bins`` knots (default 8,
+    reference recipe: zuko/flows/spline.py:21-62). Fully autoregressive by
+    default; pass ``passes=2`` for a coupling-style factorization.
 
     Warning:
-        Splines are defined over :math:`[-5, 5]`; features outside pass
-        through untransformed. Standardize features before training.
+        The splines act on :math:`[-5, 5]`; out-of-domain features pass
+        through untransformed, so standardize data first.
 
     Example:
         >>> flow = NSF(3, 4, transforms=2, key=jax.random.PRNGKey(0))
@@ -40,37 +47,29 @@ class NSF(MAF):
         ()
     """
 
-    def __init__(
-        self,
-        features: int,
-        context: int = 0,
-        bins: int = 8,
-        slope: float = 1e-3,
-        **kwargs,
-    ):
+    def __init__(self, features, context=0, bins=8, slope=1e-3, **kwargs):
+        rqs = partial(MonotonicRQSTransform, slope=slope)
         super().__init__(
-            features=features,
-            context=context,
-            univariate=partial(MonotonicRQSTransform, slope=slope),
-            shapes=[(bins,), (bins,), (bins - 1,)],
+            features, context,
+            univariate=rqs, shapes=_RQS_SHAPES(bins),
             **kwargs,
         )
 
 
 def CircularRQSTransform(*phi, slope: float = 1e-3):
-    r"""Circular RQS: circular shift composed with a spline on
-    :math:`[-\pi, \pi]` (reference: zuko/flows/spline.py:65-72)."""
-    return ComposedTransform(
-        CircularShiftTransform(bound=pi),
-        MonotonicRQSTransform(*phi, bound=pi, slope=slope),
-    )
+    r"""Spline on the circle: a circular shift by :math:`\pi` composed with a
+    rational-quadratic spline bounded to :math:`[-\pi, \pi]`
+    (reference: zuko/flows/spline.py:65-72)."""
+    shift = CircularShiftTransform(bound=pi)
+    spline = MonotonicRQSTransform(*phi, bound=pi, slope=slope)
+    return ComposedTransform(shift, spline)
 
 
 class NCSF(MAF):
     r"""Neural circular spline flow (Rezende et al., 2020): circular splines
-    with a :class:`~zuko_tpu.distributions.BoxUniform` base on
-    :math:`[-\pi - 10^{-5}, \pi + 10^{-5}]`
-    (reference: zuko/flows/spline.py:75-117).
+    over a box-uniform base on :math:`[-\pi - \epsilon, \pi + \epsilon]`
+    (reference recipe: zuko/flows/spline.py:75-117). Features are assumed to
+    live on the half-open interval :math:`[-\pi, \pi)`.
 
     Example:
         >>> flow = NCSF(3, transforms=2, key=jax.random.PRNGKey(0))
@@ -79,25 +78,18 @@ class NCSF(MAF):
         (5,)
     """
 
-    def __init__(
-        self,
-        features: int,
-        context: int = 0,
-        bins: int = 8,
-        slope: float = 1e-3,
-        **kwargs,
-    ):
+    def __init__(self, features, context=0, bins=8, slope=1e-3, **kwargs):
+        circular = partial(CircularRQSTransform, slope=slope)
         super().__init__(
-            features=features,
-            context=context,
-            univariate=partial(CircularRQSTransform, slope=slope),
-            shapes=[(bins,), (bins,), (bins - 1,)],
+            features, context,
+            univariate=circular, shapes=_RQS_SHAPES(bins),
             **kwargs,
         )
 
+        eps = 1e-5
         self.base = UnconditionalDistribution(
             BoxUniform,
-            jnp.full((features,), -pi - 1e-5),
-            jnp.full((features,), pi + 1e-5),
+            jnp.full((features,), -pi - eps),
+            jnp.full((features,), pi + eps),
             buffer=True,
         )
