@@ -249,3 +249,28 @@ def test_unconditional_flows(key):
         # fused sampling + log_prob
         x2, lp2 = d.rsample_and_log_prob(key, (8,))
         assert jnp.allclose(lp2, d.log_prob(x2), atol=1e-5)
+
+
+def test_sample_shape_context_combinations(key):
+    # sample_shape x batched-context interplay (reference semantics:
+    # zuko/lazy.py:167-170 — context batch propagates via expand)
+    flow = NSF(3, 5, transforms=2, key=key)
+
+    c1 = jax.random.normal(key, (5,))          # unbatched context
+    c2 = jax.random.normal(key, (7, 5))        # batched context
+
+    d1, d2 = flow(c1), flow(c2)
+    assert d1.batch_shape == () and d2.batch_shape == (7,)
+    assert d1.event_shape == (3,) and d2.event_shape == (3,)
+
+    assert d1.sample(key).shape == (3,)
+    assert d1.sample(key, (4,)).shape == (4, 3)
+    assert d2.sample(key).shape == (7, 3)
+    assert d2.sample(key, (4,)).shape == (4, 7, 3)
+
+    x = d2.sample(key, (4,))
+    assert d2.log_prob(x).shape == (4, 7)
+
+    xs, lp = d2.rsample_and_log_prob(key, (4,))
+    assert xs.shape == (4, 7, 3) and lp.shape == (4, 7)
+    assert jnp.allclose(lp, d2.log_prob(xs), atol=1e-4)
