@@ -1,0 +1,127 @@
+r"""Full benchmark suite — reproduces every number in PERF.md on the current
+backend (TPU by default; transparently falls back to jnp paths on CPU).
+
+Run: python tools/bench_suite.py [--quick]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from jax import lax
+
+from zuko_tpu.core import combine, partition
+from zuko_tpu.flows import NSF
+from zuko_tpu.ops.nsf_fused import fused_nsf_log_prob, fused_nsf_sample
+
+
+def timed(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batch", type=int, default=65536)
+    parser.add_argument("--repeats", type=int, default=10)
+    args = parser.parse_args()
+
+    if args.quick:
+        args.batch, args.repeats = 8192, 2
+
+    B, R = args.batch, args.repeats
+    key = jax.random.PRNGKey(0)
+    print(f"backend: {jax.default_backend()}  batch={B} repeats={R}")
+
+    flow = NSF(6, 0, transforms=3, hidden_features=(64, 64), key=key)
+    params, static = partition(flow)
+    x = jax.random.normal(key, (B, 6))
+
+    # --- log_prob, XLA path --------------------------------------------------
+    @jax.jit
+    def lp_xla(p, x):
+        def body(carry, _):
+            fl = combine(p, static)
+            return carry + jnp.sum(fl(None).log_prob(x + 1e-9 * carry)), None
+
+        return lax.scan(body, 0.0, None, length=R)[0]
+
+    dt = timed(lp_xla, params, x)
+    print(f"log_prob  XLA  : {B * R / dt / 1e6:8.1f} M evals/s")
+
+    # --- log_prob, fused kernel ---------------------------------------------
+    @jax.jit
+    def lp_fused(p, x):
+        def body(carry, _):
+            fl = combine(p, static)
+            return carry + jnp.sum(fused_nsf_log_prob(fl, x + 1e-9 * carry)), None
+
+        return lax.scan(body, 0.0, None, length=R)[0]
+
+    dt = timed(lp_fused, params, x)
+    print(f"log_prob  fused: {B * R / dt / 1e6:8.1f} M evals/s")
+
+    # --- sampling, XLA path --------------------------------------------------
+    @jax.jit
+    def samp_xla(p, k):
+        def body(carry, i):
+            fl = combine(p, static)
+            return carry + jnp.sum(fl(None).sample(jax.random.fold_in(k, i), (B,))), None
+
+        return lax.scan(body, 0.0, jnp.arange(R))[0]
+
+    dt = timed(samp_xla, params, key)
+    print(f"sampling  XLA  : {B * R / dt / 1e6:8.2f} M samples/s")
+
+    # --- sampling, fused kernel ---------------------------------------------
+    @jax.jit
+    def samp_fused(p, k):
+        def body(carry, i):
+            fl = combine(p, static)
+            return carry + jnp.sum(
+                fused_nsf_sample(fl, jax.random.fold_in(k, i), (B,))
+            ), None
+
+        return lax.scan(body, 0.0, jnp.arange(R))[0]
+
+    dt = timed(samp_fused, params, key)
+    print(f"sampling  fused: {B * R / dt / 1e6:8.2f} M samples/s")
+
+    # --- MLE training step ---------------------------------------------------
+    import optax
+
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def train(p, s, x):
+        def loss(p):
+            return -jnp.mean(combine(p, static)(None).log_prob(x))
+
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p2, s2, l = train(params, state, x)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        p2, s2, l = train(p2, s2, x)
+    jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / args.repeats
+    print(f"train step     : {B / dt / 1e6:8.2f} M examples/s")
+
+
+if __name__ == "__main__":
+    main()
