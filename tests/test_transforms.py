@@ -243,3 +243,28 @@ def test_coupling_transform():
     _, ladj = jnp.linalg.slogdet(J)
     _, ladj_comp = t.call_and_ladj(x[0])
     assert jnp.allclose(ladj_comp, ladj, atol=1e-6)
+
+
+def test_shape_functions():
+    # forward_shape / inverse_shape across the API (torch parity surface)
+    t = SoftclipTransform(5.0)
+    assert t.forward_shape((3, 4)) == (3, 4)
+    assert t.inverse_shape((3, 4)) == (3, 4)
+
+    comp = ComposedTransform(SoftclipTransform(5.0), IdentityTransform())
+    assert comp.forward_shape((7,)) == (7,)
+    assert comp.inverse_shape((7,)) == (7,)
+
+    inv = comp.inv
+    assert inv.forward_shape((7,)) == (7,)
+
+    perm = PermutationTransform(np.asarray([2, 0, 1]))
+    assert perm.forward_shape((5, 3)) == (5, 3)
+
+
+def test_transform_event_dims():
+    assert IdentityTransform().domain_dim == 0
+    assert PermutationTransform(np.arange(3)).domain_dim == 1
+    assert LULinearTransform(jnp.eye(3)).codomain_dim == 1
+    inv = PermutationTransform(np.arange(3)).inv
+    assert inv.domain_dim == 1 and inv.codomain_dim == 1
