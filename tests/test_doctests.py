@@ -12,6 +12,7 @@ import pytest
 import zuko_tpu
 import zuko_tpu.bayesian
 import zuko_tpu.core
+import zuko_tpu.data
 import zuko_tpu.distributions
 import zuko_tpu.flows.autoregressive
 import zuko_tpu.flows.continuous
@@ -23,11 +24,19 @@ import zuko_tpu.flows.spline
 import zuko_tpu.lazy
 import zuko_tpu.mixtures
 import zuko_tpu.nn
+import zuko_tpu.ops.masked_linear
+import zuko_tpu.ops.nsf_fused
+import zuko_tpu.ops.rqs
+import zuko_tpu.parallel.mesh
+import zuko_tpu.parallel.train
+import zuko_tpu.profiling
+import zuko_tpu.serial
 import zuko_tpu.transforms
 import zuko_tpu.utils
 
 MODULES = [
     zuko_tpu.bayesian,
+    zuko_tpu.data,
     zuko_tpu.distributions,
     zuko_tpu.flows.autoregressive,
     zuko_tpu.flows.continuous,
@@ -39,6 +48,13 @@ MODULES = [
     zuko_tpu.lazy,
     zuko_tpu.mixtures,
     zuko_tpu.nn,
+    zuko_tpu.ops.masked_linear,
+    zuko_tpu.ops.nsf_fused,
+    zuko_tpu.ops.rqs,
+    zuko_tpu.parallel.mesh,
+    zuko_tpu.parallel.train,
+    zuko_tpu.profiling,
+    zuko_tpu.serial,
     zuko_tpu.transforms,
     zuko_tpu.utils,
 ]
