@@ -180,3 +180,16 @@ def test_fused_maf(key):
     )
     xs, lp = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(5), (32,), c=c)
     assert jnp.allclose(lp, flow(c).log_prob(xs), atol=1e-5)
+
+
+def test_fused_coupling_style_sampling(key):
+    # passes=2 (coupling-style factorization inside a MAT layer): the fused
+    # sampler must honor the declared pass count and stay exact
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops.nsf_fused import fused_nsf_sample
+
+    flow = NSF(6, 0, transforms=2, passes=2, hidden_features=(16, 16), key=key)
+    ks = jax.random.PRNGKey(9)
+    x_ref = flow(None).sample(ks, (64,))
+    x = fused_nsf_sample(flow, ks, (64,))
+    assert jnp.allclose(x, x_ref, atol=1e-5)

@@ -72,6 +72,7 @@ def extract_nsf_params(flow):
             "weights": [l.weight for l in lins],
             "biases": [l.bias for l in lins],
             "masks": [l.mask for l in lins],
+            "passes": int(t.passes),
         })
     return layers, {"bins": bins, "univ": univ or "rqs"}
 
@@ -160,10 +161,11 @@ def _hyper_T(xT, cT, ps):
 
 
 def _split_layers(flat_params, layout):
+    """layout: per-layer (n_linear, passes) pairs -> [(params, passes), ...]"""
     per_layer = []
     idx = 0
-    for Ws_n in layout:
-        per_layer.append(flat_params[idx : idx + 3 * Ws_n])
+    for Ws_n, passes in layout:
+        per_layer.append((flat_params[idx : idx + 3 * Ws_n], passes))
         idx += 3 * Ws_n
     return per_layer
 
@@ -173,7 +175,7 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     T = _univ_size(univ, K)
     acc = jnp.zeros_like(xT[:1, :])
-    for ps in _split_layers(flat_params, layout):
+    for ps, _ in _split_layers(flat_params, layout):
         h = _hyper_T(xT, cT, ps)
         ys = []
         for f in range(F):
@@ -314,9 +316,11 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
             - 0.5 * F * math.log(2 * math.pi)
 
     y = zT
-    for ps in reversed(per_layer):
+    for ps, passes in reversed(per_layer):
         x = jnp.zeros_like(y)
-        for _ in range(F):  # passes
+        # `passes` fixed-point sweeps suffice by triangularity (coupling-style
+        # layers declare passes=2; fully autoregressive layers passes=F)
+        for _ in range(min(passes, F)):
             h = _hyper_T(x, cT, ps)
             xs = []
             for f in range(F):
@@ -369,7 +373,7 @@ def _flatten_flow(flow):
     layers, cfg = extract_nsf_params(flow)
     flat_params, layout = [], []
     for layer in layers:
-        layout.append(len(layer["weights"]))
+        layout.append((len(layer["weights"]), layer["passes"]))
         for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
             flat_params += [W, b, M]
     return flat_params, tuple(layout), cfg["bins"], cfg["univ"]
