@@ -193,3 +193,15 @@ def test_fused_coupling_style_sampling(key):
     x_ref = flow(None).sample(ks, (64,))
     x = fused_nsf_sample(flow, ks, (64,))
     assert jnp.allclose(x, x_ref, atol=1e-5)
+
+
+def test_fused_nice(key):
+    from zuko_tpu.flows import NICE
+    from zuko_tpu.ops.nsf_fused import fused_nice_log_prob
+
+    for C in (0, 3):
+        flow = NICE(4, C, transforms=3, hidden_features=(16, 16), key=key)
+        c = jax.random.normal(key, (16, C)) if C else None
+        x = jax.random.normal(jax.random.PRNGKey(2), (16, 4))
+        ref = flow(c).log_prob(x) if C else flow(None).log_prob(x)
+        assert jnp.allclose(fused_nice_log_prob(flow, x, c), ref, atol=1e-5)
