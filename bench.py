@@ -28,6 +28,15 @@ def bench_ours():
 
     from jax import lax
 
+    # persistent compile cache: the first TPU compile goes through a remote
+    # service (~3-5 min); caching makes subsequent bench runs take seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_bench_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from zuko_tpu.core import combine, partition
     from zuko_tpu.flows import NSF
 
