@@ -140,3 +140,13 @@ def test_extra_primitives(key):
         d2 = d.expand((7,))
         assert d2.batch_shape == (7,), name
         assert d2.log_prob(d2.sample(key)).shape == (7,), name
+
+
+def test_topk_k_bounds(key):
+    from zuko_tpu.distributions import Normal, TopK
+
+    with pytest.raises(AssertionError):
+        TopK(Normal(0.0, 1.0), k=3, n=3)  # reference: 1 <= k < n
+    d = TopK(Normal(0.0, 1.0), k=2, n=3)
+    x = d.sample(key, (8,))
+    assert jnp.all(jnp.isfinite(d.log_prob(x)))

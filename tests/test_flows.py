@@ -274,3 +274,63 @@ def test_sample_shape_context_combinations(key):
     xs, lp = d2.rsample_and_log_prob(key, (4,))
     assert xs.shape == (4, 7, 3) and lp.shape == (4, 7)
     assert jnp.allclose(lp, d2.log_prob(xs), atol=1e-4)
+
+
+def test_cnf_hutchinson(key):
+    r"""Hutchinson trace is reachable through the public flow API
+    (reference: zuko/transforms.py:1154,1171-1179) and unbiased within
+    tolerance of the exact-trace density."""
+    kf, kx, kh = jax.random.split(key, 3)
+    flow = CNF(2, exact=False, key=kf)
+    x = jax.random.normal(kx, (4, 2))
+
+    # No key -> loud failure, not a silent wrong answer.
+    with pytest.raises(ValueError, match="Hutchinson"):
+        flow(None).log_prob(x)
+
+    lp = flow(None, key=kh).log_prob(x)
+    assert lp.shape == (4,) and jnp.all(jnp.isfinite(lp))
+
+    # Unbiasedness: E[eps^T J eps] = tr J. Average over many keys and compare
+    # with the exact-trace path within Monte-Carlo error.
+    exact = CNF(2, exact=True, key=kf)
+    lp_exact = exact(None).log_prob(x)
+
+    keys = jax.random.split(kh, 256)
+    lps = jax.vmap(lambda k: flow(None, key=k).log_prob(x))(keys)
+    err = jnp.abs(lps.mean(axis=0) - lp_exact)
+    stderr = lps.std(axis=0) / jnp.sqrt(lps.shape[0])
+    assert jnp.all(err < 4 * stderr + 1e-2), (err, stderr)
+
+    # Gradients route to the ODE network through the estimator.
+    params, static = partition(flow)
+    g = jax.grad(
+        lambda p: -jnp.mean(combine(p, static)(None, key=kh).log_prob(x))
+    )(params)
+    for n, gl in named_parameters(g):
+        assert jnp.all(jnp.isfinite(gl)), n
+
+
+@pytest.mark.parametrize("F,kw", [(MAF, "randperm"), (NICE, "randmask")])
+def test_random_orders_and_masks(F, kw, key):
+    r"""randperm (MAF, reference: zuko/flows/autoregressive.py:294-307) and
+    randmask (NICE, reference: zuko/flows/coupling.py:180-190) options."""
+    kf, kx, kc, ks = jax.random.split(key, 4)
+    flow = F(5, 3, transforms=3, **{kw: True}, key=kf)
+
+    x = jax.random.normal(kx, (16, 5))
+    c = jax.random.normal(kc, (3,))
+    lp = flow(c).log_prob(x)
+    assert lp.shape == (16,) and jnp.all(jnp.isfinite(lp))
+
+    # invertibility + Jacobian contract still hold
+    t = flow(c).transform
+    assert jnp.allclose(t.inv(t(x)), x, atol=1e-4)
+
+    x1 = jax.random.normal(ks, (5,))
+    J = jax.jacrev(t)(x1)
+    _, ladj = jnp.linalg.slogdet(J)
+    assert jnp.allclose(t.log_abs_det_jacobian(x1, t(x1)), ladj, atol=1e-3)
+
+    s = flow(c).sample(ks, (8,))
+    assert s.shape == (8, 5)

@@ -132,3 +132,31 @@ def test_sharded_fused_log_prob(key):
             mesh, cflow, shard_batch(mesh, x3), shard_batch(mesh, c)
         )
     assert jnp.allclose(lp, lp_ref, atol=1e-5)
+
+
+def test_sharded_train_mle_matches(key):
+    r"""train_mle with a mesh shards every minibatch over the data axis (real
+    DP, VERDICT round-1 item 3); the loss trajectory must match the
+    single-device run."""
+    from zuko_tpu.parallel import train_mle
+
+    x = np.asarray(jax.random.normal(key, (256, 4)))
+    flow = _flow(key)
+    _, losses_ref = train_mle(
+        flow, x, epochs=2, batch_size=32, lr=1e-2, key=key
+    )
+
+    mesh = make_mesh(model=1)
+    flow2 = _flow(key)
+    metrics = []
+    _, losses = train_mle(
+        flow2, x, epochs=2, batch_size=32, lr=1e-2, key=key,
+        mesh=mesh, callback=metrics.append,
+    )
+    assert np.allclose(losses, losses_ref, atol=1e-8), (losses, losses_ref)
+
+    # metrics hooks: one dict per optimizer step with the advertised keys
+    assert len(metrics) == 2 * (256 // 32)
+    for m in metrics:
+        assert {"step", "epoch", "loss", "grad_norm", "examples_per_s"} <= set(m)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])

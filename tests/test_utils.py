@@ -194,3 +194,19 @@ def test_newton_bisection_phi_grad():
     # x = (y/phi)^(1/3) => dx/dphi = -x / (3 phi)
     g = jax.grad(solve)(phi0)
     assert jnp.allclose(g, -2.0 / 6.0, atol=1e-6)
+
+
+def test_odeint_step_exhaustion_poisons():
+    from zuko_tpu.utils import odeint
+
+    # A stiff system with a tiny step budget must NOT return a silently
+    # truncated state (reference ACA never truncates, zuko/utils.py:538-552).
+    f = lambda t, x: -1e6 * x  # noqa: E731
+    x1 = odeint(f, jnp.ones(3), 0.0, 1.0, max_steps=4)
+    assert jnp.all(jnp.isnan(x1)), x1
+
+    # A well-behaved system with budget to spare stays clean.
+    g = lambda t, x: -x  # noqa: E731
+    x1 = odeint(g, jnp.ones(3), 0.0, 1.0, max_steps=256)
+    assert jnp.all(jnp.isfinite(x1))
+    assert jnp.allclose(x1, jnp.exp(-1.0), atol=1e-4)

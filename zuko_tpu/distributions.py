@@ -778,10 +778,9 @@ class Joint(Distribution):
         ]
 
     def log_prob(self, x):
+        # _split already reshaped each chunk to batch + event_shape.
         lp = 0.0
         for c, m in zip(self._split(x), self.marginals):
-            if m.event_shape == ():
-                c = c[..., 0] if c.shape[-1:] == (1,) and m.event_shape == () else c
             lp = lp + m.log_prob(c)
         return lp
 
@@ -789,10 +788,9 @@ class Joint(Distribution):
         keys = jax.random.split(key, len(self.marginals))
         parts = []
         for k, m in zip(keys, self.marginals):
-            s = m.sample(k, sample_shape)
-            s = jnp.broadcast_to(
-                s, tuple(sample_shape) + self.batch_shape + m.event_shape
-            )
+            # Align every marginal to the joint batch shape first, so samples
+            # have shape sample_shape + batch_shape + event_shape directly.
+            s = m.expand(self.batch_shape).sample(k, sample_shape)
             parts.append(
                 s.reshape(
                     s.shape[: s.ndim - len(m.event_shape)]
@@ -1037,7 +1035,7 @@ class TopK(Sort):
 
     def __init__(self, base: Distribution, k: int = 1, n: int = 2, **kwargs):
         super().__init__(base, n, **kwargs)
-        assert 1 <= k <= n, "k must be in [1, n]"
+        assert 1 <= k < n, "k has to be in [1, n)"
         self.k = int(k)
 
     @property
@@ -1045,14 +1043,14 @@ class TopK(Sort):
         return (self.k,)
 
     def log_prob(self, x):
+        # Tail mass of the n-k unselected draws: below x[-1] when descending,
+        # above x[-1] when ascending (zuko/distributions.py:622-627).
         if self.descending:
             ordered = jnp.all(x[..., :-1] >= x[..., 1:], axis=-1)
-            tail = jnp.log(1 - self.base.cdf(x[..., -1]) + 1e-300)
+            tail = jnp.log(self.base.cdf(x[..., -1]))
         else:
             ordered = jnp.all(x[..., :-1] <= x[..., 1:], axis=-1)
-            tail = jnp.log(1 - self.base.cdf(x[..., -1]) + 1e-300)
-        if self.descending:
-            tail = jnp.log(self.base.cdf(x[..., -1]))
+            tail = jnp.log1p(-self.base.cdf(x[..., -1]))
         lp = jnp.sum(self.base.log_prob(jnp.moveaxis(x, -1, 0)), axis=0)
         # log n!/(n-k)! + (n - k) * log tail-mass (zuko/distributions.py:621-627)
         const = jsp.gammaln(self.n + 1.0) - jsp.gammaln(self.n - self.k + 1.0)

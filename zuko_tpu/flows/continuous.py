@@ -58,6 +58,7 @@ class FFJTransform(LazyTransform):
         atol: float = 1e-6,
         rtol: float = 1e-5,
         exact: bool = True,
+        max_steps: int = 256,
         key: jax.Array = None,
         **kwargs,
     ):
@@ -69,8 +70,17 @@ class FFJTransform(LazyTransform):
         self.atol = float(atol)
         self.rtol = float(rtol)
         self.exact = bool(exact)
+        self.max_steps = int(max_steps)
 
     def forward(self, c: jax.Array = None, key: jax.Array = None):
+        r"""Build the transform. With ``exact=False``, ``key`` seeds the
+        Hutchinson trace estimator; thread it from the top via
+        ``flow(c, key=key)`` (reference: zuko/transforms.py:1171-1172)."""
+        if not self.exact and key is None:
+            raise ValueError(
+                "FFJTransform(exact=False) needs a PRNG key for the"
+                " Hutchinson trace: call the flow as flow(c, key=key)."
+            )
         return FreeFormJacobianTransform(
             f=_ffj_dynamics,
             t0=0.0,
@@ -80,6 +90,7 @@ class FFJTransform(LazyTransform):
             rtol=self.rtol,
             exact=self.exact,
             key=key,
+            max_steps=self.max_steps,
         )
 
 

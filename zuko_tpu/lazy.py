@@ -31,11 +31,28 @@ __all__ = [
 ]
 
 
+def _accepts_key(fn) -> bool:
+    import inspect
+
+    try:
+        return "key" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # pragma: no cover
+        return False
+
+
 class LazyDistribution(Module):
     r"""Abstract module whose forward pass returns a distribution
-    (reference: zuko/lazy.py:29-49)."""
+    (reference: zuko/lazy.py:29-49).
 
-    def __call__(self, c: jax.Array = None) -> Distribution:
+    An optional PRNG ``key`` is threaded down to stochastic builders — e.g.
+    the Hutchinson trace estimator of :class:`zuko_tpu.flows.FFJTransform`
+    (reference exposes it as a first-class option,
+    zuko/transforms.py:1154,1171-1179): ``flow(c, key=k).log_prob(x)``.
+    """
+
+    def __call__(self, c: jax.Array = None, key: jax.Array = None) -> Distribution:
+        if key is not None and _accepts_key(self.forward):
+            return self.forward(c, key=key)
         return self.forward(c)
 
     def forward(self, c: jax.Array = None) -> Distribution:
@@ -44,9 +61,12 @@ class LazyDistribution(Module):
 
 class LazyTransform(Module):
     r"""Abstract module whose forward pass returns a transformation
-    (reference: zuko/lazy.py:52-78)."""
+    (reference: zuko/lazy.py:52-78). An optional PRNG ``key`` is forwarded to
+    builders whose ``forward`` accepts one (see :class:`LazyDistribution`)."""
 
-    def __call__(self, c: jax.Array = None) -> Transform:
+    def __call__(self, c: jax.Array = None, key: jax.Array = None) -> Transform:
+        if key is not None and _accepts_key(self.forward):
+            return self.forward(c, key=key)
         return self.forward(c)
 
     def forward(self, c: jax.Array = None) -> Transform:
@@ -65,8 +85,8 @@ class LazyInverse(LazyTransform):
     def __init__(self, transform: LazyTransform):
         self.transform = transform
 
-    def forward(self, c: jax.Array = None) -> Transform:
-        return self.transform(c).inv
+    def forward(self, c: jax.Array = None, key: jax.Array = None) -> Transform:
+        return self.transform(c, key=key).inv
 
     @property
     def inv(self) -> LazyTransform:
@@ -75,13 +95,19 @@ class LazyInverse(LazyTransform):
 
 class LazyComposedTransform(LazyTransform):
     r"""Sequence of lazy transformations composed at call time
-    (reference: zuko/lazy.py:101-128)."""
+    (reference: zuko/lazy.py:101-128). A PRNG ``key``, if given, is split and
+    forwarded to every stage that accepts one."""
 
     def __init__(self, *transforms: LazyTransform):
         self.transforms = list(transforms)
 
-    def forward(self, c: jax.Array = None) -> Transform:
-        return ComposedTransform(*(t(c) for t in self.transforms))
+    def forward(self, c: jax.Array = None, key: jax.Array = None) -> Transform:
+        if key is None:
+            return ComposedTransform(*(t(c) for t in self.transforms))
+        keys = jax.random.split(key, len(self.transforms))
+        return ComposedTransform(
+            *(t(c, key=k) for t, k in zip(self.transforms, keys))
+        )
 
 
 class Flow(LazyDistribution):
@@ -105,8 +131,8 @@ class Flow(LazyDistribution):
         self.transform = transform
         self.base = base
 
-    def forward(self, c: jax.Array = None) -> NormalizingFlow:
-        transform = self.transform(c)
+    def forward(self, c: jax.Array = None, key: jax.Array = None) -> NormalizingFlow:
+        transform = self.transform(c, key=key)
         if c is None:
             base = self.base(c)
         else:

@@ -35,6 +35,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 __all__ = [
+    "FusedStructureError",
     "extract_coupling_params",
     "extract_nsf_params",
     "fused_flow_log_prob",
@@ -47,36 +48,173 @@ __all__ = [
 _TB = 1024  # batch tile (swept on v5e: 1024 > 2048 > 512 > 256)
 
 
+class FusedStructureError(ValueError):
+    """The flow's structure cannot be represented by the fused kernels.
+
+    Raised instead of silently computing a wrong density (round-1 hazard:
+    LayerNorm/residual/non-ReLU hyper-nets used to extract cleanly and return
+    wrong numbers). The automatic dispatch catches this and falls back to the
+    XLA path; direct calls surface it to the user.
+    """
+
+
+def _univ_config(univariate, shapes):
+    """Resolve the univariate callable (possibly a functools.partial chain) to
+    a supported kind plus its static (K, bound, slope) configuration."""
+    from ..transforms import MonotonicAffineTransform, MonotonicRQSTransform
+
+    func, kw = univariate, {}
+    while isinstance(func, functools.partial):
+        if func.args:
+            raise FusedStructureError(
+                "fused kernels do not support positional partial args on the"
+                f" univariate ({func})"
+            )
+        kw = {**func.keywords, **kw}
+        func = func.func
+
+    shapes = tuple(tuple(s) for s in shapes)
+    if func is MonotonicRQSTransform:
+        if len(shapes) != 3 or not shapes[0]:
+            raise FusedStructureError(f"unexpected RQS shapes {shapes}")
+        K = shapes[0][0]
+        if shapes != ((K,), (K,), (K - 1,)):
+            raise FusedStructureError(f"unexpected RQS shapes {shapes}")
+        extra = set(kw) - {"bound", "slope"}
+        if extra:
+            raise FusedStructureError(f"unsupported RQS kwargs {extra}")
+        return "rqs", K, float(kw.get("bound", 5.0)), float(kw.get("slope", 1e-3))
+    if func is MonotonicAffineTransform:
+        if shapes != ((), ()):
+            raise FusedStructureError(f"unexpected affine shapes {shapes}")
+        extra = set(kw) - {"slope"}
+        if extra:
+            raise FusedStructureError(f"unsupported affine kwargs {extra}")
+        return "affine", 0, 5.0, float(kw.get("slope", 1e-3))
+    raise FusedStructureError(
+        f"fused kernels support MonotonicRQSTransform and"
+        f" MonotonicAffineTransform univariates, got {func}"
+    )
+
+
+def _extract_mlp_linears(hyper, linear_cls):
+    """Validate that ``hyper`` is a plain [linear, ReLU]* linear stack of
+    exactly ``linear_cls`` layers and return them. Anything else — LayerNorm
+    (``normalize=True``), residual blocks, a non-ReLU activation, bias-free
+    layers — raises :class:`FusedStructureError` (the kernel hardcodes the
+    ReLU epilogue and dense bias adds)."""
+    from ..nn import Activation
+
+    lins = []
+    expect_linear = True
+    for layer in hyper.layers:
+        if expect_linear:
+            if type(layer) is not linear_cls:
+                raise FusedStructureError(
+                    f"fused kernels support plain {linear_cls.__name__} stacks;"
+                    f" hyper-net contains {type(layer).__name__}"
+                )
+            if layer.bias is None:
+                raise FusedStructureError(
+                    "fused kernels require biased hyper-net layers"
+                )
+            lins.append(layer)
+            expect_linear = False
+        else:
+            if not (isinstance(layer, Activation) and layer.fn is jax.nn.relu):
+                raise FusedStructureError(
+                    "fused kernels support ReLU hyper-net activations only;"
+                    f" got {type(layer).__name__}"
+                    + (
+                        f"({getattr(layer, 'fn', None)})"
+                        if isinstance(layer, Activation)
+                        else ""
+                    )
+                )
+            expect_linear = True
+    if expect_linear or not lins:
+        raise FusedStructureError("hyper-net must end with a linear layer")
+    return lins
+
+
+def _base_loc_scale(flow, features):
+    """Require a DiagNormal base built through UnconditionalDistribution and
+    return its (loc, scale) arrays — the kernels evaluate the base density
+    with them, so non-standard bases stay correct rather than silently
+    assuming N(0, I)."""
+    from ..distributions import DiagNormal
+    from ..lazy import UnconditionalDistribution
+
+    base = getattr(flow, "base", None)
+    if not isinstance(base, UnconditionalDistribution) or base.f is not DiagNormal:
+        raise FusedStructureError(
+            "fused kernels require an UnconditionalDistribution(DiagNormal)"
+            f" base, got {type(base).__name__}"
+        )
+    if base.kwargs or len(base.args) != 2:
+        raise FusedStructureError(
+            "fused kernels support DiagNormal(loc, scale) bases only"
+        )
+    loc, scale = (jnp.asarray(a) for a in base.args)
+    if loc.shape != (features,) or scale.shape != (features,):
+        raise FusedStructureError(
+            f"base loc/scale must have shape ({features},),"
+            f" got {loc.shape}/{scale.shape}"
+        )
+    return loc, scale
+
+
 def extract_nsf_params(flow):
-    """Pull the per-layer (weights, biases, masks) out of an unconditional NSF
-    flow module, verifying the expected structure. Returns a list of
-    per-AR-layer dicts plus the static config."""
+    """Pull the per-layer (weights, biases, masks) out of an NSF/MAF flow
+    module, strictly verifying the supported structure (plain ReLU MADE
+    hyper-nets, RQS or affine univariates, DiagNormal base — anything else
+    raises :class:`FusedStructureError` rather than extracting a wrong
+    program). Returns a list of per-AR-layer dicts plus the static config
+    ``{bins, univ, bound, slope, loc, scale}``."""
     from ..flows.autoregressive import MaskedAutoregressiveTransform
+    from ..lazy import LazyComposedTransform
     from ..nn import MaskedLinear
 
+    if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
+        raise FusedStructureError(
+            "fused kernels require a LazyComposedTransform flow,"
+            f" got {type(getattr(flow, 'transform', None)).__name__}"
+        )
+
     layers = []
-    bins = None
-    univ = None
+    cfg = None
     for t in flow.transform.transforms:
-        assert isinstance(t, MaskedAutoregressiveTransform), type(t)
-        shapes = t.shapes
-        if len(shapes) == 3:  # NSF: [(K,), (K,), (K-1,)]
-            kind, K = "rqs", shapes[0][0]
-        elif shapes == ((), ()):  # MAF: MonotonicAffineTransform
-            kind, K = "affine", 0
-        else:
-            raise AssertionError(f"unsupported univariate shapes {shapes}")
-        bins = K if bins is None else bins
-        univ = kind if univ is None else univ
-        assert bins == K and univ == kind, "layers must share a univariate"
-        lins = [l for l in t.hyper.layers if isinstance(l, MaskedLinear)]
+        if type(t) is not MaskedAutoregressiveTransform:
+            raise FusedStructureError(
+                "fused AR kernels support MaskedAutoregressiveTransform"
+                f" layers only, got {type(t).__name__}"
+            )
+        kind, K, bound, slope = _univ_config(t.univariate, t.shapes)
+        if cfg is None:
+            cfg = (kind, K, bound, slope)
+        elif cfg != (kind, K, bound, slope):
+            raise FusedStructureError(
+                f"layers must share a univariate config: {cfg} vs"
+                f" {(kind, K, bound, slope)}"
+            )
+        lins = _extract_mlp_linears(t.hyper, MaskedLinear)
         layers.append({
             "weights": [l.weight for l in lins],
             "biases": [l.bias for l in lins],
             "masks": [l.mask for l in lins],
             "passes": int(t.passes),
         })
-    return layers, {"bins": bins, "univ": univ or "rqs"}
+    if cfg is None:
+        raise FusedStructureError("flow has no transform layers")
+
+    features = layers[0]["masks"][-1].shape[0] // (
+        _univ_size(cfg[0], cfg[1])
+    )
+    loc, scale = _base_loc_scale(flow, features)
+    return layers, {
+        "bins": cfg[1], "univ": cfg[0], "bound": cfg[2], "slope": cfg[3],
+        "loc": loc, "scale": scale,
+    }
 
 
 # --------------------------------------------------------- transposed kernel

@@ -9,6 +9,7 @@ the MLE and reverse-KL losses.
 """
 
 from .mesh import (  # noqa: F401
+    distributed_init,
     make_mesh,
     replicate,
     shard_batch,
@@ -25,6 +26,7 @@ from .train import (  # noqa: F401
 
 __all__ = [
     "TrainState",
+    "distributed_init",
     "make_mesh",
     "make_mle_step",
     "make_reverse_kl_step",

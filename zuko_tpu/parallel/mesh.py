@@ -22,6 +22,7 @@ from ..core import named_parameters, update_parameters
 from ..nn import Linear, MaskedLinear
 
 __all__ = [
+    "distributed_init",
     "make_mesh",
     "replicate",
     "shard_batch",
@@ -29,6 +30,40 @@ __all__ = [
     "sharded_fused_log_prob",
     "tensor_parallel_spec",
 ]
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> dict:
+    """Initialize the multi-host runtime and return a summary dict.
+
+    Thin, idempotent wrapper over :func:`jax.distributed.initialize` — the
+    launch step that must precede :func:`make_mesh` on a pod slice so that
+    ``jax.devices()`` spans all hosts and the ``data`` axis rides ICI/DCN.
+    On Cloud TPU all arguments are auto-detected from the metadata server;
+    on CPU/GPU pass them explicitly (one call per process).
+
+    Returns ``{"process_id", "process_count", "local_devices",
+    "global_devices"}``. Calling it again after initialization is a no-op
+    (returns the current summary), so library code can call it defensively.
+    """
+    already = jax._src.distributed.global_state.client is not None
+    if not already:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    return {
+        "process_id": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
 
 
 def make_mesh(
@@ -101,26 +136,24 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     constrains partitioning; ``shard_map`` makes the per-device shapes
     explicit so the kernel runs independently per chip). The flow's
     parameters ride in as closed-over (replicated) constants."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.nsf_fused import fused_nsf_log_prob
 
     if c is None:
-        fn = shard_map(
+        fn = jax.shard_map(
             lambda xs: fused_nsf_log_prob(flow, xs),
             mesh=mesh,
             in_specs=P("data"),
             out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(x)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda xs, cs: fused_nsf_log_prob(flow, xs, cs),
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x, c)
 

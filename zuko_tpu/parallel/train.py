@@ -9,7 +9,10 @@ the psum over grads at the ``mean`` reduction — the collective rides ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+import time
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +49,9 @@ def make_mle_step(
     docs/tutorials/forward_kl.ipynb cell 9).
 
     ``static`` is the frozen half from :func:`zuko_tpu.partition`; the step is
-    jitted and donates params/opt_state. Shard ``x``/``c`` over the mesh's
-    ``data`` axis for data parallelism.
+    jitted and **donates the incoming state** (do not reuse it after the
+    call). Shard ``x``/``c`` over the mesh's ``data`` axis for data
+    parallelism.
     """
     optimizer = optimizer or _default_optimizer(lr)
 
@@ -58,7 +62,7 @@ def make_mle_step(
         flow = combine(params, static)
         return -jnp.mean(flow(c).log_prob(x))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, x, c=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, x, c)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -78,8 +82,9 @@ def make_reverse_kl_step(
     r"""Build ``init_fn, step_fn`` for reverse-KL variational inference:
     ``loss = E_q[log q(x)] - E_q[log energy(x)]`` using the fused
     ``rsample_and_log_prob`` (reference: zuko/distributions.py:129-138 and
-    docs/tutorials/reverse_kl.ipynb cell 9). The sample axis is the sharded
-    axis; feed per-device key batches for pod-scale sampling.
+    docs/tutorials/reverse_kl.ipynb cell 9). The step is jitted and **donates
+    the incoming state**. The sample axis is the sharded axis; feed
+    per-device key batches for pod-scale sampling.
     """
     optimizer = optimizer or _default_optimizer(lr)
 
@@ -91,7 +96,7 @@ def make_reverse_kl_step(
         x, log_q = flow(None).rsample_and_log_prob(key, (n_samples,))
         return jnp.mean(log_q) - jnp.mean(log_energy(x))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -111,13 +116,22 @@ def train_mle(
     key: jax.Array = None,
     mesh=None,
     verbose: bool = False,
+    callback: Optional[Callable[[dict], None]] = None,
 ):
     r"""Reference-parity MLE loop (Adam, shuffled minibatches — the tutorial
     recipe, docs/tutorials/forward_kl.ipynb cell 9).
 
     TPU-first structure: the dataset lives on device and a whole epoch is ONE
     jitted ``lax.scan`` over shuffled minibatches — no per-step host↔device
-    round-trips (which dominate wall-clock through a tunneled chip).
+    round-trips (which dominate wall-clock through a tunneled chip). With
+    ``mesh``, dataset rows are sharded over the ``data`` axis and every
+    minibatch's batch dimension carries a sharding constraint, so the
+    per-example log_prob work splits across chips and XLA inserts the grad
+    psum at the ``mean`` — real data parallelism, parameters replicated.
+
+    ``callback``, if given, is invoked once per optimizer step (host-side,
+    after each epoch's scan completes) with a metrics dict:
+    ``{step, epoch, loss, grad_norm, examples_per_s}``.
 
     Returns ``(trained_flow, per-epoch mean losses)``.
     """
@@ -125,18 +139,32 @@ def train_mle(
 
     key = jax.random.PRNGKey(0) if key is None else key
     params, static = partition(flow)
+    # The scanned epoch donates its state; copy the params so the donation
+    # consumes fresh buffers and the caller's ``flow`` stays alive.
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)
     optimizer = _default_optimizer(lr)
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     data = jnp.asarray(np.asarray(data))
     ctx = None if context is None else jnp.asarray(np.asarray(context))
+    batch_spec = None
     if mesh is not None:
-        from .mesh import replicate
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data = replicate(mesh, data)
+        from .mesh import replicate, shard_batch
+
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, (
+            f"batch_size {batch_size} must divide over the data axis ({n_data})"
+        )
+        data = shard_batch(mesh, data)
         state = replicate(mesh, state)
         if ctx is not None:
-            ctx = replicate(mesh, ctx)
+            ctx = shard_batch(mesh, ctx)
+        # (n_batches, batch_size, ...) minibatch stacks: shard the batch dim.
+        batch_spec = lambda a: NamedSharding(  # noqa: E731
+            mesh, P(None, "data", *([None] * (a.ndim - 2)))
+        )
 
     n = data.shape[0]
     n_batches = n // batch_size
@@ -145,15 +173,19 @@ def train_mle(
         model = combine(params, static)
         return -jnp.mean(model(c).log_prob(x))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def epoch_fn(state: TrainState, perm):
         xs = data[perm[: n_batches * batch_size]].reshape(
             (n_batches, batch_size) + data.shape[1:]
         )
+        if batch_spec is not None:
+            xs = jax.lax.with_sharding_constraint(xs, batch_spec(xs))
         if ctx is not None:
             cs = ctx[perm[: n_batches * batch_size]].reshape(
                 (n_batches, batch_size) + ctx.shape[1:]
             )
+            if batch_spec is not None:
+                cs = jax.lax.with_sharding_constraint(cs, batch_spec(cs))
         else:
             cs = None
 
@@ -161,6 +193,7 @@ def train_mle(
             x = batch if cs is None else batch[0]
             c = None if cs is None else batch[1]
             loss, grads = jax.value_and_grad(loss_fn)(state.params, x, c)
+            gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -169,19 +202,34 @@ def train_mle(
                 opt_state,
                 state.step + 1,
             )
-            return new, loss
+            return new, (loss, gnorm)
 
         batches = xs if cs is None else (xs, cs)
-        state, losses = jax.lax.scan(body, state, batches)
-        return state, losses
+        state, (losses, gnorms) = jax.lax.scan(body, state, batches)
+        return state, losses, gnorms
 
     losses = []
+    step = 0
     for epoch in range(epochs):
         key, sub = jax.random.split(key)
         perm = jax.random.permutation(sub, n)
-        state, epoch_losses = epoch_fn(state, perm)
+        t0 = time.perf_counter()
+        state, epoch_losses, epoch_gnorms = epoch_fn(state, perm)
         epoch_losses = np.asarray(epoch_losses)
+        dt = time.perf_counter() - t0
         losses.append(float(epoch_losses.mean()))
+        if callback is not None:
+            epoch_gnorms = np.asarray(epoch_gnorms)
+            eps = n_batches * batch_size / max(dt, 1e-9)
+            for i in range(n_batches):
+                step += 1
+                callback({
+                    "step": step,
+                    "epoch": epoch,
+                    "loss": float(epoch_losses[i]),
+                    "grad_norm": float(epoch_gnorms[i]),
+                    "examples_per_s": eps,
+                })
         if verbose:
             print(
                 f"epoch {epoch}: loss {losses[-1]:.4f} ± {epoch_losses.std():.3f}"

@@ -1015,6 +1015,8 @@ class FreeFormJacobianTransform(Transform):
         phi: pytree of parameters of ``f`` (gradients route through it).
         exact: exact trace vs Hutchinson.
         key: PRNG key for the Hutchinson estimator.
+        max_steps: accepted-step budget of the integrator; exhaustion
+            NaN-poisons the output (see :func:`zuko_tpu.utils.odeint`).
     """
 
     domain_dim = 1
@@ -1030,6 +1032,7 @@ class FreeFormJacobianTransform(Transform):
         rtol: float = 1e-5,
         exact: bool = True,
         key: jax.Array = None,
+        max_steps: int = 256,
     ):
         self.f = f
         self.t0 = float(t0)
@@ -1039,6 +1042,7 @@ class FreeFormJacobianTransform(Transform):
         self.rtol = float(rtol)
         self.exact = bool(exact)
         self.key = key
+        self.max_steps = int(max_steps)
         self.trace_scale = 1e-2
 
     def _dyn(self, t, x, p):
@@ -1048,7 +1052,7 @@ class FreeFormJacobianTransform(Transform):
     def forward(self, x):
         return odeint(
             self._dyn, x, self.t0, self.t1,
-            {"phi": self.phi}, self.atol, self.rtol,
+            {"phi": self.phi}, self.atol, self.rtol, self.max_steps,
         )
 
     @property
@@ -1063,12 +1067,13 @@ class FreeFormJacobianTransform(Transform):
             rtol=self.rtol,
             exact=self.exact,
             key=self.key,
+            max_steps=self.max_steps,
         )
 
     def inverse(self, y):
         return odeint(
             self._dyn, y, self.t1, self.t0,
-            {"phi": self.phi}, self.atol, self.rtol,
+            {"phi": self.phi}, self.atol, self.rtol, self.max_steps,
         )
 
     def log_abs_det_jacobian(self, x, y):
@@ -1108,7 +1113,7 @@ class FreeFormJacobianTransform(Transform):
         ladj0 = jnp.zeros(x.shape[:-1], x.dtype)
         y, ladj = odeint(
             f_aug, (x, ladj0), self.t0, self.t1,
-            phi=aux, atol=self.atol, rtol=self.rtol,
+            phi=aux, atol=self.atol, rtol=self.rtol, max_steps=self.max_steps,
         )
         return y, ladj / scale
 

@@ -426,6 +426,14 @@ def _odeint_fwd_loop(f, rtol, atol, max_steps, x0, phi):
     x, t, dt, k, attempts, bx, bt, bdt = lax.while_loop(
         cond, body, (x0, t0, dt0, k0, jnp.asarray(0, jnp.int32), buf_x, buf_t, buf_dt)
     )
+    # Fail loudly on budget exhaustion: a stiff system that runs out of
+    # accepted steps (or error-control attempts) before reaching t=1 must not
+    # return a silently-truncated state (the reference ACA never truncates,
+    # zuko/utils.py:538-552). NaN-poison the output instead. The tolerance
+    # absorbs the t + (1-t) != 1 float residue of the final clamped step.
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    exhausted = t < 1.0 - 64.0 * eps
+    x = jnp.where(exhausted, jnp.full_like(x, jnp.nan), x)
     return x, (bx, bt, bdt), k
 
 
