@@ -46,15 +46,14 @@ def bench_ours():
     )
     params, static = partition(flow)
 
-    from zuko_tpu.ops.nsf_fused import fused_nsf_log_prob
-
     @jax.jit
     def log_prob_loop(params, x):
         def body(carry, _):
             model = combine(params, static)
-            # fused Pallas kernel on TPU (jnp fallback elsewhere); verified
-            # equivalent to model(None).log_prob(x) to float32 roundoff
-            return carry + jnp.sum(fused_nsf_log_prob(model, x + 1e-9 * carry)), None
+            # public API: on TPU this auto-dispatches to the fused Pallas
+            # kernel (zuko_tpu/ops/dispatch.py); verified equivalent to the
+            # XLA path to float32 roundoff
+            return carry + jnp.sum(model(None).log_prob(x + 1e-9 * carry)), None
 
         out, _ = lax.scan(body, 0.0, None, length=REPEATS)
         return out

@@ -21,13 +21,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zuko_tpu.data import uci_power
 from zuko_tpu.flows import NSF
 from zuko_tpu.parallel import train_mle
 
 
 def main():
+    import os
+
     parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="power",
+                        choices=["power", "gas", "hepmass", "miniboone"])
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--transforms", type=int, default=5)
@@ -35,14 +38,19 @@ def main():
     parser.add_argument("--data-path", type=str, default=None)
     args = parser.parse_args()
 
-    train, val, test = uci_power(args.data_path)
-    real = args.data_path is not None
-    print(f"data: {'UCI POWER' if real else 'synthetic surrogate'} "
+    from zuko_tpu.data import uci_dataset
+
+    train, val, test = uci_dataset(args.dataset, args.data_path)
+    real = args.data_path is not None or os.environ.get("ZUKO_TPU_DATA_DIR")
+    if not real:
+        print("*** SYNTHETIC SURROGATE — NLLs below are NOT comparable to"
+              " published UCI numbers; see zuko_tpu.data._UCI_URL ***")
+    print(f"data: {'UCI ' + args.dataset.upper() if real else 'surrogate'} "
           f"train={train.shape} test={test.shape}")
 
     key = jax.random.PRNGKey(0)
     flow = NSF(
-        6, 0,
+        train.shape[1], 0,
         transforms=args.transforms,
         hidden_features=(args.hidden, args.hidden),
         key=key,
@@ -57,11 +65,15 @@ def main():
     wall = time.perf_counter() - t0
 
     test_nll = -float(jnp.mean(trained(None).log_prob(jnp.asarray(test))))
+    val_nll = -float(jnp.mean(trained(None).log_prob(jnp.asarray(val))))
     n_steps = args.epochs * (train.shape[0] // args.batch)
-    print(f"test NLL: {test_nll:.4f}")
+    print(f"val NLL: {val_nll:.4f}  test NLL: {test_nll:.4f}")
     print(f"wall: {wall:.1f}s ({n_steps * args.batch / wall:,.0f} examples/s)")
     if real:
-        print("NSF paper reference for POWER: ~ -0.66 nats")
+        anchors = {"power": -0.66, "gas": -13.09, "hepmass": 14.01,
+                   "miniboone": 9.22}
+        print(f"NSF paper reference NLL for {args.dataset.upper()}:"
+              f" ~ {anchors[args.dataset]} nats")
 
 
 if __name__ == "__main__":

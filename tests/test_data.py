@@ -1,0 +1,72 @@
+r"""UCI dataset tier: real-data layouts, POWER preprocessing semantics, and
+clearly-separated surrogates."""
+
+import numpy as np
+import pytest
+
+from zuko_tpu.data import _power_preprocess, two_moons, uci_dataset
+
+
+def test_surrogate_dims():
+    for name, d in [("power", 6), ("gas", 8), ("hepmass", 21), ("miniboone", 43)]:
+        train, val, test = uci_dataset(name, n=4096)
+        assert train.shape == (4096, d)
+        assert val.shape == test.shape == (512, d)
+        # surrogate train is standardized
+        assert np.allclose(train.mean(0), 0.0, atol=0.1)
+        assert np.allclose(train.std(0), 1.0, atol=0.1)
+
+
+def test_unknown_dataset():
+    with pytest.raises(ValueError, match="unknown UCI dataset"):
+        uci_dataset("celeba")
+
+
+def test_presplit_layout(tmp_path):
+    rng = np.random.RandomState(0)
+    for s, m in [("train", 100), ("val", 20), ("test", 30)]:
+        np.save(tmp_path / f"power_{s}.npy", rng.randn(m, 6).astype(np.float32))
+    train, val, test = uci_dataset("power", str(tmp_path))
+    assert train.shape == (100, 6) and val.shape == (20, 6) and test.shape == (30, 6)
+
+
+def test_archive_layout_power(tmp_path):
+    rng = np.random.RandomState(0)
+    (tmp_path / "power").mkdir()
+    raw = rng.rand(1000, 8).astype(np.float64) * 5
+    np.save(tmp_path / "power" / "data.npy", raw)
+    train, val, test = uci_dataset("power", str(tmp_path))
+    # standard split fractions: 10% test, then 10% of the rest validation
+    assert test.shape == (100, 6)
+    assert val.shape == (90, 6)
+    assert train.shape == (810, 6)
+    # z-scored with train+val moments
+    tv = np.vstack((train, val))
+    assert np.allclose(tv.mean(0), 0.0, atol=1e-5)
+    assert np.allclose(tv.std(0), 1.0, atol=1e-4)
+
+
+def test_archive_layout_power_columns():
+    # the 8-column archive matrix drops raw columns 3 then 1
+    # (global_intensity, global_reactive_power) leaving D=6
+    raw = np.tile(np.arange(8, dtype=np.float64), (1000, 1))
+    train, _, _ = _power_preprocess(raw.copy())
+    assert train.shape[1] == 6
+
+
+def test_archive_layout_other_requires_presplit(tmp_path):
+    (tmp_path / "gas").mkdir()
+    np.save(tmp_path / "gas" / "data.npy", np.zeros((10, 8)))
+    with pytest.raises(ValueError, match="power"):
+        uci_dataset("gas", str(tmp_path))
+
+
+def test_missing_path_errors(tmp_path):
+    with pytest.raises(FileNotFoundError, match="zenodo"):
+        uci_dataset("power", str(tmp_path / "nope"))
+
+
+def test_two_moons_shapes():
+    x, y = two_moons(256)
+    assert x.shape == (256, 2) and y.shape == (256,)
+    assert set(np.unique(y)) <= {0.0, 1.0}

@@ -1,0 +1,301 @@
+r"""Automatic fused-kernel dispatch through the public flow API.
+
+The reference's fused protocol is the default API, not an opt-in
+(reference: zuko/transforms.py:46-56); these tests pin the TPU-native
+analogue: ``flow(c).log_prob(x)`` routes through the fused kernels when the
+structure matches (forced on CPU via ``ZUKO_TPU_FUSED_DISPATCH=1``), falls
+back silently when it doesn't, and never changes results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zuko_tpu import combine, partition
+from zuko_tpu.core import named_parameters
+from zuko_tpu.distributions import DiagNormal, NormalizingFlow
+from zuko_tpu.flows import MAF, NICE, NSF
+from zuko_tpu.lazy import Flow, UnconditionalDistribution
+from zuko_tpu.ops.dispatch import (
+    FusedAutoregressiveFlow,
+    FusedCouplingFlow,
+    fused_dispatch_enabled,
+    maybe_fused_flow,
+)
+from zuko_tpu.ops.nsf_fused import (
+    FusedStructureError,
+    extract_coupling_params,
+    fused_nice_log_prob,
+    fused_nsf_log_prob,
+)
+
+
+@pytest.fixture
+def dispatch_on(monkeypatch):
+    monkeypatch.setenv("ZUKO_TPU_FUSED_DISPATCH", "1")
+
+
+@pytest.fixture
+def dispatch_off(monkeypatch):
+    monkeypatch.setenv("ZUKO_TPU_FUSED_DISPATCH", "0")
+
+
+def test_dispatch_gating(monkeypatch):
+    monkeypatch.setenv("ZUKO_TPU_FUSED_DISPATCH", "0")
+    assert not fused_dispatch_enabled()
+    monkeypatch.setenv("ZUKO_TPU_FUSED_DISPATCH", "1")
+    assert fused_dispatch_enabled()
+    monkeypatch.delenv("ZUKO_TPU_FUSED_DISPATCH")
+    # auto: off on the CPU test backend
+    assert not fused_dispatch_enabled()
+
+
+@pytest.mark.parametrize("cls,ctx", [
+    (NSF, 0), (NSF, 3), (MAF, 0), (MAF, 3), (NICE, 0), (NICE, 3),
+])
+def test_dispatched_log_prob_matches_xla(cls, ctx, key, dispatch_on):
+    r"""flow(c).log_prob(x) through the fused path equals the XLA path for
+    every supported flow class, conditional and unconditional."""
+    kf, kx, kc = jax.random.split(key, 3)
+    flow = cls(4, ctx, transforms=2, hidden_features=(16, 16), key=kf)
+    x = jax.random.normal(kx, (32, 4))
+    c = jax.random.normal(kc, (3,)) if ctx else None
+
+    d = flow(c)
+    expected = FusedCouplingFlow if cls is NICE else FusedAutoregressiveFlow
+    assert type(d) is expected, type(d)
+    lp = d.log_prob(x)
+
+    # XLA path: plain NormalizingFlow built directly from the same pieces
+    plain = NormalizingFlow(flow.transform(c), d.base)
+    lp_ref = plain.log_prob(x)
+    assert lp.shape == lp_ref.shape == (32,)
+    assert jnp.allclose(lp, lp_ref, atol=1e-8), jnp.abs(lp - lp_ref).max()
+
+
+def test_dispatched_sampling_matches_xla(key, dispatch_on):
+    r"""Fused sample / sample_and_log_prob equal the XLA path (same base
+    draws, inverted by fixed-point sweeps vs scan)."""
+    kf, ks = jax.random.split(key)
+    flow = NSF(3, 0, transforms=2, hidden_features=(16, 16), key=kf)
+
+    d = flow(None)
+    assert type(d) is FusedAutoregressiveFlow
+    x = d.sample(ks, (64,))
+
+    plain = NormalizingFlow(flow.transform(None), d.base)
+    x_ref = plain.sample(ks, (64,))
+    assert jnp.allclose(x, x_ref, atol=1e-6), jnp.abs(x - x_ref).max()
+
+    xs, lq = d.sample_and_log_prob(ks, (64,))
+    xs_ref, lq_ref = plain.sample_and_log_prob(ks, (64,))
+    assert jnp.allclose(xs, xs_ref, atol=1e-6)
+    assert jnp.allclose(lq, lq_ref, atol=1e-6)
+
+    # the differentiable path stays XLA and still agrees
+    xr, lr = d.rsample_and_log_prob(ks, (16,))
+    assert jnp.allclose(lr, d.log_prob(xr), atol=1e-5)
+
+
+def test_dispatched_gradients_match(key, dispatch_on):
+    r"""Training gradients through the dispatched path equal the XLA path
+    (the fused custom-VJP backward runs the identical math)."""
+    kf, kx = jax.random.split(key)
+    flow = NSF(3, 0, transforms=2, hidden_features=(16, 16), key=kf)
+    x = jax.random.normal(kx, (64, 3))
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(None).log_prob(x))
+
+    g_fused = jax.grad(loss)(params)
+
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    # params are float32: allow roundoff from the different expression order
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=2e-6), (n, jnp.abs(a - b).max())
+
+
+def test_structure_mismatch_falls_back(key, dispatch_on):
+    r"""Non-representable structures silently keep the XLA path — and the
+    direct fused call raises instead of computing a wrong density
+    (round-1 hazard)."""
+    x = jax.random.normal(key, (8, 3))
+
+    for bad in [
+        NSF(3, transforms=2, residual=True, key=key),
+        NSF(3, transforms=2, activation=jax.nn.elu, key=key),
+        MAF(3, transforms=2, activation=jax.nn.elu, key=key),
+    ]:
+        d = bad(None)
+        assert type(d) is NormalizingFlow, type(d)
+        assert jnp.all(jnp.isfinite(d.log_prob(x)))
+        with pytest.raises(FusedStructureError):
+            fused_nsf_log_prob(bad, x)
+
+    # coupling path: LayerNorm'd hyper-net must NOT extract cleanly
+    nice = NICE(4, transforms=2, normalize=True, key=key)
+    d = nice(None)
+    assert type(d) is NormalizingFlow
+    with pytest.raises(FusedStructureError):
+        extract_coupling_params(nice)
+    with pytest.raises(FusedStructureError):
+        fused_nice_log_prob(nice, jax.random.normal(key, (8, 4)))
+
+
+def test_nonstandard_base_falls_back(key, dispatch_on):
+    r"""A non-N(0,I) base is not representable by the kernels — it must fall
+    back (not silently assume a standard base)."""
+    from zuko_tpu.flows.autoregressive import MaskedAutoregressiveTransform
+
+    layers = [
+        MaskedAutoregressiveTransform(features=3, key=k)
+        for k in jax.random.split(key, 2)
+    ]
+    base = UnconditionalDistribution(
+        DiagNormal, jnp.full(3, 0.5), jnp.full(3, 2.0), buffer=True
+    )
+    flow = Flow(layers, base)
+    d = flow(None)
+    assert type(d) is NormalizingFlow, type(d)
+    x = jax.random.normal(key, (8, 3))
+    assert jnp.all(jnp.isfinite(d.log_prob(x)))
+    with pytest.raises(FusedStructureError):
+        fused_nsf_log_prob(flow, x)
+
+
+def test_nondefault_bound_slope_honored(key, dispatch_on):
+    r"""The kernels take bound/slope from the flow's own univariate config —
+    a non-default NSF(slope=...) must not silently use the defaults."""
+    from functools import partial as fpartial
+
+    from zuko_tpu.flows.autoregressive import MaskedAutoregressiveTransform
+    from zuko_tpu.transforms import MonotonicRQSTransform
+
+    rqs = fpartial(MonotonicRQSTransform, bound=3.0, slope=1e-2)
+    layers = [
+        MaskedAutoregressiveTransform(
+            features=3, univariate=rqs, shapes=[(6,), (6,), (5,)], key=k
+        )
+        for k in jax.random.split(key, 2)
+    ]
+    base = UnconditionalDistribution(
+        DiagNormal, jnp.zeros(3), jnp.ones(3), buffer=True
+    )
+    flow = Flow(layers, base)
+    d = flow(None)
+    assert type(d) is FusedAutoregressiveFlow, type(d)
+
+    x = jax.random.normal(key, (32, 3)) * 2.0
+    lp_ref = NormalizingFlow(flow.transform(None), d.base).log_prob(x)
+    assert jnp.allclose(d.log_prob(x), lp_ref, atol=1e-8)
+
+
+def test_dispatch_under_jit_with_partitioned_params(key, dispatch_on):
+    r"""Inside jit, weights are traced but buffers ride in `static` as
+    concrete arrays — dispatch must still engage and agree with XLA."""
+    kf, kx = jax.random.split(key)
+    flow = NSF(3, 0, transforms=2, hidden_features=(16, 16), key=kf)
+    x = jax.random.normal(kx, (32, 3))
+    params, static = partition(flow)
+
+    calls = []
+    orig = maybe_fused_flow
+
+    def spy(*args):
+        out = orig(*args)
+        calls.append(type(out).__name__)
+        return out
+
+    import zuko_tpu.ops.dispatch as disp
+
+    old = disp.maybe_fused_flow
+    disp.maybe_fused_flow = spy
+    try:
+        lp = jax.jit(
+            lambda p, x: combine(p, static)(None).log_prob(x)
+        )(params, x)
+    finally:
+        disp.maybe_fused_flow = old
+
+    assert calls == ["FusedAutoregressiveFlow"], calls
+
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(None).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(lp, lp_ref, atol=1e-8)
+
+
+def test_train_mle_through_dispatch(key, dispatch_on):
+    r"""The canonical training loop converges identically whether or not
+    dispatch is engaged (custom-VJP backward == XLA backward)."""
+    import os
+
+    from zuko_tpu.parallel import train_mle
+
+    data = np.asarray(jax.random.normal(key, (128, 3)))
+    flow = NSF(3, transforms=2, hidden_features=(16, 16), key=key)
+    _, losses = train_mle(flow, data, epochs=2, batch_size=32, key=key)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        flow2 = NSF(3, transforms=2, hidden_features=(16, 16), key=key)
+        _, losses_ref = train_mle(flow2, data, epochs=2, batch_size=32, key=key)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    assert np.allclose(losses, losses_ref, atol=1e-6), (losses, losses_ref)
+
+
+def test_naf_fused_sampling_matches_xla(key, dispatch_on):
+    r"""NAF sampling dispatches through the fused bisection kernel and equals
+    the XLA newton_bisection path to solver tolerance."""
+    from zuko_tpu.flows import NAF
+    from zuko_tpu.ops.dispatch import FusedNeuralSamplingFlow
+    from zuko_tpu.ops.naf_fused import FusedStructureError as FSE
+    from zuko_tpu.ops.naf_fused import extract_naf_params, fused_naf_sample
+
+    kf, ks = jax.random.split(key)
+    flow = NAF(3, transforms=2, signal=8, key=kf)
+    d = flow(None)
+    assert type(d) is FusedNeuralSamplingFlow, type(d)
+
+    x = d.sample(ks, (32,))
+    plain = NormalizingFlow(flow.transform(None), d.base)
+    x_ref = plain.sample(ks, (32,))
+    assert jnp.allclose(x, x_ref, atol=1e-5), jnp.abs(x - x_ref).max()
+
+    # conditional path
+    flow_c = NAF(3, 2, transforms=2, signal=8, key=kf)
+    c = jnp.ones(2)
+    dc = flow_c(c)
+    assert type(dc) is FusedNeuralSamplingFlow
+    xc = dc.sample(ks, (16,))
+    xc_ref = NormalizingFlow(flow_c.transform(c), dc.base).sample(ks, (16,))
+    assert jnp.allclose(xc, xc_ref, atol=1e-5)
+
+    # density and rsample stay on the (differentiable) XLA path
+    lp = d.log_prob(x)
+    assert jnp.allclose(lp, plain.log_prob(x), atol=1e-6)
+    xr = d.rsample(ks, (4,))
+    assert jnp.allclose(xr, plain.sample(ks, (4,)), atol=1e-6)
+
+    # structure hazards are rejected, not silently mis-sampled
+    bad = NAF(3, transforms=2, signal=8, activation=jax.nn.elu, key=kf)
+    assert type(bad(None)) is NormalizingFlow
+    with pytest.raises(FSE):
+        extract_naf_params(bad)
+    with pytest.raises(FSE):
+        fused_naf_sample(bad, ks, (4,))

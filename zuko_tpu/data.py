@@ -15,7 +15,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["two_moons", "ring_energy", "uci_power"]
+__all__ = ["two_moons", "ring_energy", "uci_dataset", "uci_power"]
 
 
 def two_moons(n: int, sigma: float = 1e-1, seed: int = 0):
@@ -48,20 +48,66 @@ def ring_energy(x):
     return jnp.sin(jnp.pi * x1) - 2 * (x1**2 + x2**2 - 2) ** 2
 
 
-def uci_power(path: str = None, n: int = 65536, seed: int = 0):
-    """UCI POWER (D=6). Loads ``{path}/power_{split}.npy`` when present;
-    otherwise returns a synthetic surrogate of matched dimensionality so the
-    pipeline and benchmarks run hermetically."""
-    if path is not None:
-        train = np.load(os.path.join(path, "power_train.npy"))
-        val = np.load(os.path.join(path, "power_val.npy"))
-        test = np.load(os.path.join(path, "power_test.npy"))
-        return train, val, test
+# UCI tabular-density benchmark suite (the NSF paper's evaluation datasets,
+# linked from /root/reference/README.md:88). Feature dimensionalities below
+# match the standard MAF-preprocessed versions.
+_UCI_DIMS = {"power": 6, "gas": 8, "hepmass": 21, "miniboone": 43}
 
+#: How to obtain the real data (zero-egress here, so it cannot be baked):
+#: download the preprocessed MAF datasets archive (``data.tar.gz`` from the
+#: "MAF datasets" record on Zenodo, https://zenodo.org/record/1161203 — the
+#: same files every flow paper uses), unpack it, and either
+#:
+#: * point ``ZUKO_TPU_DATA_DIR`` (or the ``path=`` argument) at a directory
+#:   containing ``{name}/data.npy`` (the archive layout) — the standard
+#:   shuffle/noise/split/normalize preprocessing is applied here, or
+#: * drop already-preprocessed ``{name}_{train,val,test}.npy`` files in it.
+_UCI_URL = "https://zenodo.org/record/1161203 (MAF datasets, data.tar.gz)"
+
+
+def _power_preprocess(data: np.ndarray):
+    """The standard POWER preprocessing (MAF repo ``datasets/power.py``,
+    reused verbatim by the NSF paper): shuffle with seed 42, drop raw columns
+    3 then 1 (global_intensity, global_reactive_power) leaving D=6,
+    dequantize with uniform noise (gap 1e-3, voltage 1e-2, sub-meters 1.0,
+    time 0), split off 10% test then 10% validation, and z-score with
+    train+val moments."""
+    rng = np.random.RandomState(42)
+    rng.shuffle(data)
+    n = data.shape[0]
+    data = np.delete(data, 3, axis=1)
+    data = np.delete(data, 1, axis=1)
+
+    gap_noise = 0.001 * rng.rand(n, 1)
+    voltage_noise = 0.01 * rng.rand(n, 1)
+    sm_noise = rng.rand(n, 3)
+    time_noise = np.zeros((n, 1))
+    data = data + np.hstack(
+        (gap_noise, voltage_noise, sm_noise, time_noise)
+    )
+
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    data = data[:-n_test]
+    n_val = int(0.1 * data.shape[0])
+    val = data[-n_val:]
+    train = data[:-n_val]
+
+    mu = np.vstack((train, val)).mean(axis=0)
+    sd = np.vstack((train, val)).std(axis=0)
+    return tuple(
+        ((s - mu) / sd).astype(np.float32) for s in (train, val, test)
+    )
+
+
+def _uci_surrogate(name: str, n: int, seed: int):
+    """Synthetic surrogate with the real dataset's dimensionality — a
+    3-component correlated Gaussian mixture. CLEARLY NOT the real data: use
+    it only to exercise/benchmark the pipeline hermetically; real NLL numbers
+    require the downloaded datasets (see ``_UCI_URL``)."""
     rng = np.random.RandomState(seed)
-    D = 6
+    D = _UCI_DIMS[name]
 
-    # one fixed generative structure shared by all splits
     centers = rng.randn(3, D) * 1.5
     A = rng.randn(D, D) * 0.3 + np.eye(D)
 
@@ -73,4 +119,61 @@ def uci_power(path: str = None, n: int = 65536, seed: int = 0):
 
     train = make(n)
     mu, sd = train.mean(0), train.std(0)
-    return tuple(((s - mu) / sd).astype(np.float32) for s in (train, make(n // 8), make(n // 8)))
+    return tuple(
+        ((s - mu) / sd).astype(np.float32)
+        for s in (train, make(n // 8), make(n // 8))
+    )
+
+
+def uci_dataset(name: str, path: str = None, n: int = 65536, seed: int = 0):
+    """Load a UCI tabular-density benchmark split ``(train, val, test)``.
+
+    Arguments:
+        name: one of ``power``, ``gas``, ``hepmass``, ``miniboone``.
+        path: directory with the real data; defaults to ``$ZUKO_TPU_DATA_DIR``.
+            Two layouts are recognized, in order:
+
+            1. ``{path}/{name}_{train,val,test}.npy`` — preprocessed splits,
+               returned as-is;
+            2. ``{path}/{name}/data.npy`` — the MAF archive layout; for
+               ``power`` the standard preprocessing is applied here
+               (see ``_power_preprocess``), other datasets must be
+               pre-split (their preprocessing involves per-dataset column
+               pruning best done with the original scripts).
+
+            With neither present (or ``path=None``) a synthetic surrogate of
+            matched dimensionality is returned so the pipeline runs
+            hermetically — surrogate NLLs are NOT comparable to published
+            numbers. Acquisition: see ``zuko_tpu.data._UCI_URL``.
+    """
+    name = name.lower()
+    if name not in _UCI_DIMS:
+        raise ValueError(f"unknown UCI dataset {name!r}; options: {sorted(_UCI_DIMS)}")
+    path = path or os.environ.get("ZUKO_TPU_DATA_DIR")
+
+    if path is not None:
+        split_files = [
+            os.path.join(path, f"{name}_{s}.npy") for s in ("train", "val", "test")
+        ]
+        if all(os.path.exists(f) for f in split_files):
+            return tuple(np.load(f) for f in split_files)
+        raw = os.path.join(path, name, "data.npy")
+        if os.path.exists(raw):
+            if name != "power":
+                raise ValueError(
+                    f"raw-archive preprocessing is implemented for 'power'"
+                    f" only; pre-split {name} with the original scripts and"
+                    f" drop {name}_{{train,val,test}}.npy files instead"
+                )
+            return _power_preprocess(np.load(raw))
+        raise FileNotFoundError(
+            f"no {name} data under {path!r}; expected {name}_train.npy etc."
+            f" or {name}/data.npy — download from {_UCI_URL}"
+        )
+
+    return _uci_surrogate(name, n, seed)
+
+
+def uci_power(path: str = None, n: int = 65536, seed: int = 0):
+    """UCI POWER (D=6) — see :func:`uci_dataset`."""
+    return uci_dataset("power", path, n, seed)

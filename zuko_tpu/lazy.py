@@ -137,6 +137,18 @@ class Flow(LazyDistribution):
             base = self.base(c)
         else:
             base = self.base(c).expand(c.shape[:-1])
+
+        # Fused fast path: on TPU (or when forced), flows whose structure the
+        # whole-flow Pallas kernels can represent return a distribution that
+        # routes log_prob/sample through them — same results, kernel speed
+        # (the reference's fused protocol is likewise the default API,
+        # zuko/transforms.py:46-56). Everything else silently keeps XLA.
+        from .ops.dispatch import fused_dispatch_enabled, maybe_fused_flow
+
+        if fused_dispatch_enabled():
+            fused = maybe_fused_flow(self, transform, base, c)
+            if fused is not None:
+                return fused
         return NormalizingFlow(transform, base)
 
 

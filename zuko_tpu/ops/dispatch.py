@@ -1,0 +1,144 @@
+r"""Automatic fused-kernel dispatch for the flow zoo.
+
+In the reference, the fused fast path *is* the API: ``call_and_ladj`` is
+monkeypatched onto every transform so every caller gets it
+(reference: zuko/transforms.py:46-56). The TPU-native analogue: when a
+:class:`zuko_tpu.lazy.Flow` is called, its structure is inspected once and —
+if it matches what the whole-flow Pallas kernels can represent — the returned
+distribution routes ``log_prob`` / ``sample`` / ``sample_and_log_prob``
+through :mod:`zuko_tpu.ops.nsf_fused` automatically. Anything the kernels
+cannot represent (LayerNorm/residual/non-ReLU hyper-nets, exotic univariates,
+non-standard bases) falls back to the XLA path, so dispatch never changes
+results — only speed.
+
+Dispatch policy (``ZUKO_TPU_FUSED_DISPATCH``):
+
+* ``"auto"`` (default): dispatch on TPU backends only — on CPU/GPU the XLA
+  path is used directly (the fused jnp fallback has no advantage there).
+* ``"1"``: always dispatch (tests use this to exercise the fused math on CPU).
+* ``"0"``: never dispatch.
+
+The differentiable sampling path (``rsample`` / ``rsample_and_log_prob``,
+the reverse-KL workhorse — reference: zuko/distributions.py:129-138) stays on
+XLA: the fused sampler is a forward-only kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from ..distributions import NormalizingFlow
+from .naf_fused import extract_naf_params, fused_naf_sample
+from .nsf_fused import (
+    FusedStructureError,
+    extract_coupling_params,
+    extract_nsf_params,
+    fused_nice_log_prob,
+    fused_nsf_log_prob,
+    fused_nsf_sample,
+)
+
+__all__ = [
+    "FusedAutoregressiveFlow",
+    "FusedCouplingFlow",
+    "FusedNeuralSamplingFlow",
+    "fused_dispatch_enabled",
+    "maybe_fused_flow",
+]
+
+
+def fused_dispatch_enabled() -> bool:
+    """Whether ``Flow.__call__`` should attempt fused dispatch."""
+    env = os.environ.get("ZUKO_TPU_FUSED_DISPATCH", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+class FusedAutoregressiveFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose density and sampling run through the
+    fused whole-flow kernels (NSF/MAF structure). ``log_prob`` is
+    differentiable (custom VJP over the identical jnp math); ``rsample`` and
+    ``rsample_and_log_prob`` keep the XLA path for gradients."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        return fused_nsf_log_prob(self._module, x, self._c)
+
+    def sample(self, key, sample_shape=()):
+        return fused_nsf_sample(self._module, key, sample_shape, c=self._c)
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        return fused_nsf_sample(
+            self._module, key, sample_shape, c=self._c, want_log_prob=True
+        )
+
+    def rsample(self, key, sample_shape=()):
+        return NormalizingFlow.sample(self, key, sample_shape)
+
+    def rsample_and_log_prob(self, key, sample_shape=()):
+        return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
+
+
+class FusedCouplingFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose density runs through the fused
+    coupling (NICE/RealNVP) math; sampling keeps the XLA path (coupling
+    inversion is two sweeps — already cheap under XLA)."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        return fused_nice_log_prob(self._module, x, self._c)
+
+
+class FusedNeuralSamplingFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose (non-differentiable) ``sample`` runs
+    through the fused NAF inversion kernel — the reference's single worst
+    hot loop, ~25 bisection steps × monotone-net evals per feature per sweep
+    (reference: zuko/transforms.py:609-617). Density and ``rsample`` keep
+    the XLA path."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def sample(self, key, sample_shape=()):
+        return fused_naf_sample(self._module, key, sample_shape, c=self._c)
+
+    def rsample(self, key, sample_shape=()):
+        return NormalizingFlow.sample(self, key, sample_shape)
+
+
+def maybe_fused_flow(module, transform, base, c):
+    """Return a fused :class:`NormalizingFlow` for ``module`` if its structure
+    matches the fused kernels, else ``None`` (caller falls back to the plain
+    XLA-path distribution)."""
+    try:
+        extract_nsf_params(module)
+    except FusedStructureError:
+        pass
+    else:
+        return FusedAutoregressiveFlow(transform, base, module, c)
+    try:
+        extract_coupling_params(module)
+    except FusedStructureError:
+        pass
+    else:
+        return FusedCouplingFlow(transform, base, module, c)
+    try:
+        extract_naf_params(module)
+    except FusedStructureError:
+        return None
+    return FusedNeuralSamplingFlow(transform, base, module, c)

@@ -1,0 +1,375 @@
+r"""Fused NAF sampling: whole-flow autoregressive inversion with in-tile
+monotone-network bisection.
+
+The reference's NAF sampling hot loop is brutal: per autoregressive layer,
+``passes``(=F) sequential hyper-net sweeps, and inside each sweep every
+feature's univariate inverse is itself an iterative solve —
+~25 bisection steps × monotone-net evaluations
+(reference: zuko/transforms.py:609-617 via zuko/utils.py:170-183, net
+structure zuko/flows/neural.py:32-71). On the XLA path each solver step is a
+separate dispatch chain; fused, the MADE pass, every bisection iterate, and
+every monotone-net evaluation run per batch tile with ALL weights pinned in
+VMEM.
+
+Layout: transposed tiles (batch in the 128-lane dim). MADE signal outputs
+stay FEATURE-major — ``h[f*S:(f+1)*S]`` is feature ``f``'s signal slab —
+because the monotone net consumes a contiguous ``(1+S, TB)`` input per
+feature. The stacked monotone weights ``(F, out, in)`` are flattened to
+``(F*out, in)`` so per-feature blocks are aligned row slices.
+
+Forward-only (sampling); gradients go through the XLA path
+(``newton_bisection``'s implicit-function-theorem custom VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from .nsf_fused import (
+    FusedStructureError,
+    _extract_mlp_linears,
+    _hyper_T,
+    _require_standard_base,
+    _use_pallas_fused,
+)
+
+__all__ = ["extract_naf_params", "fused_naf_sample"]
+
+_TB = 1024
+
+# bisection iteration count: ceil(log2(2 * bound / eps)) — the reference's
+# choice (zuko/transforms.py:609-617) with bound=10, eps=1e-6
+def _n_bisect(bound, eps):
+    return int(math.ceil(math.log2(2.0 * bound / eps)))
+
+
+def extract_naf_params(flow):
+    """Strictly validate a NAF flow's structure and pull out per-AR-layer
+    parameters. Expected pattern (reference recipe,
+    zuko/flows/neural.py:121-182): MaskedAutoregressiveTransform layers with
+    an MNN univariate (shapes ``((S,),)``), interleaved with unconditional
+    ``SoftclipTransform(bound=11)``; plain ReLU MADE hyper-nets; standard
+    DiagNormal base. Anything else raises :class:`FusedStructureError`."""
+    from ..flows.autoregressive import MaskedAutoregressiveTransform
+    from ..flows.neural import MNN
+    from ..lazy import LazyComposedTransform, UnconditionalTransform
+    from ..nn import MaskedLinear, MonotonicLinear, TwoWayELU
+    from ..transforms import SoftclipTransform
+
+    if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
+        raise FusedStructureError(
+            "fused NAF sampling requires a LazyComposedTransform flow,"
+            f" got {type(getattr(flow, 'transform', None)).__name__}"
+        )
+
+    stages = []  # ("softclip", bound) | ("ar", dict)
+    S = None
+    for t in flow.transform.transforms:
+        if isinstance(t, UnconditionalTransform):
+            if t.f is not SoftclipTransform or t.args:
+                raise FusedStructureError(
+                    "fused NAF sampling supports SoftclipTransform"
+                    f" interleaves only, got {t.f}"
+                )
+            stages.append(("softclip", float(t.kwargs.get("bound", 5.0))))
+            continue
+        if type(t) is not MaskedAutoregressiveTransform:
+            raise FusedStructureError(
+                "fused NAF sampling supports MaskedAutoregressiveTransform"
+                f" layers only, got {type(t).__name__}"
+            )
+        if not isinstance(t.univariate, MNN):
+            raise FusedStructureError(
+                f"fused NAF sampling expects MNN univariates, got"
+                f" {type(t.univariate).__name__}"
+            )
+        shapes = tuple(tuple(s) for s in t.shapes)
+        if len(shapes) != 1 or len(shapes[0]) != 1:
+            raise FusedStructureError(f"unexpected MNN shapes {shapes}")
+        if S is None:
+            S = shapes[0][0]
+        elif S != shapes[0][0]:
+            raise FusedStructureError("layers must share the signal size")
+
+        lins = _extract_mlp_linears(t.hyper, MaskedLinear)
+
+        # monotone net: [MonotonicLinear, TwoWayELU]* + MonotonicLinear,
+        # stacked over features
+        net = t.univariate.network
+        mono = []
+        expect_linear = True
+        for layer in net.layers:
+            if expect_linear:
+                if type(layer) is not MonotonicLinear:
+                    raise FusedStructureError(
+                        "fused NAF sampling expects MonotonicLinear stacks,"
+                        f" got {type(layer).__name__}"
+                    )
+                if layer.bias is None or layer.weight.ndim != 3:
+                    raise FusedStructureError(
+                        "monotone net must be biased and stacked per feature"
+                    )
+                mono.append(layer)
+                expect_linear = False
+            else:
+                if type(layer) is not TwoWayELU:
+                    raise FusedStructureError(
+                        "fused NAF sampling expects TwoWayELU activations,"
+                        f" got {type(layer).__name__}"
+                    )
+                expect_linear = True
+        if expect_linear or not mono:
+            raise FusedStructureError("monotone net must end with a linear")
+        for layer in mono[:-1]:
+            if layer.weight.shape[1] % 2:
+                raise FusedStructureError(
+                    "TwoWayELU needs an even hidden width"
+                )
+        if mono[0].weight.shape[2] != 1 + S or mono[-1].weight.shape[1] != 1:
+            raise FusedStructureError(
+                f"monotone net must map (1+{S}) -> 1 per feature"
+            )
+
+        stages.append(("ar", {
+            "made_w": [l.weight for l in lins],
+            "made_b": [l.bias for l in lins],
+            "made_m": [l.mask for l in lins],
+            # flatten stacked (F, out, in) -> (F*out, in) for aligned slices
+            "mono_w": [l.weight.reshape(-1, l.weight.shape[2]) for l in mono],
+            "mono_b": [l.bias.reshape(-1) for l in mono],
+            "mono_dims": tuple(l.weight.shape[1] for l in mono),
+            "passes": int(t.passes),
+            # MonotonicTransform solve domain (zuko/transforms.py:570-637)
+            "bound": 10.0,
+            "eps": 1e-6,
+        }))
+
+    F = None
+    for kind, st in stages:
+        if kind == "ar":
+            F = st["mono_w"][0].shape[0] // st["mono_dims"][0]
+            break
+    if F is None:
+        raise FusedStructureError("flow has no autoregressive layers")
+    _require_standard_base(flow, F)
+    return stages, {"signal": S, "features": F}
+
+
+def _elu(x):
+    # jax.nn.elu lowers to expm1, which Mosaic's TPU lowering lacks — use the
+    # explicit where/exp form (exactly equal in f32 for the magnitudes here)
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _two_way_elu_T(z):
+    """TwoWayELU on (H, TB) slabs: rows split in half
+    (reference: zuko/nn.py:335-353)."""
+    H = z.shape[0]
+    a = z[: H // 2, :]
+    b = z[H // 2 :, :]
+    return jnp.concatenate([_elu(a), -_elu(-b)], axis=0)
+
+
+def _mono_net_T(x, h, f, S, mono_w, mono_b, mono_dims):
+    """Evaluate feature ``f``'s monotone net at x (1, TB) with its signal
+    slab from the feature-major MADE output h (S*F, TB)."""
+    u = jnp.concatenate([x, h[f * S : (f + 1) * S, :]], axis=0)
+    n = len(mono_w)
+    for i, (W, b, H) in enumerate(zip(mono_w, mono_b, mono_dims)):
+        Wf = jnp.abs(W[f * H : (f + 1) * H, :])
+        bf = b[f * H : (f + 1) * H]
+        u = jnp.dot(Wf, u, preferred_element_type=jnp.float32) + bf[:, None]
+        if i < n - 1:
+            u = _two_way_elu_T(u)
+    return u  # (1, TB)
+
+
+def _ar_inverse_sweeps_T(y, cT, st, F, S):
+    """Invert one NAF autoregressive layer on a (F, TB) tile: ``passes``
+    fixed-point sweeps (reference: zuko/transforms.py:994-1000); inside each
+    sweep, a fixed-count bisection solves the monotone univariate per feature
+    (reference: zuko/transforms.py:609-617) with the net weights resident."""
+    made = []
+    for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
+        made += [W, b, M]
+    bound, eps = st["bound"], st["eps"]
+    n_iter = _n_bisect(bound, eps)
+
+    x = jnp.zeros_like(y)
+    for _ in range(min(st["passes"], F)):
+        h = _hyper_T(x, cT, made)  # (S*F, TB) feature-major signals
+
+        lo = jnp.full_like(y, -bound)
+        hi = jnp.full_like(y, bound)
+        for _ in range(n_iter):
+            mid = 0.5 * (lo + hi)
+            fm = jnp.concatenate(
+                [
+                    _mono_net_T(
+                        mid[f : f + 1, :], h, f, S,
+                        st["mono_w"], st["mono_b"], st["mono_dims"],
+                    )
+                    for f in range(F)
+                ],
+                axis=0,
+            )
+            go_right = fm < y
+            lo = jnp.where(go_right, mid, lo)
+            hi = jnp.where(go_right, hi, mid)
+        x = 0.5 * (lo + hi)
+    return x
+
+
+def _naf_sample_math_T(zT, cT, stages, F, S):
+    """Whole-flow NAF inversion on a (F, TB) tile: softclip inverses
+    elementwise, AR layers via sweep + bisection."""
+    y = zT
+    for kind, st in reversed(stages):
+        if kind == "softclip":
+            B = st
+            # inverse of x / (1 + |x/B|) (reference: zuko/transforms.py:286-316)
+            y = y / (1.0 - jnp.abs(y / B))
+        else:
+            y = _ar_inverse_sweeps_T(y, cT, st, F, S)
+    return y
+
+
+def _stage_layout(stages):
+    """Static description of ``stages`` + flat param list (kernel inputs)."""
+    flat, layout = [], []
+    for kind, st in stages:
+        if kind == "softclip":
+            layout.append(("softclip", st))
+        else:
+            flat += [a for trip in zip(st["made_w"], st["made_b"], st["made_m"])
+                     for a in trip]
+            flat += st["mono_w"]
+            flat += st["mono_b"]
+            layout.append((
+                "ar",
+                {
+                    "n_made": len(st["made_w"]),
+                    "mono_dims": st["mono_dims"],
+                    "passes": st["passes"],
+                    "bound": st["bound"],
+                    "eps": st["eps"],
+                },
+            ))
+    return flat, tuple(
+        (k, v if k == "softclip" else tuple(sorted(v.items())))
+        for k, v in layout
+    )
+
+
+def _rebuild_stages(flat, layout):
+    stages = []
+    idx = 0
+    for kind, v in layout:
+        if kind == "softclip":
+            stages.append(("softclip", v))
+            continue
+        d = dict(v)
+        n, L = d["n_made"], len(d["mono_dims"])
+        made = flat[idx : idx + 3 * n]
+        idx += 3 * n
+        mono_w = flat[idx : idx + L]
+        idx += L
+        mono_b = flat[idx : idx + L]
+        idx += L
+        stages.append(("ar", {
+            "made_w": made[0::3], "made_b": made[1::3], "made_m": made[2::3],
+            "mono_w": mono_w, "mono_b": mono_b,
+            "mono_dims": d["mono_dims"], "passes": d["passes"],
+            "bound": d["bound"], "eps": d["eps"],
+        }))
+    return stages
+
+
+def _naf_kernel_T(*refs, layout, F, C, S, n_params):
+    z_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    out_ref = refs[1 + n_params]
+
+    zT = z_ref[:F, :]
+    cT = z_ref[F : F + C, :] if C else None
+    stages = _rebuild_stages([r[:] for r in param_refs], layout)
+    out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S)
+
+
+def fused_naf_sample(flow, key, sample_shape, c=None):
+    r"""Draw samples from a NAF with one fused kernel per batch tile: every
+    autoregressive sweep, every bisection iterate, and every monotone-net
+    evaluation runs with the weights pinned in VMEM (jnp fallback off-TPU).
+
+    Sampling only (no gradients) — use ``rsample`` on the flow for the
+    differentiable path.
+    """
+    stages, cfg = extract_naf_params(flow)
+    F, S = cfg["features"], cfg["signal"]
+    flat_params, layout = _stage_layout(stages)
+
+    try:
+        dtype = jnp.asarray(flow.base.args[0]).dtype
+    except (AttributeError, IndexError):  # pragma: no cover
+        dtype = flat_params[0].dtype
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    zf = z.reshape(-1, F)
+    n = zf.shape[0]
+
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
+        zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
+    else:
+        C = 0
+        zc = zf
+
+    if not _use_pallas_fused(dtype):
+        cT = zc[:, F:].T if C else None
+        stages2 = _rebuild_stages(list(flat_params), layout)
+        out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S)
+        return out.T.reshape(z.shape)
+
+    pad = (-n) % _TB
+    if pad:
+        zc = jnp.pad(zc, ((0, pad), (0, 0)))
+    m = zc.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(
+            p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for p in flat_params
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _naf_kernel_T, layout=layout, F=F, C=C, S=S, n_params=n_params
+        ),
+        grid=(m // _TB,),
+        in_specs=[
+            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((F, m), dtype),
+    )(zc.T, *flat_params)
+
+    out = out.T[:n] if pad else out.T
+    return out.reshape(z.shape)

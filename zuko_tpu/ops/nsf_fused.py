@@ -137,11 +137,12 @@ def _extract_mlp_linears(hyper, linear_cls):
     return lins
 
 
-def _base_loc_scale(flow, features):
-    """Require a DiagNormal base built through UnconditionalDistribution and
-    return its (loc, scale) arrays — the kernels evaluate the base density
-    with them, so non-standard bases stay correct rather than silently
-    assuming N(0, I)."""
+def _require_standard_base(flow, features):
+    """Require a *standard* DiagNormal base built through
+    UnconditionalDistribution — the kernels hardcode the N(0, I) density, so
+    anything else must fall back to the XLA path rather than silently
+    computing a wrong log_prob. Traced loc/scale (trainable, i.e. not
+    registered as buffers) cannot be checked and are rejected too."""
     from ..distributions import DiagNormal
     from ..lazy import UnconditionalDistribution
 
@@ -155,13 +156,23 @@ def _base_loc_scale(flow, features):
         raise FusedStructureError(
             "fused kernels support DiagNormal(loc, scale) bases only"
         )
-    loc, scale = (jnp.asarray(a) for a in base.args)
+    loc, scale = base.args
+    if isinstance(loc, jax.core.Tracer) or isinstance(scale, jax.core.Tracer):
+        raise FusedStructureError(
+            "base loc/scale are traced (trainable); fused kernels support"
+            " concrete standard-normal bases only"
+        )
+    loc, scale = np.asarray(loc), np.asarray(scale)
     if loc.shape != (features,) or scale.shape != (features,):
         raise FusedStructureError(
             f"base loc/scale must have shape ({features},),"
             f" got {loc.shape}/{scale.shape}"
         )
-    return loc, scale
+    if not (np.all(loc == 0.0) and np.all(scale == 1.0)):
+        raise FusedStructureError(
+            "fused kernels assume a standard-normal base N(0, I); got"
+            " non-standard loc/scale"
+        )
 
 
 def extract_nsf_params(flow):
@@ -170,7 +181,7 @@ def extract_nsf_params(flow):
     hyper-nets, RQS or affine univariates, DiagNormal base — anything else
     raises :class:`FusedStructureError` rather than extracting a wrong
     program). Returns a list of per-AR-layer dicts plus the static config
-    ``{bins, univ, bound, slope, loc, scale}``."""
+    ``{bins, univ, bound, slope}``."""
     from ..flows.autoregressive import MaskedAutoregressiveTransform
     from ..lazy import LazyComposedTransform
     from ..nn import MaskedLinear
@@ -210,10 +221,9 @@ def extract_nsf_params(flow):
     features = layers[0]["masks"][-1].shape[0] // (
         _univ_size(cfg[0], cfg[1])
     )
-    loc, scale = _base_loc_scale(flow, features)
+    _require_standard_base(flow, features)
     return layers, {
         "bins": cfg[1], "univ": cfg[0], "bound": cfg[2], "slope": cfg[3],
-        "loc": loc, "scale": scale,
     }
 
 
@@ -224,67 +234,154 @@ def extract_nsf_params(flow):
 # fully lane-parallel across the batch tile, and no tile is narrower than the
 # batch — which avoids the narrow-lane Mosaic issues of the row-major kernel
 # and the 9/128-lane VPU waste.
+#
+# Feature-vectorized constraint/spline pipeline: the final hyper layer's rows
+# are permuted at extraction time from feature-major [f*T + t] to PARAM-major
+# [t*F + f], so ``h[t*F:(t+1)*F]`` is an (F, TB) slab holding parameter ``t``
+# of every feature at once. The whole slope-clamp → softmax → cumsum → spline
+# pipeline then runs on (F, TB) slabs instead of a per-feature Python loop
+# over (1, TB) slices — F× wider VPU ops, F× fewer instructions (the round-1
+# roofline lever, PERF.md).
 
 
-def _constrain_and_spline_T(x_f, phi_f, K, bound, slope):
-    """x_f (1, TB); phi_f (3K-1, TB) raw -> y (1, TB), ladj (1, TB)."""
+def _spline_knots_F(h, F, K, bound, slope):
+    """h (T*F, TB) param-major -> knot lists: xs/ys (K+1 of (F, TB)),
+    ds (K+1 of (F, TB)). Shared by the forward and inverse spline."""
     log_s = math.log(slope)
 
-    w = phi_f[:K, :]
-    h = phi_f[K : 2 * K, :]
-    d = phi_f[2 * K : 3 * K - 1, :]
+    ws = [h[t * F : (t + 1) * F, :] for t in range(K)]
+    hs = [h[(K + t) * F : (K + t + 1) * F, :] for t in range(K)]
+    ds = [h[(2 * K + t) * F : (2 * K + t + 1) * F, :] for t in range(K - 1)]
 
-    w = w / (1 + jnp.abs(2 * w / log_s))
-    h = h / (1 + jnp.abs(2 * h / log_s))
-    d = d / (1 + jnp.abs(d / log_s))
+    ws = [w / (1 + jnp.abs(2 * w / log_s)) for w in ws]
+    hs = [v / (1 + jnp.abs(2 * v / log_s)) for v in hs]
+    ds = [d / (1 + jnp.abs(d / log_s)) for d in ds]
 
-    def softmax0(a):
-        a = a - jnp.max(a, axis=0, keepdims=True)
-        e = jnp.exp(a)
-        return e / jnp.sum(e, axis=0, keepdims=True)
+    def softmax_slabs(slabs):
+        m = slabs[0]
+        for a in slabs[1:]:
+            m = jnp.maximum(m, a)
+        es = [jnp.exp(a - m) for a in slabs]
+        tot = es[0]
+        for e in es[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        return [e * inv for e in es]
 
-    w = softmax0(w)
-    h = softmax0(h)
+    ws = softmax_slabs(ws)
+    hs = softmax_slabs(hs)
 
-    # exact unrolled cumsum over the K sublanes (a triangular MATMUL would
-    # run at the MXU's default bfloat16-pass precision and corrupt knots)
-    def cumsum_rows(a):
-        rows = [a[:1, :]]
-        for j in range(1, K):
-            rows.append(rows[-1] + a[j : j + 1, :])
-        return jnp.concatenate(rows, axis=0)
+    # exact running sums (a triangular MATMUL would run at the MXU's default
+    # bfloat16-pass precision and corrupt knots)
+    def cum_slabs(slabs):
+        out = [slabs[0]]
+        for a in slabs[1:]:
+            out.append(out[-1] + a)
+        return out
 
-    cw = cumsum_rows(w)
-    ch = cumsum_rows(h)
+    cw = cum_slabs(ws)
+    ch = cum_slabs(hs)
 
-    ones = jnp.ones_like(w[:1, :])
-    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=0)
-    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=0)
-    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=0)
+    neg = jnp.full_like(cw[0], -bound)
+    one = jnp.ones_like(cw[0])
+    xs = [neg] + [bound * (2 * c - 1) for c in cw]
+    ys = [neg] + [bound * (2 * c - 1) for c in ch]
+    dds = [one] + [jnp.exp(d) for d in ds] + [one]
+    return xs, ys, dds
 
-    k = jnp.sum((hs < x_f).astype(jnp.int32), axis=0, keepdims=True) - 1
+
+def _bin_select_F(value, knots, K):
+    """Branchless bin search over K+1 knot slabs: k = sum(knots < v) - 1,
+    in/out-of-domain mask, and a gather-free per-bin selector. The per-bin
+    equality masks are computed ONCE and shared by every take() — the
+    selector runs 6 times per spline (x0/x1/y0/y1/d0/d1)."""
+    k = (knots[0] < value).astype(jnp.int32)
+    for j in range(1, K + 1):
+        k = k + (knots[j] < value).astype(jnp.int32)
+    k = k - 1
     mask = (0 <= k) & (k < K)
-    k = k % K
+    k = jnp.where(mask, k, 0)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 0)
-    sel0 = iota == k
-    sel1 = iota == k + 1
+    eqs = [k == j for j in range(K + 1)]
 
-    def take(a, s):
-        return jnp.sum(jnp.where(s, a, 0.0), axis=0, keepdims=True)
+    def take(slabs, offset=0):
+        out = jnp.where(eqs[0], slabs[offset], 0.0)
+        for j in range(1, K):
+            out = out + jnp.where(eqs[j], slabs[j + offset], 0.0)
+        return out
 
-    x0, x1 = take(hs, sel0), take(hs, sel1)
-    y0, y1 = take(vs, sel0), take(vs, sel1)
-    d0, d1 = take(ds, sel0), take(ds, sel1)
+    return mask, take
+
+
+def _spline_forward_F(x, h, F, K, bound, slope):
+    """x (F, TB); h (T*F, TB) param-major raw -> y (F, TB), ladj (F, TB).
+    Out-of-domain features pass through identity (reference mask trick,
+    zuko/transforms.py:525-532)."""
+    xs, ys, dds = _spline_knots_F(h, F, K, bound, slope)
+    mask, take = _bin_select_F(x, xs, K)
+
+    x0, x1 = take(xs), take(xs, 1)
+    y0, y1 = take(ys), take(ys, 1)
+    d0, d1 = take(dds), take(dds, 1)
     s = (y1 - y0) / (x1 - x0)
 
-    z = jnp.where(mask, (x_f - x0) / (x1 - x0), 0.0)
+    z = jnp.where(mask, (x - x0) / (x1 - x0), 0.0)
     z1 = z * (1 - z)
     denom = s + (d0 + d1 - 2 * s) * z1
     y = y0 + (y1 - y0) * (s * z**2 + d0 * z1) / denom
     jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
 
-    return jnp.where(mask, y, x_f), jnp.where(mask, jnp.log(jac), 0.0)
+    return jnp.where(mask, y, x), jnp.where(mask, jnp.log(jac), 0.0)
+
+
+def _spline_inverse_F(y, h, F, K, bound, slope):
+    """Analytic quadratic-root spline inverse on (F, TB) slabs
+    (reference: zuko/transforms.py:534-548)."""
+    xs, ys, dds = _spline_knots_F(h, F, K, bound, slope)
+    mask, take = _bin_select_F(y, ys, K)
+
+    x0, x1 = take(xs), take(xs, 1)
+    y0, y1 = take(ys), take(ys, 1)
+    d0, d1 = take(dds), take(dds, 1)
+    s = (y1 - y0) / (x1 - x0)
+
+    y_ = jnp.where(mask, y - y0, 0.0)
+    a = (y1 - y0) * (s - d0) + y_ * (d0 + d1 - 2 * s)
+    b = (y1 - y0) * d0 - y_ * (d0 + d1 - 2 * s)
+    c = -s * y_
+    disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
+    z = 2 * c / (-b - jnp.sqrt(disc))
+    z = jnp.where(mask, z, 0.0)
+    x = x0 + z * (x1 - x0)
+
+    return jnp.where(mask, x, y)
+
+
+def _affine_F(x, h, F, slope, inverse):
+    """Feature-vectorized MonotonicAffineTransform (reference:
+    zuko/transforms.py:412-446): h (2F, TB) param-major = (shifts, raw
+    scales)."""
+    log_s = math.log(slope)
+    shift = h[:F, :]
+    raw = h[F : 2 * F, :]
+    log_scale = raw / (1 + jnp.abs(raw / log_s))
+    scale = jnp.exp(log_scale)
+    if inverse:
+        return (x - shift) / scale, -log_scale
+    return x * scale + shift, log_scale
+
+
+def _univ_forward_F(x, h, F, K, bound, slope, univ):
+    """(F, TB) batch of univariate forwards + ladj."""
+    if univ == "rqs":
+        return _spline_forward_F(x, h, F, K, bound, slope)
+    return _affine_F(x, h, F, slope, inverse=False)
+
+
+def _univ_inverse_F(y, h, F, K, bound, slope, univ):
+    if univ == "rqs":
+        return _spline_inverse_F(y, h, F, K, bound, slope)
+    return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
 def _hyper_T(xT, cT, ps):
@@ -313,23 +410,16 @@ def _split_layers(flat_params, layout):
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
                  univ="rqs"):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
-    T = _univ_size(univ, K)
-    acc = jnp.zeros_like(xT[:1, :])
+    acc = None
     for ps, _ in _split_layers(flat_params, layout):
         h = _hyper_T(xT, cT, ps)
-        ys = []
-        for f in range(F):
-            y_f, l_f = _univ_forward(
-                xT[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound, slope,
-                univ,
-            )
-            ys.append(y_f)
-            acc = acc + l_f
-        xT = jnp.concatenate(ys, axis=0)
+        xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
+        acc = ladj if acc is None else acc + ladj
 
-    base = -0.5 * jnp.sum(xT**2, axis=0, keepdims=True) \
+    # one fused reduction over features: Σ ladj - x²/2, then the constant
+    lp = jnp.sum(acc - 0.5 * xT**2, axis=0, keepdims=True) \
         - 0.5 * F * math.log(2 * math.pi)
-    return base + acc
+    return lp
 
 
 def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
@@ -348,96 +438,8 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
 # ----------------------------------------------------------- fused sampling
 
 
-def _spline_inverse_T(y_f, phi_f, K, bound, slope):
-    """Transposed spline inverse: y_f (1, TB), phi_f (3K-1, TB) -> x (1, TB).
-    Analytic quadratic-root inverse (reference: zuko/transforms.py:534-548)."""
-    log_s = math.log(slope)
-
-    w = phi_f[:K, :]
-    h = phi_f[K : 2 * K, :]
-    d = phi_f[2 * K : 3 * K - 1, :]
-
-    w = w / (1 + jnp.abs(2 * w / log_s))
-    h = h / (1 + jnp.abs(2 * h / log_s))
-    d = d / (1 + jnp.abs(d / log_s))
-
-    def softmax0(a):
-        a = a - jnp.max(a, axis=0, keepdims=True)
-        e = jnp.exp(a)
-        return e / jnp.sum(e, axis=0, keepdims=True)
-
-    w = softmax0(w)
-    h = softmax0(h)
-
-    def cumsum_rows(a):
-        rows = [a[:1, :]]
-        for j in range(1, K):
-            rows.append(rows[-1] + a[j : j + 1, :])
-        return jnp.concatenate(rows, axis=0)
-
-    cw = cumsum_rows(w)
-    ch = cumsum_rows(h)
-
-    ones = jnp.ones_like(w[:1, :])
-    hs = jnp.concatenate([-bound * ones, bound * (2 * cw - 1)], axis=0)
-    vs = jnp.concatenate([-bound * ones, bound * (2 * ch - 1)], axis=0)
-    ds = jnp.concatenate([ones, jnp.exp(d), ones], axis=0)
-
-    k = jnp.sum((vs < y_f).astype(jnp.int32), axis=0, keepdims=True) - 1
-    mask = (0 <= k) & (k < K)
-    k = k % K
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 0)
-    sel0 = iota == k
-    sel1 = iota == k + 1
-
-    def take(a, s):
-        return jnp.sum(jnp.where(s, a, 0.0), axis=0, keepdims=True)
-
-    x0, x1 = take(hs, sel0), take(hs, sel1)
-    y0, y1 = take(vs, sel0), take(vs, sel1)
-    d0, d1 = take(ds, sel0), take(ds, sel1)
-    s = (y1 - y0) / (x1 - x0)
-
-    y_ = jnp.where(mask, y_f - y0, 0.0)
-    a = (y1 - y0) * (s - d0) + y_ * (d0 + d1 - 2 * s)
-    b = (y1 - y0) * d0 - y_ * (d0 + d1 - 2 * s)
-    c = -s * y_
-    disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
-    z = 2 * c / (-b - jnp.sqrt(disc))
-    z = jnp.where(mask, z, 0.0)
-    x = x0 + z * (x1 - x0)
-
-    return jnp.where(mask, x, y_f)
-
-
-def _affine_T(x_f, phi_f, slope, inverse):
-    """Transposed MonotonicAffineTransform (reference:
-    zuko/transforms.py:412-446): phi (2, TB) = (shift, raw scale)."""
-    log_s = math.log(slope)
-    shift = phi_f[:1, :]
-    raw = phi_f[1:2, :]
-    log_scale = raw / (1 + jnp.abs(raw / log_s))
-    scale = jnp.exp(log_scale)
-    if inverse:
-        return (x_f - shift) / scale, -log_scale
-    return x_f * scale + shift, log_scale
-
-
 def _univ_size(univ, K):
     return 3 * K - 1 if univ == "rqs" else 2
-
-
-def _univ_forward(x_f, phi_f, K, bound, slope, univ):
-    if univ == "rqs":
-        return _constrain_and_spline_T(x_f, phi_f, K, bound, slope)
-    return _affine_T(x_f, phi_f, slope, inverse=False)
-
-
-def _univ_inverse(y_f, phi_f, K, bound, slope, univ):
-    if univ == "rqs":
-        return _spline_inverse_T(y_f, phi_f, K, bound, slope)
-    return _affine_T(y_f, phi_f, slope, inverse=True)[0]
 
 
 def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
@@ -448,7 +450,6 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
     VMEM across sweeps. With ``want_log_prob`` also returns
     ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) — the fused
     reverse-KL quantity (reference: zuko/distributions.py:129-138)."""
-    T = _univ_size(univ, K)
     per_layer = _split_layers(flat_params, layout)
 
     if want_log_prob:
@@ -462,23 +463,11 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
         # layers declare passes=2; fully autoregressive layers passes=F)
         for _ in range(min(passes, F)):
             h = _hyper_T(x, cT, ps)
-            xs = []
-            for f in range(F):
-                xs.append(
-                    _univ_inverse(
-                        y[f : f + 1, :], h[f * T : (f + 1) * T, :],
-                        K, bound, slope, univ,
-                    )
-                )
-            x = jnp.concatenate(xs, axis=0)
+            x = _univ_inverse_F(y, h, F, K, bound, slope, univ)
         if want_log_prob:
             h = _hyper_T(x, cT, ps)
-            for f in range(F):
-                _, l_f = _univ_forward(
-                    x[f : f + 1, :], h[f * T : (f + 1) * T, :], K, bound,
-                    slope, univ,
-                )
-                acc = acc + l_f
+            _, ladj = _univ_forward_F(x, h, F, K, bound, slope, univ)
+            acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
         y = x
 
     if want_log_prob:
@@ -509,14 +498,28 @@ def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
         )
 
 
+def _param_major_perm(out_rows, T):
+    """Permutation taking the final hyper layer's rows from feature-major
+    [f*T + t] to param-major [t*F + f], so the kernel can slice (F, TB)
+    parameter slabs (see the feature-vectorized pipeline note above)."""
+    F = out_rows // T
+    return np.arange(out_rows).reshape(F, T).T.ravel()
+
+
 def _flatten_flow(flow):
     layers, cfg = extract_nsf_params(flow)
+    T = _univ_size(cfg["univ"], cfg["bins"])
     flat_params, layout = [], []
     for layer in layers:
         layout.append((len(layer["weights"]), layer["passes"]))
-        for W, b, M in zip(layer["weights"], layer["biases"], layer["masks"]):
+        ws, bs, ms = layer["weights"], layer["biases"], layer["masks"]
+        perm = _param_major_perm(ws[-1].shape[0], T)
+        ws = ws[:-1] + [ws[-1][perm]]
+        bs = bs[:-1] + [bs[-1][perm]]
+        ms = ms[:-1] + [ms[-1][perm]]
+        for W, b, M in zip(ws, bs, ms):
             flat_params += [W, b, M]
-    return flat_params, tuple(layout), cfg["bins"], cfg["univ"]
+    return flat_params, tuple(layout), cfg
 
 
 def _use_pallas_fused(dtype):
@@ -530,18 +533,21 @@ def _use_pallas_fused(dtype):
     )
 
 
-def fused_nsf_sample(flow, key, sample_shape, c=None, bound: float = 5.0,
-                     slope: float = 1e-3, want_log_prob: bool = False):
+def fused_nsf_sample(flow, key, sample_shape, c=None,
+                     want_log_prob: bool = False):
     r"""Draw samples from an NSF with one fused Pallas kernel: base draws and
     every autoregressive fixed-point sweep of every layer run per batch tile
     with the weights pinned in VMEM (jnp fallback off-TPU). Supports a
     conditioning context ``c`` and, with ``want_log_prob``, also returns
-    ``log q(x)`` — the fused reverse-KL path.
+    ``log q(x)`` — the fused reverse-KL path. The spline ``bound``/``slope``
+    are taken from the flow's own univariate config.
 
     Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
     for the differentiable path.
     """
-    flat_params, layout, K, univ = _flatten_flow(flow)
+    flat_params, layout, cfg = _flatten_flow(flow)
+    K, univ = cfg["bins"], cfg["univ"]
+    bound, slope = cfg["bound"], cfg["slope"]
     F = flat_params[0].shape[1]
     if c is not None:
         c = jnp.asarray(c)
@@ -636,17 +642,19 @@ def fused_nsf_sample_and_log_prob(flow, key, sample_shape, c=None, **kwargs):
     )
 
 
-def fused_nsf_log_prob(flow, x, c=None, bound: float = 5.0,
-                       slope: float = 1e-3):
+def fused_nsf_log_prob(flow, x, c=None):
     r"""Compute ``flow(c).log_prob(x)`` for an NSF with one fused Pallas
     kernel per batch tile (jnp fallback off-TPU). Differentiable via a custom
-    VJP whose backward runs the identical jnp math.
+    VJP whose backward runs the identical jnp math. The spline
+    ``bound``/``slope`` are taken from the flow's own univariate config.
 
     Example (TPU):
         >>> flow = NSF(6, 0, transforms=3, key=key)   # doctest: +SKIP
         >>> lp = fused_nsf_log_prob(flow, x)          # doctest: +SKIP
     """
-    flat_params, layout, K, univ = _flatten_flow(flow)
+    flat_params, layout, cfg = _flatten_flow(flow)
+    K, univ = cfg["bins"], cfg["univ"]
+    bound, slope = float(cfg["bound"]), float(cfg["slope"])
     F = x.shape[-1]
 
     if c is not None:
@@ -753,35 +761,49 @@ fused_flow_sample = fused_nsf_sample
 def extract_coupling_params(flow):
     """Pull per-layer (weights, biases, mask-vector) out of a NICE/RealNVP
     flow built from GeneralCouplingTransform layers (reference recipe:
-    zuko/flows/coupling.py:142-200)."""
+    zuko/flows/coupling.py:142-200), with the same strict structure
+    validation as :func:`extract_nsf_params` — plain ReLU MLP hyper-nets
+    (no LayerNorm/residual), supported univariates, standard DiagNormal
+    base — raising :class:`FusedStructureError` otherwise."""
     from ..flows.coupling import GeneralCouplingTransform
-    from ..nn import Linear, MaskedLinear
+    from ..lazy import LazyComposedTransform
+    from ..nn import Linear
+
+    if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
+        raise FusedStructureError(
+            "fused kernels require a LazyComposedTransform flow,"
+            f" got {type(getattr(flow, 'transform', None)).__name__}"
+        )
 
     layers = []
-    bins = None
-    univ = None
+    cfg = None
     for t in flow.transform.transforms:
-        assert isinstance(t, GeneralCouplingTransform), type(t)
-        shapes = t.shapes
-        if len(shapes) == 3:
-            kind, K = "rqs", shapes[0][0]
-        elif shapes == ((), ()):
-            kind, K = "affine", 0
-        else:
-            raise AssertionError(f"unsupported univariate shapes {shapes}")
-        bins = K if bins is None else bins
-        univ = kind if univ is None else univ
-        assert bins == K and univ == kind
-        lins = [
-            l for l in t.hyper.layers
-            if isinstance(l, Linear) and not isinstance(l, MaskedLinear)
-        ]
+        if type(t) is not GeneralCouplingTransform:
+            raise FusedStructureError(
+                "fused coupling kernels support GeneralCouplingTransform"
+                f" layers only, got {type(t).__name__}"
+            )
+        kind, K, bound, slope = _univ_config(t.univariate, t.shapes)
+        if cfg is None:
+            cfg = (kind, K, bound, slope)
+        elif cfg != (kind, K, bound, slope):
+            raise FusedStructureError(
+                f"layers must share a univariate config: {cfg} vs"
+                f" {(kind, K, bound, slope)}"
+            )
+        lins = _extract_mlp_linears(t.hyper, Linear)
         layers.append({
             "weights": [l.weight for l in lins],
             "biases": [l.bias for l in lins],
             "mask": tuple(bool(m) for m in t.mask),
         })
-    return layers, {"bins": bins, "univ": univ or "affine"}
+    if cfg is None:
+        raise FusedStructureError("flow has no transform layers")
+
+    _require_standard_base(flow, len(layers[0]["mask"]))
+    return layers, {
+        "bins": cfg[1], "univ": cfg[0], "bound": cfg[2], "slope": cfg[3],
+    }
 
 
 def _mlp_T(xT, cT, ps):
@@ -800,9 +822,10 @@ def _coupling_math_T(xT, flat_params, layout, F, K, bound, slope, cT, univ,
                      inverse):
     """Transposed NICE/RealNVP math: per layer, the masked half passes
     through, the other half is transformed conditioned on it (reference:
-    zuko/transforms.py:1010-1073). Returns (out, total forward ladj)."""
+    zuko/transforms.py:1010-1073). The hyper output is permuted to
+    param-major at flatten time, so the whole transformed half runs through
+    the feature-vectorized (Fb, TB) pipeline. Returns (out, total fwd ladj)."""
     acc = jnp.zeros_like(xT[:1, :])
-    T = _univ_size(univ, K)
 
     per_layer = []
     idx = 0
@@ -814,28 +837,29 @@ def _coupling_math_T(xT, flat_params, layout, F, K, bound, slope, cT, univ,
     for ps, mask in order:
         idx_a = [f for f in range(F) if mask[f]]
         idx_b = [f for f in range(F) if not mask[f]]
+        Fb = len(idx_b)
         x_a = jnp.concatenate([xT[f : f + 1, :] for f in idx_a], axis=0)
+        x_b = jnp.concatenate([xT[f : f + 1, :] for f in idx_b], axis=0)
         h = _mlp_T(x_a, cT, ps)
+
+        if inverse:
+            out_b = _univ_inverse_F(x_b, h, Fb, K, bound, slope, univ)
+            _, ladj = _univ_forward_F(out_b, h, Fb, K, bound, slope, univ)
+        else:
+            out_b, ladj = _univ_forward_F(x_b, h, Fb, K, bound, slope, univ)
+        acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
 
         rows = [None] * F
         for f in idx_a:
             rows[f] = xT[f : f + 1, :]
         for j, f in enumerate(idx_b):
-            phi_f = h[j * T : (j + 1) * T, :]
-            if inverse:
-                out = _univ_inverse(xT[f : f + 1, :], phi_f, K, bound, slope, univ)
-                _, l_f = _univ_forward(out, phi_f, K, bound, slope, univ)
-            else:
-                out, l_f = _univ_forward(xT[f : f + 1, :], phi_f, K, bound, slope, univ)
-            rows[f] = out
-            acc = acc + l_f
+            rows[f] = out_b[j : j + 1, :]
         xT = jnp.concatenate(rows, axis=0)
 
     return xT, acc
 
 
-def fused_nice_log_prob(flow, x, c=None, bound: float = 5.0,
-                        slope: float = 1e-3):
+def fused_nice_log_prob(flow, x, c=None):
     r"""``flow(c).log_prob(x)`` for a NICE/RealNVP flow with the whole
     coupling stack fused (jnp path; structured identically to the Pallas
     kernels and jit-fusable — coupling layers have no fixed-point loop, so
@@ -852,12 +876,18 @@ def fused_nice_log_prob(flow, x, c=None, bound: float = 5.0,
     """
     layers, cfg = extract_coupling_params(flow)
     K, univ = cfg["bins"], cfg["univ"]
+    bound, slope = float(cfg["bound"]), float(cfg["slope"])
     F = x.shape[-1]
 
+    T = _univ_size(univ, K)
     flat_params, layout = [], []
     for layer in layers:
         layout.append((len(layer["weights"]), layer["mask"]))
-        for W, b in zip(layer["weights"], layer["biases"]):
+        ws, bs = layer["weights"], layer["biases"]
+        perm = _param_major_perm(ws[-1].shape[0], T)
+        ws = ws[:-1] + [ws[-1][perm]]
+        bs = bs[:-1] + [bs[-1][perm]]
+        for W, b in zip(ws, bs):
             flat_params += [W, b]
 
     if c is not None:
