@@ -299,3 +299,46 @@ def test_naf_fused_sampling_matches_xla(key, dispatch_on):
         extract_naf_params(bad)
     with pytest.raises(FSE):
         fused_naf_sample(bad, ks, (4,))
+
+
+def test_ncsf_fused_dispatch(key, dispatch_on):
+    r"""NCSF (circular splines over a BoxUniform base, reference:
+    zuko/flows/spline.py:65-117) dispatches through the fused kernels: the
+    circular wrap, the pi-bounded spline, and the box base density all match
+    the XLA path, for density, sampling, and the fused reverse-KL pair."""
+    import os
+
+    from zuko_tpu.flows import NCSF
+
+    kf, kx, ks = jax.random.split(key, 3)
+    flow = NCSF(3, transforms=2, hidden_features=(16, 16), key=kf)
+    d = flow(None)
+    assert type(d) is FusedAutoregressiveFlow, type(d)
+
+    x = jax.random.uniform(kx, (32, 3), minval=-4.0, maxval=4.0)
+
+    def xla(fn):
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+        try:
+            return fn()
+        finally:
+            os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    assert jnp.allclose(d.log_prob(x), xla(lambda: flow(None).log_prob(x)), atol=1e-5)
+
+    s = d.sample(ks, (24,))
+    assert jnp.allclose(s, xla(lambda: flow(None).sample(ks, (24,))), atol=1e-5)
+
+    xs, lq = d.sample_and_log_prob(ks, (24,))
+    xs_r, lq_r = xla(lambda: flow(None).sample_and_log_prob(ks, (24,)))
+    assert jnp.allclose(xs, xs_r, atol=1e-5)
+    assert jnp.allclose(lq, lq_r, atol=1e-5)
+
+    # conditional
+    flow_c = NCSF(3, 2, transforms=2, hidden_features=(16, 16), key=kf)
+    c = jnp.ones(2)
+    dc = flow_c(c)
+    assert type(dc) is FusedAutoregressiveFlow
+    assert jnp.allclose(
+        dc.log_prob(x), xla(lambda: flow_c(c).log_prob(x)), atol=1e-5
+    )

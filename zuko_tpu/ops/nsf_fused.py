@@ -73,13 +73,22 @@ def _univ_config(univariate, shapes):
         kw = {**func.keywords, **kw}
         func = func.func
 
+    from ..flows.spline import CircularRQSTransform
+
     shapes = tuple(tuple(s) for s in shapes)
-    if func is MonotonicRQSTransform:
+    if func is MonotonicRQSTransform or func is CircularRQSTransform:
         if len(shapes) != 3 or not shapes[0]:
             raise FusedStructureError(f"unexpected RQS shapes {shapes}")
         K = shapes[0][0]
         if shapes != ((K,), (K,), (K - 1,)):
             raise FusedStructureError(f"unexpected RQS shapes {shapes}")
+        if func is CircularRQSTransform:
+            # circular shift + spline pinned to [-pi, pi]
+            # (reference: zuko/flows/spline.py:65-72)
+            extra = set(kw) - {"slope"}
+            if extra:
+                raise FusedStructureError(f"unsupported NCSF kwargs {extra}")
+            return "crqs", K, math.pi, float(kw.get("slope", 1e-3))
         extra = set(kw) - {"bound", "slope"}
         if extra:
             raise FusedStructureError(f"unsupported RQS kwargs {extra}")
@@ -175,6 +184,48 @@ def _require_standard_base(flow, features):
         )
 
 
+def _base_config(flow, features, univ):
+    """Return the kernel-representable base description: ``("normal",)`` for
+    a standard DiagNormal, ``("box", lo, hi)`` for a constant BoxUniform
+    (the NCSF base, reference: zuko/flows/spline.py:112-117). Anything else
+    raises :class:`FusedStructureError`."""
+    if univ != "crqs":
+        _require_standard_base(flow, features)
+        return ("normal",)
+
+    from ..distributions import BoxUniform
+    from ..lazy import UnconditionalDistribution
+
+    base = getattr(flow, "base", None)
+    if not isinstance(base, UnconditionalDistribution) or base.f is not BoxUniform:
+        raise FusedStructureError(
+            "fused circular-spline kernels require an"
+            f" UnconditionalDistribution(BoxUniform) base, got"
+            f" {type(base).__name__}"
+        )
+    if base.kwargs or len(base.args) != 2:
+        raise FusedStructureError(
+            "fused kernels support BoxUniform(lower, upper) bases only"
+        )
+    lo, hi = base.args
+    if isinstance(lo, jax.core.Tracer) or isinstance(hi, jax.core.Tracer):
+        raise FusedStructureError(
+            "base bounds are traced; fused kernels support concrete"
+            " constant boxes only"
+        )
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    if lo.shape != (features,) or hi.shape != (features,):
+        raise FusedStructureError(
+            f"base bounds must have shape ({features},), got"
+            f" {lo.shape}/{hi.shape}"
+        )
+    if lo.min() != lo.max() or hi.min() != hi.max():
+        raise FusedStructureError(
+            "fused kernels support per-feature-constant boxes only"
+        )
+    return ("box", float(lo[0]), float(hi[0]))
+
+
 def extract_nsf_params(flow):
     """Pull the per-layer (weights, biases, masks) out of an NSF/MAF flow
     module, strictly verifying the supported structure (plain ReLU MADE
@@ -221,9 +272,10 @@ def extract_nsf_params(flow):
     features = layers[0]["masks"][-1].shape[0] // (
         _univ_size(cfg[0], cfg[1])
     )
-    _require_standard_base(flow, features)
+    base = _base_config(flow, features, cfg[0])
     return layers, {
         "bins": cfg[1], "univ": cfg[0], "bound": cfg[2], "slope": cfg[3],
+        "base": base,
     }
 
 
@@ -371,16 +423,28 @@ def _affine_F(x, h, F, slope, inverse):
     return x * scale + shift, log_scale
 
 
+def _circular_wrap(x, B):
+    """(x mod 2B) - B without jnp.remainder (Mosaic-safe floor form) —
+    the CircularShiftTransform, ladj 0 (reference: zuko/transforms.py:319-351).
+    Also its own inverse."""
+    return x - 2 * B * jnp.floor(x / (2 * B)) - B
+
+
 def _univ_forward_F(x, h, F, K, bound, slope, univ):
     """(F, TB) batch of univariate forwards + ladj."""
     if univ == "rqs":
         return _spline_forward_F(x, h, F, K, bound, slope)
+    if univ == "crqs":
+        # spline(shift(x)) (reference: zuko/flows/spline.py:65-72)
+        return _spline_forward_F(_circular_wrap(x, bound), h, F, K, bound, slope)
     return _affine_F(x, h, F, slope, inverse=False)
 
 
 def _univ_inverse_F(y, h, F, K, bound, slope, univ):
     if univ == "rqs":
         return _spline_inverse_F(y, h, F, K, bound, slope)
+    if univ == "crqs":
+        return _circular_wrap(_spline_inverse_F(y, h, F, K, bound, slope), bound)
     return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
@@ -407,8 +471,21 @@ def _split_layers(flat_params, layout):
     return per_layer
 
 
+def _base_log_prob_T(zT, F, base):
+    """Base log-density on a (F, TB) tile: standard normal or constant box
+    (NCSF — Uniform gives -inf outside support, distributions.py Uniform)."""
+    if base[0] == "normal":
+        return -0.5 * jnp.sum(zT**2, axis=0, keepdims=True) \
+            - 0.5 * F * math.log(2 * math.pi)
+    _, lo, hi = base
+    inside = ((zT >= lo) & (zT <= hi)).astype(zT.dtype)
+    all_inside = jnp.sum(inside, axis=0, keepdims=True) >= F
+    lp = jnp.full_like(zT[:1, :], -F * math.log(hi - lo))
+    return jnp.where(all_inside, lp, -jnp.inf)
+
+
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
-                 univ="rqs"):
+                 univ="rqs", base=("normal",)):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     acc = None
     for ps, _ in _split_layers(flat_params, layout):
@@ -416,13 +493,14 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
         xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
         acc = ladj if acc is None else acc + ladj
 
-    # one fused reduction over features: Σ ladj - x²/2, then the constant
-    lp = jnp.sum(acc - 0.5 * xT**2, axis=0, keepdims=True) \
-        - 0.5 * F * math.log(2 * math.pi)
-    return lp
+    if base[0] == "normal":
+        # one fused reduction over features: Σ ladj - x²/2, then the constant
+        return jnp.sum(acc - 0.5 * xT**2, axis=0, keepdims=True) \
+            - 0.5 * F * math.log(2 * math.pi)
+    return jnp.sum(acc, axis=0, keepdims=True) + _base_log_prob_T(xT, F, base)
 
 
-def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
+def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ, base):
     x_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
     out_ref = refs[1 + n_params]
@@ -431,7 +509,7 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
     cT = x_ref[F : F + C, :] if C else None
     flat = [r[:] for r in param_refs]
     out_ref[:, :] = _full_math_T(
-        xT, flat, layout, F, K, bound, slope, cT, univ
+        xT, flat, layout, F, K, bound, slope, cT, univ, base
     )
 
 
@@ -439,11 +517,11 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ):
 
 
 def _univ_size(univ, K):
-    return 3 * K - 1 if univ == "rqs" else 2
+    return 3 * K - 1 if univ in ("rqs", "crqs") else 2
 
 
 def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
-                   want_log_prob=False, univ="rqs"):
+                   want_log_prob=False, univ="rqs", base=("normal",)):
     """Transposed AR inversion of the whole flow: zT (F, TB) base draws ->
     samples (F, TB). Each layer runs `F` fixed-point sweeps (exact by
     triangularity — reference: zuko/transforms.py:994-1000); weights stay in
@@ -453,8 +531,7 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
     per_layer = _split_layers(flat_params, layout)
 
     if want_log_prob:
-        acc = -0.5 * jnp.sum(zT**2, axis=0, keepdims=True) \
-            - 0.5 * F * math.log(2 * math.pi)
+        acc = _base_log_prob_T(zT, F, base)
 
     y = zT
     for ps, passes in reversed(per_layer):
@@ -476,7 +553,7 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
 
 
 def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
-                     want_log_prob, univ):
+                     want_log_prob, univ, base):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
 
@@ -487,14 +564,14 @@ def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
         out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
         x, lp = _sample_math_T(
             zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True,
-            univ=univ,
+            univ=univ, base=base,
         )
         out_ref[:F, :] = x
         lp_ref[:, :] = lp
     else:
         out_ref = refs[1 + n_params]
         out_ref[:F, :] = _sample_math_T(
-            zT, flat, layout, F, K, bound, slope, cT, univ=univ
+            zT, flat, layout, F, K, bound, slope, cT, univ=univ, base=base
         )
 
 
@@ -548,6 +625,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     flat_params, layout, cfg = _flatten_flow(flow)
     K, univ = cfg["bins"], cfg["univ"]
     bound, slope = cfg["bound"], cfg["slope"]
+    base = cfg["base"]
     F = flat_params[0].shape[1]
     if c is not None:
         c = jnp.asarray(c)
@@ -557,7 +635,13 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         dtype = jnp.asarray(flow.base.args[0]).dtype
     except (AttributeError, IndexError):
         dtype = flat_params[0].dtype
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    if base[0] == "box":
+        # BoxUniform base (NCSF): low + (high - low) * U, exactly the
+        # Uniform sampler (distributions.py Uniform.sample)
+        u = jax.random.uniform(key, tuple(sample_shape) + (F,), dtype)
+        z = base[1] + (base[2] - base[1]) * u
+    else:
+        z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
     zf = z.reshape(-1, F)
     n = zf.shape[0]
 
@@ -573,7 +657,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         cT = zc[:, F:].T if C else None
         out = _sample_math_T(
             zc[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
-            want_log_prob=want_log_prob, univ=univ,
+            want_log_prob=want_log_prob, univ=univ, base=base,
         )
         if want_log_prob:
             x, lp = out
@@ -612,7 +696,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         functools.partial(
             _sample_kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
             slope=slope, n_params=n_params, want_log_prob=want_log_prob,
-            univ=univ,
+            univ=univ, base=base,
         ),
         grid=(m // _TB,),
         in_specs=[
@@ -655,6 +739,7 @@ def fused_nsf_log_prob(flow, x, c=None):
     flat_params, layout, cfg = _flatten_flow(flow)
     K, univ = cfg["bins"], cfg["univ"]
     bound, slope = float(cfg["bound"]), float(cfg["slope"])
+    base = cfg["base"]
     F = x.shape[-1]
 
     if c is not None:
@@ -669,28 +754,29 @@ def fused_nsf_log_prob(flow, x, c=None):
         xc = x
 
     return _fused_op(
-        layout, F, C, K, float(bound), float(slope), univ, xc, *flat_params
+        layout, F, C, K, float(bound), float(slope), univ, base, xc,
+        *flat_params
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _fused_op(layout, F, C, K, bound, slope, univ, xc, *flat_params):
-    return _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _fused_op(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
+    return _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params)
 
 
-def _fused_fwd(layout, F, C, K, bound, slope, univ, xc, *flat_params):
-    out = _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params)
+def _fused_fwd(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
+    out = _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params)
     return out, (xc, flat_params)
 
 
-def _fused_bwd(layout, F, C, K, bound, slope, univ, res, g):
+def _fused_bwd(layout, F, C, K, bound, slope, univ, base, res, g):
     xc, flat_params = res
 
     def ref_math(xc, fp):
         xf = xc.reshape(-1, F + C)
         cT = xf[:, F:].T if C else None
         return _full_math_T(
-            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ
+            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ, base
         )[0, :].reshape(xc.shape[:-1])
 
     _, vjp = jax.vjp(ref_math, xc, flat_params)
@@ -701,7 +787,7 @@ def _fused_bwd(layout, F, C, K, bound, slope, univ, res, g):
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params):
+def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
     batch_shape = xc.shape[:-1]
     xf = xc.reshape(-1, F + C)
 
@@ -709,7 +795,7 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params):
         cT = xf[:, F:].T if C else None
         return _full_math_T(
             xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
-            univ,
+            univ, base,
         )[0, :].reshape(batch_shape)
 
     n = xf.shape[0]
@@ -731,7 +817,7 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, xc, *flat_params):
     out = pl.pallas_call(
         functools.partial(
             _kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
-            slope=slope, n_params=n_params, univ=univ,
+            slope=slope, n_params=n_params, univ=univ, base=base,
         ),
         grid=(m // _TB,),
         in_specs=[
