@@ -342,3 +342,47 @@ def test_ncsf_fused_dispatch(key, dispatch_on):
     assert jnp.allclose(
         dc.log_prob(x), xla(lambda: flow_c(c).log_prob(x)), atol=1e-5
     )
+
+
+def test_unaf_fused_sampling_matches_xla(key, dispatch_on):
+    r"""UNAF sampling dispatches through the fused kernel: the 32-point
+    Gauss-Legendre integrand evaluations are batched along lanes inside the
+    bisection (reference: zuko/transforms.py:911-918, 609-617)."""
+    import os
+
+    from zuko_tpu.flows import UNAF
+    from zuko_tpu.ops.dispatch import FusedNeuralSamplingFlow
+    from zuko_tpu.ops.naf_fused import FusedStructureError as FSE
+    from zuko_tpu.ops.naf_fused import fused_naf_sample
+
+    kf, ks = jax.random.split(key)
+    flow = UNAF(3, transforms=2, signal=8, key=kf)
+    d = flow(None)
+    assert type(d) is FusedNeuralSamplingFlow, type(d)
+
+    def xla(fn):
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+        try:
+            return fn()
+        finally:
+            os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    x = d.sample(ks, (24,))
+    assert jnp.allclose(
+        x, xla(lambda: flow(None).sample(ks, (24,))), atol=1e-5
+    ), x
+
+    # conditional
+    flow_c = UNAF(3, 2, transforms=2, signal=8, key=kf)
+    c = jnp.ones(2)
+    xc = flow_c(c).sample(ks, (12,))
+    assert jnp.allclose(
+        xc, xla(lambda: flow_c(c).sample(ks, (12,))), atol=1e-5
+    )
+
+    # a non-ELU integrand is rejected, not silently mis-sampled
+    bad = UNAF(3, transforms=2, signal=8,
+               network={"activation": jax.nn.relu}, key=kf)
+    assert type(bad(None)) is NormalizingFlow
+    with pytest.raises(FSE):
+        fused_naf_sample(bad, ks, (4,))

@@ -55,17 +55,56 @@ def _n_bisect(bound, eps):
     return int(math.ceil(math.log2(2.0 * bound / eps)))
 
 
+def _extract_stacked_net(net, linear_cls, act_ok, in_features, label):
+    """Validate a stacked [linear, act]*linear net and return (weights
+    flattened to (F*out, in), biases flattened, per-layer out dims)."""
+    lins = []
+    expect_linear = True
+    for layer in net.layers:
+        if expect_linear:
+            if type(layer) is not linear_cls:
+                raise FusedStructureError(
+                    f"fused {label} expects {linear_cls.__name__} stacks,"
+                    f" got {type(layer).__name__}"
+                )
+            if layer.bias is None or layer.weight.ndim != 3:
+                raise FusedStructureError(
+                    f"{label} net must be biased and stacked per feature"
+                )
+            lins.append(layer)
+            expect_linear = False
+        else:
+            if not act_ok(layer):
+                raise FusedStructureError(
+                    f"fused {label} got unsupported activation"
+                    f" {type(layer).__name__}"
+                )
+            expect_linear = True
+    if expect_linear or not lins:
+        raise FusedStructureError(f"{label} net must end with a linear")
+    if lins[0].weight.shape[2] != in_features or lins[-1].weight.shape[1] != 1:
+        raise FusedStructureError(
+            f"{label} net must map ({in_features}) -> 1 per feature"
+        )
+    return (
+        [l.weight.reshape(-1, l.weight.shape[2]) for l in lins],
+        [l.bias.reshape(-1) for l in lins],
+        tuple(l.weight.shape[1] for l in lins),
+    )
+
+
 def extract_naf_params(flow):
-    """Strictly validate a NAF flow's structure and pull out per-AR-layer
-    parameters. Expected pattern (reference recipe,
-    zuko/flows/neural.py:121-182): MaskedAutoregressiveTransform layers with
-    an MNN univariate (shapes ``((S,),)``), interleaved with unconditional
+    """Strictly validate a NAF/UNAF flow's structure and pull out per-AR-layer
+    parameters. Expected pattern (reference recipes,
+    zuko/flows/neural.py:121-246): MaskedAutoregressiveTransform layers with
+    an MNN univariate (shapes ``((S,),)``) or a UMNN univariate (shapes
+    ``((S,), ())``), interleaved with unconditional
     ``SoftclipTransform(bound=11)``; plain ReLU MADE hyper-nets; standard
     DiagNormal base. Anything else raises :class:`FusedStructureError`."""
     from ..flows.autoregressive import MaskedAutoregressiveTransform
-    from ..flows.neural import MNN
+    from ..flows.neural import MNN, UMNN
     from ..lazy import LazyComposedTransform, UnconditionalTransform
-    from ..nn import MaskedLinear, MonotonicLinear, TwoWayELU
+    from ..nn import Activation, Linear, MaskedLinear, MonotonicLinear, TwoWayELU
     from ..transforms import SoftclipTransform
 
     if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
@@ -90,14 +129,20 @@ def extract_naf_params(flow):
                 "fused NAF sampling supports MaskedAutoregressiveTransform"
                 f" layers only, got {type(t).__name__}"
             )
-        if not isinstance(t.univariate, MNN):
+        shapes = tuple(tuple(s) for s in t.shapes)
+        if isinstance(t.univariate, MNN):
+            kind = "mnn"
+            if len(shapes) != 1 or len(shapes[0]) != 1:
+                raise FusedStructureError(f"unexpected MNN shapes {shapes}")
+        elif isinstance(t.univariate, UMNN):
+            kind = "umnn"
+            if len(shapes) != 2 or len(shapes[0]) != 1 or shapes[1] != ():
+                raise FusedStructureError(f"unexpected UMNN shapes {shapes}")
+        else:
             raise FusedStructureError(
-                f"fused NAF sampling expects MNN univariates, got"
+                f"fused NAF sampling expects MNN/UMNN univariates, got"
                 f" {type(t.univariate).__name__}"
             )
-        shapes = tuple(tuple(s) for s in t.shapes)
-        if len(shapes) != 1 or len(shapes[0]) != 1:
-            raise FusedStructureError(f"unexpected MNN shapes {shapes}")
         if S is None:
             S = shapes[0][0]
         elif S != shapes[0][0]:
@@ -105,51 +150,32 @@ def extract_naf_params(flow):
 
         lins = _extract_mlp_linears(t.hyper, MaskedLinear)
 
-        # monotone net: [MonotonicLinear, TwoWayELU]* + MonotonicLinear,
-        # stacked over features
-        net = t.univariate.network
-        mono = []
-        expect_linear = True
-        for layer in net.layers:
-            if expect_linear:
-                if type(layer) is not MonotonicLinear:
-                    raise FusedStructureError(
-                        "fused NAF sampling expects MonotonicLinear stacks,"
-                        f" got {type(layer).__name__}"
-                    )
-                if layer.bias is None or layer.weight.ndim != 3:
-                    raise FusedStructureError(
-                        "monotone net must be biased and stacked per feature"
-                    )
-                mono.append(layer)
-                expect_linear = False
-            else:
-                if type(layer) is not TwoWayELU:
-                    raise FusedStructureError(
-                        "fused NAF sampling expects TwoWayELU activations,"
-                        f" got {type(layer).__name__}"
-                    )
-                expect_linear = True
-        if expect_linear or not mono:
-            raise FusedStructureError("monotone net must end with a linear")
-        for layer in mono[:-1]:
-            if layer.weight.shape[1] % 2:
-                raise FusedStructureError(
-                    "TwoWayELU needs an even hidden width"
-                )
-        if mono[0].weight.shape[2] != 1 + S or mono[-1].weight.shape[1] != 1:
-            raise FusedStructureError(
-                f"monotone net must map (1+{S}) -> 1 per feature"
+        if kind == "mnn":
+            # monotone net: [MonotonicLinear, TwoWayELU]* + MonotonicLinear
+            mono_w, mono_b, mono_dims = _extract_stacked_net(
+                t.univariate.network, MonotonicLinear,
+                lambda l: type(l) is TwoWayELU, 1 + S, "NAF monotone",
+            )
+            if any(h % 2 for h in mono_dims[:-1]):
+                raise FusedStructureError("TwoWayELU needs an even hidden width")
+        else:
+            # UMNN integrand: plain stacked MLP with ELU activations
+            # (reference: zuko/flows/neural.py:74-118)
+            net = t.univariate.integrand
+            mono_w, mono_b, mono_dims = _extract_stacked_net(
+                net, Linear,
+                lambda l: isinstance(l, Activation) and l.fn is jax.nn.elu,
+                1 + S, "UMNN integrand",
             )
 
         stages.append(("ar", {
+            "kind": kind,
             "made_w": [l.weight for l in lins],
             "made_b": [l.bias for l in lins],
             "made_m": [l.mask for l in lins],
-            # flatten stacked (F, out, in) -> (F*out, in) for aligned slices
-            "mono_w": [l.weight.reshape(-1, l.weight.shape[2]) for l in mono],
-            "mono_b": [l.bias.reshape(-1) for l in mono],
-            "mono_dims": tuple(l.weight.shape[1] for l in mono),
+            "mono_w": mono_w,
+            "mono_b": mono_b,
+            "mono_dims": mono_dims,
             "passes": int(t.passes),
             # MonotonicTransform solve domain (zuko/transforms.py:570-637)
             "bound": 10.0,
@@ -182,10 +208,10 @@ def _two_way_elu_T(z):
     return jnp.concatenate([_elu(a), -_elu(-b)], axis=0)
 
 
-def _mono_net_T(x, h, f, S, mono_w, mono_b, mono_dims):
+def _mono_net_T(x, h, f, S, T, mono_w, mono_b, mono_dims):
     """Evaluate feature ``f``'s monotone net at x (1, TB) with its signal
-    slab from the feature-major MADE output h (S*F, TB)."""
-    u = jnp.concatenate([x, h[f * S : (f + 1) * S, :]], axis=0)
+    slab (first S of T rows) from the feature-major MADE output h (T*F, TB)."""
+    u = jnp.concatenate([x, h[f * T : f * T + S, :]], axis=0)
     n = len(mono_w)
     for i, (W, b, H) in enumerate(zip(mono_w, mono_b, mono_dims)):
         Wf = jnp.abs(W[f * H : (f + 1) * H, :])
@@ -196,20 +222,74 @@ def _mono_net_T(x, h, f, S, mono_w, mono_b, mono_dims):
     return u  # (1, TB)
 
 
+# Gauss-Legendre rule of the UMNN integral, n=32
+# (zuko_tpu/flows/neural.py _UMNNTransform defaults; reference
+# zuko/transforms.py:911-918)
+_UMNN_N = 32
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(_UMNN_N)
+
+
+def _umnn_f_T(x, h, f, S, T, mono_w, mono_b, mono_dims):
+    """Feature ``f``'s UMNN forward f(x) = ∫_0^x g(u) du at x (1, TB) by
+    32-point Gauss-Legendre, with the quadrature points batched along the
+    LANE axis — one stacked-MLP pass evaluates g at all 32 points
+    (reference integrand: zuko/flows/neural.py:100-104, quadrature:
+    zuko/transforms.py:911-918)."""
+    TB = x.shape[1]
+    sig = h[f * T : f * T + S, :]
+
+    # point-major lane blocks: u_p = x/2 * (t_p + 1)
+    xs = jnp.concatenate(
+        [x * (0.5 * (t + 1.0)) for t in _GL_NODES], axis=1
+    )  # (1, P*TB)
+    sigs = jnp.concatenate([sig] * _UMNN_N, axis=1)  # (S, P*TB)
+    u = jnp.concatenate([xs, sigs], axis=0)
+
+    n = len(mono_w)
+    for i, (W, b, H) in enumerate(zip(mono_w, mono_b, mono_dims)):
+        Wf = W[f * H : (f + 1) * H, :]
+        bf = b[f * H : (f + 1) * H]
+        u = jnp.dot(Wf, u, preferred_element_type=jnp.float32) + bf[:, None]
+        if i < n - 1:
+            u = _elu(u)
+
+    # g = exp(softclip(dx, 7)) in [1e-3, 1e3] (zuko/flows/neural.py:100-104)
+    g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (1, P*TB)
+
+    acc = _GL_WEIGHTS[0] * g[:, :TB]
+    for p in range(1, _UMNN_N):
+        acc = acc + _GL_WEIGHTS[p] * g[:, p * TB : (p + 1) * TB]
+    return 0.5 * x * acc
+
+
 def _ar_inverse_sweeps_T(y, cT, st, F, S):
-    """Invert one NAF autoregressive layer on a (F, TB) tile: ``passes``
-    fixed-point sweeps (reference: zuko/transforms.py:994-1000); inside each
-    sweep, a fixed-count bisection solves the monotone univariate per feature
-    (reference: zuko/transforms.py:609-617) with the net weights resident."""
+    """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
+    ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
+    inside each sweep, a fixed-count bisection solves the monotone univariate
+    per feature (reference: zuko/transforms.py:609-617) with the net weights
+    resident. For UMNN the target is shifted by the per-feature additive
+    constant (reference: zuko/flows/neural.py:106-118)."""
     made = []
     for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
         made += [W, b, M]
     bound, eps = st["bound"], st["eps"]
     n_iter = _n_bisect(bound, eps)
+    kind = st.get("kind", "mnn")
+    T = S if kind == "mnn" else S + 1
+    f_eval = _mono_net_T if kind == "mnn" else _umnn_f_T
 
     x = jnp.zeros_like(y)
     for _ in range(min(st["passes"], F)):
-        h = _hyper_T(x, cT, made)  # (S*F, TB) feature-major signals
+        h = _hyper_T(x, cT, made)  # (T*F, TB) feature-major phi
+
+        if kind == "umnn":
+            # y = f(x) + constant  =>  solve f(x) = y - constant
+            consts = jnp.concatenate(
+                [h[f * T + S : f * T + S + 1, :] for f in range(F)], axis=0
+            )
+            target = y - consts
+        else:
+            target = y
 
         lo = jnp.full_like(y, -bound)
         hi = jnp.full_like(y, bound)
@@ -217,15 +297,15 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
             mid = 0.5 * (lo + hi)
             fm = jnp.concatenate(
                 [
-                    _mono_net_T(
-                        mid[f : f + 1, :], h, f, S,
+                    f_eval(
+                        mid[f : f + 1, :], h, f, S, T,
                         st["mono_w"], st["mono_b"], st["mono_dims"],
                     )
                     for f in range(F)
                 ],
                 axis=0,
             )
-            go_right = fm < y
+            go_right = fm < target
             lo = jnp.where(go_right, mid, lo)
             hi = jnp.where(go_right, hi, mid)
         x = 0.5 * (lo + hi)
@@ -260,6 +340,7 @@ def _stage_layout(stages):
             layout.append((
                 "ar",
                 {
+                    "kind": st.get("kind", "mnn"),
                     "n_made": len(st["made_w"]),
                     "mono_dims": st["mono_dims"],
                     "passes": st["passes"],
@@ -289,6 +370,7 @@ def _rebuild_stages(flat, layout):
         mono_b = flat[idx : idx + L]
         idx += L
         stages.append(("ar", {
+            "kind": d.get("kind", "mnn"),
             "made_w": made[0::3], "made_b": made[1::3], "made_m": made[2::3],
             "mono_w": mono_w, "mono_b": mono_b,
             "mono_dims": d["mono_dims"], "passes": d["passes"],
@@ -319,6 +401,11 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
     stages, cfg = extract_naf_params(flow)
     F, S = cfg["features"], cfg["signal"]
     flat_params, layout = _stage_layout(stages)
+    # UMNN batches 32 quadrature points along lanes inside the kernel —
+    # shrink the batch tile to keep the (H, 32*TB) intermediates in VMEM
+    tb = 256 if any(
+        k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout
+    ) else _TB
 
     try:
         dtype = jnp.asarray(flow.base.args[0]).dtype
@@ -343,7 +430,7 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
         out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S)
         return out.T.reshape(z.shape)
 
-    pad = (-n) % _TB
+    pad = (-n) % tb
     if pad:
         zc = jnp.pad(zc, ((0, pad), (0, 0)))
     m = zc.shape[0]
@@ -360,13 +447,13 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
         functools.partial(
             _naf_kernel_T, layout=layout, F=F, C=C, S=S, n_params=n_params
         ),
-        grid=(m // _TB,),
+        grid=(m // tb,),
         in_specs=[
-            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=pl.BlockSpec(
-            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+            (F, tb), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((F, m), dtype),
     )(zc.T, *flat_params)
