@@ -1,25 +1,44 @@
 r"""Pallas (Mosaic TPU) kernels for the hot numeric cores.
 
-Three tiers (see PERF.md for measurements):
+Four tiers (see PERF.md for measurements):
 
-* ``nsf_fused`` — whole-flow fused kernels (`fused_nsf_log_prob`,
-  `fused_nsf_sample`, `fused_nsf_sample_and_log_prob`; NSF splines or MAF
-  affine univariates, optional context): every hyper-net matmul, spline
-  constraint and evaluation in one kernel per batch tile. 1.2-1.5x the XLA
-  path; on by default on TPU (`ZUKO_TPU_FUSED_NSF=0` to disable).
+* ``dispatch`` — the automatic fast path: ``flow(c)`` inspects the module
+  once and, when the structure matches, returns a distribution whose
+  ``log_prob``/``sample``/``sample_and_log_prob`` hit the fused kernels
+  (on by default on TPU; force with ``ZUKO_TPU_FUSED_DISPATCH=1``/``0``).
+  Mirrors the reference, where the fused ``call_and_ladj`` protocol IS the
+  API (zuko/transforms.py:46-56).
+* ``nsf_fused`` — whole-flow fused density/sampling kernels covering
+  NSF/NCSF splines, MAF affine univariates and NICE/RealNVP coupling,
+  optional context: every hyper-net matmul, constraint pipeline, spline
+  evaluation and the base density in one kernel per batch tile, with the
+  constraint/spline math vectorized across features via a param-major
+  output layout. (`ZUKO_TPU_FUSED_NSF=0` falls back to the identical jnp
+  math.)
+* ``naf_fused`` — whole-flow NAF/UNAF sampling: every autoregressive sweep,
+  bisection iterate and monotone-net/quadrature evaluation per batch tile
+  with the weights pinned in VMEM.
 * ``rqs`` / ``masked_linear`` — per-op kernels (reference anchors:
   zuko/transforms.py:449-567, zuko/nn.py:202-218). Bit-exact but they break
   XLA whole-graph fusion at tabular sizes, so opt-in via
   ``ZUKO_TPU_KERNELS=1``.
-* Every kernel has a pure-jnp fallback with identical semantics, used on
-  CPU/GPU and inside custom-VJP backwards.
+
+Every kernel has a pure-jnp fallback with identical semantics, used on
+CPU/GPU and inside custom-VJP backwards.
 """
 
 import os
 
 import jax
 
-__all__ = ["kernels_enabled", "masked_linear", "nsf_fused", "rqs"]
+__all__ = [
+    "dispatch",
+    "kernels_enabled",
+    "masked_linear",
+    "naf_fused",
+    "nsf_fused",
+    "rqs",
+]
 
 
 def kernels_enabled() -> bool:
@@ -38,4 +57,4 @@ def kernels_enabled() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-from . import masked_linear, nsf_fused, rqs  # noqa: E402, F401
+from . import dispatch, masked_linear, naf_fused, nsf_fused, rqs  # noqa: E402, F401
