@@ -386,3 +386,208 @@ def test_unaf_fused_sampling_matches_xla(key, dispatch_on):
     assert type(bad(None)) is NormalizingFlow
     with pytest.raises(FSE):
         fused_naf_sample(bad, ks, (4,))
+
+
+@pytest.mark.parametrize("cls", ["SOSPF", "BPF"])
+def test_polynomial_fused_density(cls, key, dispatch_on):
+    r"""SOSPF/BPF densities dispatch through the fused AR kernel
+    (density-only: the polynomial inverses are iterative solves, so sampling
+    keeps the XLA path). Reference univariates: zuko/transforms.py:927-963
+    (SOSP) and :780-831 (bounded Bernstein), recipes
+    zuko/flows/polynomial.py:32-117."""
+    import os
+
+    from zuko_tpu.flows import BPF, SOSPF
+    from zuko_tpu.ops.dispatch import FusedDensityFlow
+    from zuko_tpu.ops.nsf_fused import fused_nsf_sample
+
+    flow_cls = {"SOSPF": SOSPF, "BPF": BPF}[cls]
+    kf, kx, ks = jax.random.split(key, 3)
+    flow = flow_cls(4, transforms=3, hidden_features=(16, 16), key=kf)
+    x = jax.random.normal(kx, (64, 4))
+
+    d = flow(None)
+    assert type(d) is FusedDensityFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(None).log_prob(x)
+        s_ref = flow(None).sample(ks, (8,))
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == lp_ref.shape == (64,)
+    assert jnp.allclose(lp, lp_ref, atol=1e-8), jnp.abs(lp - lp_ref).max()
+
+    # sampling keeps the XLA path (bit-identical) and fused sampling rejects
+    s = d.sample(ks, (8,))
+    assert jnp.allclose(s, s_ref, atol=0.0)
+    with pytest.raises(FusedStructureError):
+        fused_nsf_sample(flow, ks, (8,))
+
+    # gradients through the dispatched density equal the XLA path
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(None).log_prob(x))
+
+    g_fused = jax.grad(loss)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=2e-6), (n, jnp.abs(a - b).max())
+
+
+def test_polynomial_fused_conditional(key, dispatch_on):
+    r"""Conditional SOSPF through the fused path matches XLA."""
+    import os
+
+    from zuko_tpu.flows import SOSPF
+
+    kf, kx, kc = jax.random.split(key, 3)
+    flow = SOSPF(3, 2, transforms=2, hidden_features=(16, 16), key=kf)
+    x = jax.random.normal(kx, (32, 3))
+    c = jax.random.normal(kc, (2,))
+
+    lp = flow(c).log_prob(x)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(c).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(lp, lp_ref, atol=1e-8), jnp.abs(lp - lp_ref).max()
+
+
+def _moderate(flow):
+    r"""Scale parameters down to a trained-like regime: a random-init GF
+    saturates its gaussianization layers (samples peg at the +-10 monotone
+    bound), where any f32-level erf difference is amplified by the flat
+    inverse. Parity tolerances below reflect the in-kernel erf/erfinv
+    approximations (~1.4e-7 abs, Mosaic lowers no erf primitive)."""
+    import jax.tree_util as jtu
+
+    params, static = partition(flow)
+    return combine(jtu.tree_map(lambda a: a * 0.3, params), static)
+
+
+@pytest.mark.parametrize("ctx", [0, 2])
+def test_gf_fused_density(ctx, key, dispatch_on):
+    r"""GF densities dispatch through the fused gaussianization kernel
+    (analytic ladj, rotation matmuls); parity with the XLA path to the
+    in-kernel erf approximation error. Reference: zuko/transforms.py:834-875
+    and zuko/flows/gaussianization.py:97-155."""
+    import os
+
+    from zuko_tpu.flows import GF
+    from zuko_tpu.ops.dispatch import FusedGaussianizationFlow
+
+    kf, kx, kc = jax.random.split(key, 3)
+    flow = GF(4, ctx, transforms=3, key=kf)
+    x = jax.random.normal(kx, (64, 4))
+    c = jax.random.normal(kc, (ctx,)) if ctx else None
+
+    d = flow(c)
+    assert type(d) is FusedGaussianizationFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(c).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == lp_ref.shape == (64,)
+    assert jnp.allclose(lp, lp_ref, atol=5e-4), jnp.abs(lp - lp_ref).max()
+
+    # gradients through the dispatched density track the XLA path
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(c).log_prob(x))
+
+    g_fused = jax.grad(loss)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())
+
+
+def test_gf_fused_sampling(key, dispatch_on):
+    r"""GF sampling through the fused bisection kernel matches the XLA
+    newton-bisection path (moderate regime; the solves are ill-conditioned
+    exactly where the layer saturates, see _moderate)."""
+    import os
+
+    from zuko_tpu.flows import GF
+
+    kf, ks = jax.random.split(key)
+    flow = _moderate(GF(4, transforms=3, key=kf))
+
+    d = flow(None)
+    x = d.sample(ks, (128,))
+    x2, lq = d.sample_and_log_prob(ks, (128,))
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        x_ref = flow(None).sample(ks, (128,))
+        _, lq_ref = flow(None).sample_and_log_prob(ks, (128,))
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    assert x.shape == x_ref.shape == (128, 4)
+    # Quantile contract: the gaussianization inverse is ill-conditioned
+    # exactly where the layer saturates (|f'| -> 0 near the +-10 bound), and
+    # there any f32-level erf difference shifts the root arbitrarily — the
+    # XLA path pegs at the bound the same way the reference's bisection does
+    # (zuko/transforms.py:609-617). Away from saturation the solves agree to
+    # solver tolerance.
+    e = jnp.abs(x - x_ref)
+    assert jnp.median(e) < 1e-5, jnp.median(e)
+    assert jnp.quantile(e, 0.95) < 1e-2, jnp.quantile(e, 0.95)
+    assert jnp.allclose(x2, x, atol=0.0)
+    el = jnp.abs(lq - lq_ref)
+    assert jnp.median(el) < 1e-3, jnp.median(el)
+    # log q is self-consistent with the fused density at the drawn points
+    from zuko_tpu.ops.gf_fused import fused_gf_log_prob
+
+    es = jnp.abs(lq - fused_gf_log_prob(flow, x2))
+    assert jnp.median(es) < 1e-4, jnp.median(es)
+
+    # rsample keeps the XLA path bit-identical (reparameterized gradients)
+    r = d.rsample(ks, (16,))
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        r_ref = flow(None).rsample(ks, (16,))
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(r, r_ref, atol=0.0)
+
+
+def test_gf_fused_structure_rejection(key, dispatch_on):
+    r"""Structures the GF kernels cannot represent fall back to the XLA path
+    (batched context) or raise from the extractor (non-gaussianization
+    univariates) rather than silently computing a wrong density."""
+    from zuko_tpu.flows import GF
+    from zuko_tpu.ops.gf_fused import extract_gf_params, fused_gf_log_prob
+    from zuko_tpu.ops.dispatch import FusedGaussianizationFlow
+
+    kf, kc = jax.random.split(key)
+    flow = GF(3, 2, transforms=2, key=kf)
+
+    # batched context -> XLA fallback through the public API
+    cb = jax.random.normal(kc, (5, 2))
+    assert type(flow(cb)) is NormalizingFlow
+    with pytest.raises(FusedStructureError):
+        fused_gf_log_prob(flow, jnp.zeros((5, 3)), cb)
+
+    # a non-GF structure is rejected by the extractor
+    from zuko_tpu.flows import NSF
+
+    nsf = NSF(3, 0, transforms=2, key=kf)
+    with pytest.raises(FusedStructureError):
+        extract_gf_params(nsf)

@@ -134,6 +134,28 @@ def test_sharded_fused_log_prob(key):
     assert jnp.allclose(lp, lp_ref, atol=1e-5)
 
 
+def test_sharded_fused_sample(key):
+    r"""Sample-parallel fused sampling over the data axis: correct shapes,
+    deterministic for a fixed key, and the fused ``log q`` equals the flow's
+    own density at the drawn points."""
+    from zuko_tpu.parallel import sharded_fused_sample
+
+    flow = _flow(key)
+    mesh = make_mesh(model=1)
+
+    x = sharded_fused_sample(mesh, flow, jax.random.PRNGKey(3), (64,))
+    assert x.shape == (64, 4)
+    assert jnp.all(jnp.isfinite(x))
+    x_again = sharded_fused_sample(mesh, flow, jax.random.PRNGKey(3), (64,))
+    assert jnp.array_equal(x, x_again)
+
+    x2, lp = sharded_fused_sample(
+        mesh, flow, jax.random.PRNGKey(3), (64,), want_log_prob=True
+    )
+    assert x2.shape == (64, 4) and lp.shape == (64,)
+    assert jnp.allclose(lp, flow(None).log_prob(x2), atol=1e-5)
+
+
 def test_sharded_train_mle_matches(key):
     r"""train_mle with a mesh shards every minibatch over the data axis (real
     DP, VERDICT round-1 item 3); the loss trajectory must match the

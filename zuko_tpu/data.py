@@ -95,6 +95,7 @@ def _power_preprocess(data: np.ndarray):
 
     mu = np.vstack((train, val)).mean(axis=0)
     sd = np.vstack((train, val)).std(axis=0)
+    sd = np.where(sd > 0, sd, 1.0)  # constant columns (tiny test fixtures)
     return tuple(
         ((s - mu) / sd).astype(np.float32) for s in (train, val, test)
     )

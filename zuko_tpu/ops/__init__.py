@@ -9,15 +9,20 @@ Four tiers (see PERF.md for measurements):
   Mirrors the reference, where the fused ``call_and_ladj`` protocol IS the
   API (zuko/transforms.py:46-56).
 * ``nsf_fused`` — whole-flow fused density/sampling kernels covering
-  NSF/NCSF splines, MAF affine univariates and NICE/RealNVP coupling,
-  optional context: every hyper-net matmul, constraint pipeline, spline
-  evaluation and the base density in one kernel per batch tile, with the
-  constraint/spline math vectorized across features via a param-major
-  output layout. (`ZUKO_TPU_FUSED_NSF=0` falls back to the identical jnp
-  math.)
+  NSF/NCSF splines, MAF affine univariates, SOSPF/BPF polynomial
+  univariates (density-only — their inverses are iterative solves) and
+  NICE/RealNVP coupling, optional context: every hyper-net matmul,
+  constraint pipeline, univariate evaluation and the base density in one
+  kernel per batch tile, with the constraint/univariate math vectorized
+  across features via a param-major output layout.
+  (`ZUKO_TPU_FUSED_NSF=0` falls back to the identical jnp math.)
 * ``naf_fused`` — whole-flow NAF/UNAF sampling: every autoregressive sweep,
   bisection iterate and monotone-net/quadrature evaluation per batch tile
   with the weights pinned in VMEM.
+* ``gf_fused`` — whole-flow GF density AND sampling: element-wise
+  gaussianization layers with analytic log-Jacobians, rotation matmuls and
+  per-feature bisection inverses per batch tile (in-kernel erf/erfinv —
+  Mosaic lowers neither).
 * ``rqs`` / ``masked_linear`` — per-op kernels (reference anchors:
   zuko/transforms.py:449-567, zuko/nn.py:202-218). Bit-exact but they break
   XLA whole-graph fusion at tabular sizes, so opt-in via
@@ -33,6 +38,7 @@ import jax
 
 __all__ = [
     "dispatch",
+    "gf_fused",
     "kernels_enabled",
     "masked_linear",
     "naf_fused",
@@ -57,4 +63,11 @@ def kernels_enabled() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-from . import dispatch, masked_linear, naf_fused, nsf_fused, rqs  # noqa: E402, F401
+from . import (  # noqa: E402, F401
+    dispatch,
+    gf_fused,
+    masked_linear,
+    naf_fused,
+    nsf_fused,
+    rqs,
+)

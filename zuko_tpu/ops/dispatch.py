@@ -30,6 +30,7 @@ import os
 import jax
 
 from ..distributions import NormalizingFlow
+from .gf_fused import extract_gf_params, fused_gf_log_prob, fused_gf_sample
 from .naf_fused import extract_naf_params, fused_naf_sample
 from .nsf_fused import (
     FusedStructureError,
@@ -43,6 +44,8 @@ from .nsf_fused import (
 __all__ = [
     "FusedAutoregressiveFlow",
     "FusedCouplingFlow",
+    "FusedDensityFlow",
+    "FusedGaussianizationFlow",
     "FusedNeuralSamplingFlow",
     "fused_dispatch_enabled",
     "maybe_fused_flow",
@@ -88,6 +91,21 @@ class FusedAutoregressiveFlow(NormalizingFlow):
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
+class FusedDensityFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose density runs through the fused
+    whole-flow AR kernel but whose sampling keeps the XLA path — the
+    polynomial families (SOSPF/BPF), whose univariate inverses are iterative
+    solves the density kernel does not carry."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        return fused_nsf_log_prob(self._module, x, self._c)
+
+
 class FusedCouplingFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose density runs through the fused
     coupling (NICE/RealNVP) math; sampling keeps the XLA path (coupling
@@ -100,6 +118,36 @@ class FusedCouplingFlow(NormalizingFlow):
 
     def log_prob(self, x):
         return fused_nice_log_prob(self._module, x, self._c)
+
+
+class FusedGaussianizationFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose density AND sampling run through the
+    fused GF kernels (:mod:`zuko_tpu.ops.gf_fused`): analytic gaussianization
+    log-Jacobians, rotation matmuls and per-feature bisection inverses per
+    batch tile. ``rsample`` keeps the XLA path for reparameterized
+    gradients."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        return fused_gf_log_prob(self._module, x, self._c)
+
+    def sample(self, key, sample_shape=()):
+        return fused_gf_sample(self._module, key, sample_shape, c=self._c)
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        return fused_gf_sample(
+            self._module, key, sample_shape, c=self._c, want_log_prob=True
+        )
+
+    def rsample(self, key, sample_shape=()):
+        return NormalizingFlow.sample(self, key, sample_shape)
+
+    def rsample_and_log_prob(self, key, sample_shape=()):
+        return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
 class FusedNeuralSamplingFlow(NormalizingFlow):
@@ -126,10 +174,12 @@ def maybe_fused_flow(module, transform, base, c):
     matches the fused kernels, else ``None`` (caller falls back to the plain
     XLA-path distribution)."""
     try:
-        extract_nsf_params(module)
+        _, nsf_cfg = extract_nsf_params(module)
     except FusedStructureError:
         pass
     else:
+        if nsf_cfg["univ"] in ("sosp", "bernstein"):
+            return FusedDensityFlow(transform, base, module, c)
         return FusedAutoregressiveFlow(transform, base, module, c)
     try:
         extract_coupling_params(module)
@@ -137,6 +187,12 @@ def maybe_fused_flow(module, transform, base, c):
         pass
     else:
         return FusedCouplingFlow(transform, base, module, c)
+    try:
+        extract_gf_params(module, c)
+    except FusedStructureError:
+        pass
+    else:
+        return FusedGaussianizationFlow(transform, base, module, c)
     try:
         extract_naf_params(module)
     except FusedStructureError:

@@ -1,0 +1,483 @@
+r"""Whole-flow fused Gaussianization-flow (GF) kernels.
+
+One Pallas program per batch tile computes the full GF density — every
+element-wise gaussianization layer :math:`f(x) = \sqrt 2\,\mathrm{erfinv}
+\big((1-\epsilon)\,\tfrac 1K\sum_i \mathrm{erf}((s_i x + b_i)/\sqrt 2)\big)`
+with its *analytic* log-Jacobian, every interleaved rotation matmul, and the
+standard-normal base — and, for sampling, every per-feature bisection solve
+of the gaussianization inverse with the layer parameters resident in VMEM.
+
+Reference semantics: zuko/transforms.py:834-875 (GaussianizationTransform),
+zuko/transforms.py:1217-1244 (RotationTransform), zuko/flows/gaussianization.py:97-155
+(the GF recipe: element-wise layers with trainable rotations interleaved).
+
+Mosaic has no ``erf``/``erfinv`` lowering, so the kernels carry their own
+f32 implementations (Abramowitz–Stegun 7.1.26 for :math:`\mathrm{erf}`,
+Giles 2012 for :math:`\mathrm{erfinv}`); the jnp fallback path runs the
+IDENTICAL approximations so the math validated on CPU is the math the kernel
+executes (|err| vs the libm pair is ~1e-7, amplified to ~1e-4 on log-densities
+deep in the tails — the fused-vs-XLA parity tolerance below).
+
+Like the other fused families, everything non-representable (conditional
+hypers with *batched* context, non-Gaussianization univariates, non-standard
+bases) raises :class:`FusedStructureError` so dispatch falls back to the
+always-correct XLA path instead of silently computing a wrong density.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "extract_gf_params",
+    "fused_gf_log_prob",
+    "fused_gf_sample",
+]
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nsf_fused import (
+    _TB,
+    FusedStructureError,
+    _require_standard_base,
+    _use_pallas_fused,
+)
+
+try:  # pragma: no cover - exercised on TPU only
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_EPS_GF = 1e-6  # the reference's mean shrink factor (zuko/transforms.py:838)
+
+
+# ----------------------------------------------------------- special functions
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational approximation of erf (|abs err| <
+    1.5e-7) — Mosaic lowers no erf primitive, and running the same polynomial
+    on the fallback path keeps kernel == fallback exactly."""
+    sign = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _erfinv(x):
+    """Giles (2012) single-precision erfinv approximation."""
+    w = -jnp.log((1.0 - x) * (1.0 + x))
+    # central branch (w < 5)
+    wc = w - 2.5
+    p1 = 2.81022636e-08
+    p1 = 3.43273939e-07 + p1 * wc
+    p1 = -3.5233877e-06 + p1 * wc
+    p1 = -4.39150654e-06 + p1 * wc
+    p1 = 0.00021858087 + p1 * wc
+    p1 = -0.00125372503 + p1 * wc
+    p1 = -0.00417768164 + p1 * wc
+    p1 = 0.246640727 + p1 * wc
+    p1 = 1.50140941 + p1 * wc
+    # tail branch
+    wt = jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0
+    p2 = -0.000200214257
+    p2 = 0.000100950558 + p2 * wt
+    p2 = 0.00134934322 + p2 * wt
+    p2 = -0.00367342844 + p2 * wt
+    p2 = 0.00573950773 + p2 * wt
+    p2 = -0.0076224613 + p2 * wt
+    p2 = 0.00943887047 + p2 * wt
+    p2 = 1.00167406 + p2 * wt
+    p2 = 2.83297682 + p2 * wt
+    return jnp.where(w < 5.0, p1, p2) * x
+
+
+# ----------------------------------------------------------------- extraction
+
+
+def extract_gf_params(flow, c=None):
+    """Validate a GF structure and pull its parameters into kernel form.
+
+    Returns ``(stages, features)`` with stages a list of
+    ``("gauss", shift (F,K), raw_scale (F,K))`` / ``("rot", A (F,F))``
+    entries, in forward order. Conditional element-wise layers are supported
+    for *unbatched* context only (the per-feature parameters are then computed
+    by the hyper MLP outside the kernel — they do not depend on x); anything
+    else raises :class:`FusedStructureError`.
+    """
+    from ..flows.gaussianization import ElementWiseTransform
+    from ..lazy import LazyComposedTransform, UnconditionalTransform
+    from ..transforms import GaussianizationTransform, RotationTransform
+    from ..utils import unpack
+
+    if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
+        raise FusedStructureError(
+            "fused GF kernels require a Flow with a LazyComposedTransform"
+        )
+
+    stages = []
+    features = None
+    for t in flow.transform.transforms:
+        if isinstance(t, UnconditionalTransform):
+            if t.f is not RotationTransform or t.kwargs or len(t.args) != 1:
+                raise FusedStructureError(
+                    "fused GF kernels support RotationTransform interleaves"
+                    f" only, got {t.f}"
+                )
+            A = t.args[0]
+            if A.ndim != 2 or A.shape[0] != A.shape[1]:
+                raise FusedStructureError(f"rotation A must be square, got {A.shape}")
+            stages.append(("rot", A))
+            continue
+        if type(t) is not ElementWiseTransform:
+            raise FusedStructureError(
+                "fused GF kernels support ElementWiseTransform and rotation"
+                f" layers only, got {type(t).__name__}"
+            )
+        if t.univariate is not GaussianizationTransform:
+            raise FusedStructureError(
+                "fused GF kernels support GaussianizationTransform"
+                f" univariates only, got {t.univariate}"
+            )
+        if (
+            len(t.shapes) != 2
+            or t.shapes[0] != t.shapes[1]
+            or len(t.shapes[0]) != 1
+            or t.shapes[0][0] < 1
+        ):
+            raise FusedStructureError(f"unexpected GF shapes {t.shapes}")
+        if t.hyper is not None:
+            if c is None:
+                raise FusedStructureError("conditional GF called without context")
+            if jnp.ndim(c) != 1:
+                raise FusedStructureError(
+                    "fused GF kernels support unbatched context only"
+                )
+            phi = t.hyper(c)
+            phi = phi.reshape((-1, t.total))
+            shift, raw = unpack(phi, t.shapes)
+        else:
+            shift, raw = t.phi
+        if features is None:
+            features = shift.shape[0]
+        if shift.shape != (features, t.shapes[0][0]):
+            raise FusedStructureError(
+                f"inconsistent GF layer shapes: {shift.shape}"
+            )
+        stages.append(("gauss", shift, raw))
+
+    if features is None:
+        raise FusedStructureError("flow has no gaussianization layers")
+    for kind, *arrs in stages:
+        if kind == "rot" and arrs[0].shape != (features, features):
+            raise FusedStructureError(
+                f"rotation shape {arrs[0].shape} != ({features}, {features})"
+            )
+
+    _require_standard_base(flow, features)
+    return stages, features
+
+
+def _flatten_gf(flow, c=None):
+    """stages -> (flat kernel params, static layout). The non-kernel math —
+    ``scale = exp(raw)`` (zuko/transforms.py:833) and ``R = expm(A - A^T)``
+    (zuko/transforms.py:1165) — happens here, OUTSIDE the custom-VJP boundary,
+    so gradients to ``raw``/``A`` flow through XLA's own expm/exp rules."""
+    stages, features = extract_gf_params(flow, c)
+    flat, layout = [], []
+    for kind, *arrs in stages:
+        if kind == "gauss":
+            shift, raw = arrs
+            flat += [shift, jnp.exp(raw)]
+            layout.append(("gauss", shift.shape[1]))
+        else:
+            (A,) = arrs
+            flat.append(jax.scipy.linalg.expm(A - A.T))
+            layout.append(("rot",))
+    return flat, tuple(layout), features
+
+
+# ------------------------------------------------------------ transposed math
+
+
+def _dot_rot(R, x):
+    # tiny (F, F) x (F, TB) matmul; HIGHEST keeps it f32-exact (a single
+    # bf16 MXU pass would cost ~1e-3 on the densities)
+    return jax.lax.dot_general(
+        R, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.promote_types(R.dtype, x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _gauss_mean_F(x, shift, scale, K):
+    """m(x) = (1-eps) mean_i erf((s_i x + b_i)/sqrt 2) and the un-normalized
+    derivative sum S = sum_i s_i exp(-(s_i x + b_i)^2 / 2), both (F, TB)."""
+    m = None
+    S = None
+    for i in range(K):
+        s = scale[:, i : i + 1]
+        z = s * x + shift[:, i : i + 1]
+        e = _erf(z * _INV_SQRT2)
+        m = e if m is None else m + e
+        q = s * jnp.exp(-0.5 * z * z)
+        S = q if S is None else S + q
+    return m * ((1.0 - _EPS_GF) / K), S
+
+
+def _gauss_forward_F(x, shift, scale, K):
+    """y = sqrt(2) erfinv(m(x)) and the analytic ladj
+    log f'(x) = y^2/2 + log((1-eps)/K) + log S  (the erfinv chain rule —
+    the XLA path gets the same value by jvp through MonotonicTransform)."""
+    m, S = _gauss_mean_F(x, shift, scale, K)
+    y = _erfinv(m) * math.sqrt(2.0)
+    ladj = 0.5 * y * y + math.log((1.0 - _EPS_GF) / K) + jnp.log(S)
+    return y, ladj
+
+
+def _gf_split(flat_params, layout):
+    out, idx = [], 0
+    for entry in layout:
+        if entry[0] == "gauss":
+            out.append(("gauss", flat_params[idx], flat_params[idx + 1], entry[1]))
+            idx += 2
+        else:
+            out.append(("rot", flat_params[idx]))
+            idx += 1
+    return out
+
+
+def _gf_math_T(xT, flat_params, layout, F):
+    """Transposed whole-flow density: xT (F, TB) -> log_prob (1, TB)."""
+    acc = None
+    for st in _gf_split(flat_params, layout):
+        if st[0] == "gauss":
+            _, shift, scale, K = st
+            xT, ladj = _gauss_forward_F(xT, shift, scale, K)
+            s = jnp.sum(ladj, axis=0, keepdims=True)
+            acc = s if acc is None else acc + s
+        else:
+            xT = _dot_rot(st[1], xT)
+    lp = -0.5 * jnp.sum(xT * xT, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+    return lp if acc is None else lp + acc
+
+
+# bisection count: MonotonicTransform's bound=10/eps=1e-6 bracket plus the
+# newton_bisection safety margin (zuko_tpu/transforms.py MonotonicTransform)
+_GF_BOUND = 10.0
+_GF_N_ITER = int(math.ceil(math.log2(2 * _GF_BOUND / 1e-6))) + 4
+
+
+def _gauss_inverse_F(y, shift, scale, K):
+    """Solve f(x) = y by bisection in erf-space: f(x) = y iff
+    m(x) = erf(y / sqrt 2), and erf is monotone, so comparing m(mid) against
+    the erf-space target makes the same accept/reject decisions as the
+    reference's f-space bisection (zuko/transforms.py:609-617) without an
+    erfinv per iterate."""
+    target = _erf(y * _INV_SQRT2)
+    lo = jnp.full_like(y, -_GF_BOUND)
+    hi = jnp.full_like(y, _GF_BOUND)
+    for _ in range(_GF_N_ITER):
+        mid = 0.5 * (lo + hi)
+        m, _ = _gauss_mean_F(mid, shift, scale, K)
+        go_right = m < target
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def _gf_sample_math_T(zT, flat_params, layout, F, want_log_prob=False):
+    """Transposed whole-flow sampling: zT (F, TB) base draws -> x (F, TB)
+    (+ optional log q(x) (1, TB): base density plus forward ladj at the
+    recovered x, reference: zuko/distributions.py:129-138)."""
+    acc = None
+    if want_log_prob:
+        acc = -0.5 * jnp.sum(zT * zT, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+
+    y = zT
+    for st in reversed(_gf_split(flat_params, layout)):
+        if st[0] == "gauss":
+            _, shift, scale, K = st
+            x = _gauss_inverse_F(y, shift, scale, K)
+            if want_log_prob:
+                _, ladj = _gauss_forward_F(x, shift, scale, K)
+                acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
+            y = x
+        else:
+            # R^T y (orthogonal inverse, ladj 0)
+            y = jax.lax.dot_general(
+                st[1], y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.promote_types(st[1].dtype, y.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    if want_log_prob:
+        return y, acc
+    return y
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _gf_kernel_T(x_ref, *refs, layout, F, n_params):
+    params = [refs[i][...] for i in range(n_params)]
+    out_ref = refs[n_params]
+    out_ref[...] = _gf_math_T(x_ref[...], params, layout, F)
+
+
+def _gf_sample_kernel_T(z_ref, *refs, layout, F, n_params, want_log_prob):
+    params = [refs[i][...] for i in range(n_params)]
+    out = _gf_sample_math_T(z_ref[...], params, layout, F, want_log_prob)
+    if want_log_prob:
+        refs[n_params][...], refs[n_params + 1][...] = out
+    else:
+        refs[n_params][...] = out
+
+
+# --------------------------------------------------------------- public API
+
+
+def fused_gf_log_prob(flow, x, c=None):
+    r"""Compute ``flow(c).log_prob(x)`` for a GF with one fused Pallas kernel
+    per batch tile (jnp fallback off-TPU), analytic gaussianization ladj
+    instead of the XLA path's jvp. Differentiable via a custom VJP whose
+    backward runs the identical jnp math."""
+    flat_params, layout, F = _flatten_gf(flow, c)
+    if x.shape[-1] != F:
+        raise FusedStructureError(
+            f"x has {x.shape[-1]} features, flow has {F}"
+        )
+    return _gf_op(layout, F, x, *flat_params)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gf_op(layout, F, x, *flat_params):
+    return _gf_impl(layout, F, x, *flat_params)
+
+
+def _gf_fwd(layout, F, x, *flat_params):
+    return _gf_impl(layout, F, x, *flat_params), (x, flat_params)
+
+
+def _gf_bwd(layout, F, res, g):
+    x, flat_params = res
+
+    def ref_math(x, fp):
+        xf = x.reshape(-1, F)
+        return _gf_math_T(xf.T, list(fp), layout, F)[0, :].reshape(x.shape[:-1])
+
+    _, vjp = jax.vjp(ref_math, x, flat_params)
+    dx, dfp = vjp(g)
+    return (dx, *dfp)
+
+
+_gf_op.defvjp(_gf_fwd, _gf_bwd)
+
+
+def _gf_impl(layout, F, x, *flat_params):
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, F)
+
+    if not _use_pallas_fused(x.dtype):
+        return _gf_math_T(xf.T, list(flat_params), layout, F)[0, :].reshape(
+            batch_shape
+        )
+
+    n = xf.shape[0]
+    pad = (-n) % _TB
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for p in flat_params
+    ]
+    out = pl.pallas_call(
+        functools.partial(_gf_kernel_T, layout=layout, F=F, n_params=n_params),
+        grid=(m // _TB,),
+        in_specs=[
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
+    )(xf.T, *flat_params)
+    out = out[0, :n] if pad else out[0, :]
+    return out.reshape(batch_shape)
+
+
+def fused_gf_sample(flow, key, sample_shape, c=None, want_log_prob=False):
+    r"""Draw GF samples with one fused kernel: base draws, every rotation
+    inverse and every per-feature gaussianization bisection run per batch
+    tile with the parameters resident in VMEM (jnp fallback off-TPU)."""
+    flat_params, layout, F = _flatten_gf(flow, c)
+    dtype = flat_params[0].dtype if flat_params else jnp.float32
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    zf = z.reshape(-1, F)
+    n = zf.shape[0]
+
+    if not _use_pallas_fused(dtype):
+        out = _gf_sample_math_T(
+            zf.T, list(flat_params), layout, F, want_log_prob
+        )
+        if want_log_prob:
+            x, lp = out
+            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
+        return out.T.reshape(z.shape)
+
+    pad = (-n) % _TB
+    if pad:
+        zf = jnp.pad(zf, ((0, pad), (0, 0)))
+    m = zf.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for p in flat_params
+    ]
+    if want_log_prob:
+        out_specs = (
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((F, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        )
+    else:
+        out_specs = pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((F, m), dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gf_sample_kernel_T, layout=layout, F=F, n_params=n_params,
+            want_log_prob=want_log_prob,
+        ),
+        grid=(m // _TB,),
+        in_specs=[
+            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(zf.T, *flat_params)
+
+    if want_log_prob:
+        x, lp = out
+        x = x.T[:n] if pad else x.T
+        lp = lp[0, :n] if pad else lp[0, :]
+        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+    out = out.T[:n] if pad else out.T
+    return out.reshape(z.shape)

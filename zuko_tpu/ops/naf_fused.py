@@ -208,20 +208,6 @@ def _two_way_elu_T(z):
     return jnp.concatenate([_elu(a), -_elu(-b)], axis=0)
 
 
-def _mono_net_T(x, h, f, S, T, mono_w, mono_b, mono_dims):
-    """Evaluate feature ``f``'s monotone net at x (1, TB) with its signal
-    slab (first S of T rows) from the feature-major MADE output h (T*F, TB)."""
-    u = jnp.concatenate([x, h[f * T : f * T + S, :]], axis=0)
-    n = len(mono_w)
-    for i, (W, b, H) in enumerate(zip(mono_w, mono_b, mono_dims)):
-        Wf = jnp.abs(W[f * H : (f + 1) * H, :])
-        bf = b[f * H : (f + 1) * H]
-        u = jnp.dot(Wf, u, preferred_element_type=jnp.float32) + bf[:, None]
-        if i < n - 1:
-            u = _two_way_elu_T(u)
-    return u  # (1, TB)
-
-
 # Gauss-Legendre rule of the UMNN integral, n=32
 # (zuko_tpu/flows/neural.py _UMNNTransform defaults; reference
 # zuko/transforms.py:911-918)
@@ -229,46 +215,107 @@ _UMNN_N = 32
 _GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(_UMNN_N)
 
 
-def _umnn_f_T(x, h, f, S, T, mono_w, mono_b, mono_dims):
-    """Feature ``f``'s UMNN forward f(x) = ∫_0^x g(u) du at x (1, TB) by
-    32-point Gauss-Legendre, with the quadrature points batched along the
-    LANE axis — one stacked-MLP pass evaluates g at all 32 points
+def _block_diag_net(mono_w, kind, F, S):
+    """Convert per-feature stacked weights (each (F*H_out, H_in)) into
+    BLOCK-DIAGONAL matrices so one matmul evaluates every feature's net at
+    once — the per-feature Python loop becomes 3 matmuls per bisection
+    iterate. The first layer uses an [all signals; all x] input layout:
+    columns ``f*S:(f+1)*S`` hold feature f's signal weights and column
+    ``F*S + f`` its x weight. For MNN the |W| of MonotonicLinear is baked in
+    here (abs of a block-diagonal embeds blockwise). Built OUTSIDE the
+    kernel; the kernel only consumes the results."""
+    bds = []
+    for i, W in enumerate(mono_w):
+        if kind == "mnn":
+            W = jnp.abs(W)
+        H_out = W.shape[0] // F
+        H_in = W.shape[1]
+        if i == 0:
+            bd = jnp.zeros((F * H_out, F * S + F), W.dtype)
+            for f in range(F):
+                blk = W[f * H_out : (f + 1) * H_out, :]
+                bd = bd.at[f * H_out : (f + 1) * H_out, f * S : (f + 1) * S].set(
+                    blk[:, 1:]
+                )
+                bd = bd.at[f * H_out : (f + 1) * H_out, F * S + f].set(blk[:, 0])
+        else:
+            bd = jnp.zeros((F * H_out, F * H_in), W.dtype)
+            for f in range(F):
+                bd = bd.at[
+                    f * H_out : (f + 1) * H_out, f * H_in : (f + 1) * H_in
+                ].set(W[f * H_out : (f + 1) * H_out, :])
+        bds.append(bd)
+    return bds
+
+
+def _dot_hi(W, u):
+    # HIGHEST: solver evaluations must be f32-exact — default single-pass
+    # bf16 MXU rounding shifts the solved root by ~1e-2 (measured on v5e)
+    return jnp.dot(
+        W, u,
+        preferred_element_type=jnp.promote_types(W.dtype, u.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _two_way_elu_blocks(z, F):
+    """TwoWayELU applied per feature block of a block-diagonal activation
+    (F blocks of H rows; first half elu, second half -elu(-x)). The
+    row-half mask is built from an in-kernel iota — pallas_call rejects
+    captured array constants."""
+    H = z.shape[0] // F
+    r = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    mask = (r % H) < (H // 2)
+    return jnp.where(mask, _elu(z), -_elu(-z))
+
+
+def _mono_eval_bd(mid, sig_all, bd_w, bd_b, F):
+    """All features' monotone nets in 3 block-diagonal matmuls:
+    mid (F, TB), sig_all (F*S, TB) -> f(mid) (F, TB)."""
+    u = jnp.concatenate([sig_all, mid], axis=0)
+    n = len(bd_w)
+    for i, (W, b) in enumerate(zip(bd_w, bd_b)):
+        u = _dot_hi(W, u) + b[:, None]
+        if i < n - 1:
+            u = _two_way_elu_blocks(u, F)
+    return u  # (F, TB)
+
+
+def _umnn_eval_bd(mid, sig_all, bd_w, bd_b, F):
+    """All features × all 32 quadrature points in 3 block-diagonal matmuls:
+    points ride the LANE axis, features the block structure
     (reference integrand: zuko/flows/neural.py:100-104, quadrature:
     zuko/transforms.py:911-918)."""
-    TB = x.shape[1]
-    sig = h[f * T : f * T + S, :]
-
-    # point-major lane blocks: u_p = x/2 * (t_p + 1)
+    TB = mid.shape[1]
     xs = jnp.concatenate(
-        [x * (0.5 * (t + 1.0)) for t in _GL_NODES], axis=1
-    )  # (1, P*TB)
-    sigs = jnp.concatenate([sig] * _UMNN_N, axis=1)  # (S, P*TB)
-    u = jnp.concatenate([xs, sigs], axis=0)
+        [mid * (0.5 * (t + 1.0)) for t in _GL_NODES], axis=1
+    )  # (F, P*TB) point-major lane blocks
+    sigs = jnp.concatenate([sig_all] * _UMNN_N, axis=1)  # (F*S, P*TB)
+    u = jnp.concatenate([sigs, xs], axis=0)
 
-    n = len(mono_w)
-    for i, (W, b, H) in enumerate(zip(mono_w, mono_b, mono_dims)):
-        Wf = W[f * H : (f + 1) * H, :]
-        bf = b[f * H : (f + 1) * H]
-        u = jnp.dot(Wf, u, preferred_element_type=jnp.float32) + bf[:, None]
+    n = len(bd_w)
+    for i, (W, b) in enumerate(zip(bd_w, bd_b)):
+        u = _dot_hi(W, u) + b[:, None]
         if i < n - 1:
             u = _elu(u)
 
     # g = exp(softclip(dx, 7)) in [1e-3, 1e3] (zuko/flows/neural.py:100-104)
-    g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (1, P*TB)
+    g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (F, P*TB)
 
     acc = _GL_WEIGHTS[0] * g[:, :TB]
     for p in range(1, _UMNN_N):
         acc = acc + _GL_WEIGHTS[p] * g[:, p * TB : (p + 1) * TB]
-    return 0.5 * x * acc
+    return 0.5 * mid * acc
 
 
 def _ar_inverse_sweeps_T(y, cT, st, F, S):
     """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
     ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
-    inside each sweep, a fixed-count bisection solves the monotone univariate
-    per feature (reference: zuko/transforms.py:609-617) with the net weights
-    resident. For UMNN the target is shifted by the per-feature additive
-    constant (reference: zuko/flows/neural.py:106-118)."""
+    inside each sweep, a fixed-count bisection solves every feature's
+    monotone univariate at once (reference per-element solve:
+    zuko/transforms.py:609-617) with the net weights resident. For UMNN the
+    target is shifted by the per-feature additive constant
+    (reference: zuko/flows/neural.py:106-118)."""
     made = []
     for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
         made += [W, b, M]
@@ -276,12 +323,18 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
     n_iter = _n_bisect(bound, eps)
     kind = st.get("kind", "mnn")
     T = S if kind == "mnn" else S + 1
-    f_eval = _mono_net_T if kind == "mnn" else _umnn_f_T
+    f_eval = _mono_eval_bd if kind == "mnn" else _umnn_eval_bd
+    bd_w, bd_b = st["mono_w"], st["mono_b"]  # block-diagonal (see layout)
 
     x = jnp.zeros_like(y)
     for _ in range(min(st["passes"], F)):
-        h = _hyper_T(x, cT, made)  # (T*F, TB) feature-major phi
+        # HIGHEST: solver inputs must be f32-exact (see _hyper_T note)
+        h = _hyper_T(x, cT, made, precision=jax.lax.Precision.HIGHEST)
 
+        # per-sweep constants: all signal slabs, and the UMNN shift
+        sig_all = jnp.concatenate(
+            [h[f * T : f * T + S, :] for f in range(F)], axis=0
+        )
         if kind == "umnn":
             # y = f(x) + constant  =>  solve f(x) = y - constant
             consts = jnp.concatenate(
@@ -295,16 +348,7 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
         hi = jnp.full_like(y, bound)
         for _ in range(n_iter):
             mid = 0.5 * (lo + hi)
-            fm = jnp.concatenate(
-                [
-                    f_eval(
-                        mid[f : f + 1, :], h, f, S, T,
-                        st["mono_w"], st["mono_b"], st["mono_dims"],
-                    )
-                    for f in range(F)
-                ],
-                axis=0,
-            )
+            fm = f_eval(mid, sig_all, bd_w, bd_b, F)
             go_right = fm < target
             lo = jnp.where(go_right, mid, lo)
             hi = jnp.where(go_right, hi, mid)
@@ -326,8 +370,10 @@ def _naf_sample_math_T(zT, cT, stages, F, S):
     return y
 
 
-def _stage_layout(stages):
-    """Static description of ``stages`` + flat param list (kernel inputs)."""
+def _stage_layout(stages, F, S):
+    """Static description of ``stages`` + flat param list (kernel inputs).
+    The per-feature stacked monotone/integrand weights are converted to
+    block-diagonal form here, outside the kernel (see _block_diag_net)."""
     flat, layout = [], []
     for kind, st in stages:
         if kind == "softclip":
@@ -335,7 +381,7 @@ def _stage_layout(stages):
         else:
             flat += [a for trip in zip(st["made_w"], st["made_b"], st["made_m"])
                      for a in trip]
-            flat += st["mono_w"]
+            flat += _block_diag_net(st["mono_w"], st.get("kind", "mnn"), F, S)
             flat += st["mono_b"]
             layout.append((
                 "ar",
@@ -400,7 +446,7 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
     """
     stages, cfg = extract_naf_params(flow)
     F, S = cfg["features"], cfg["signal"]
-    flat_params, layout = _stage_layout(stages)
+    flat_params, layout = _stage_layout(stages, cfg["features"], cfg["signal"])
     # UMNN batches 32 quadrature points along lanes inside the kernel —
     # shrink the batch tile to keep the (H, 32*TB) intermediates in VMEM
     tb = 256 if any(

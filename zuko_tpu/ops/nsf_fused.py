@@ -100,9 +100,35 @@ def _univ_config(univariate, shapes):
         if extra:
             raise FusedStructureError(f"unsupported affine kwargs {extra}")
         return "affine", 0, 5.0, float(kw.get("slope", 1e-3))
+
+    from ..flows.polynomial import ShiftedSOSPTransform
+    from ..transforms import BoundedBernsteinTransform
+
+    if func is ShiftedSOSPTransform:
+        # sum-of-squares polynomial + learned shift (SOSPF univariate,
+        # reference: zuko/flows/polynomial.py:23-29,73-76); K carries the
+        # static (polynomials, degree + 1) pair, bound is the fixed
+        # MonotonicTransform domain (zuko/transforms.py:570-637)
+        if (
+            len(shapes) != 2 or len(shapes[0]) != 2 or shapes[1] != ()
+            or not all(shapes[0])
+        ):
+            raise FusedStructureError(f"unexpected SOSP shapes {shapes}")
+        extra = set(kw) - {"slope"}
+        if extra:
+            raise FusedStructureError(f"unsupported SOSP kwargs {extra}")
+        return "sosp", tuple(shapes[0]), 10.0, float(kw.get("slope", 1e-3))
+    if func is BoundedBernsteinTransform:
+        # bounds-pinned Bernstein polynomial (BPF univariate, reference:
+        # zuko/transforms.py:780-831); K carries the raw coefficient count
+        if len(shapes) != 1 or len(shapes[0]) != 1 or shapes[0][0] < 1:
+            raise FusedStructureError(f"unexpected Bernstein shapes {shapes}")
+        if kw:
+            raise FusedStructureError(f"unsupported Bernstein kwargs {set(kw)}")
+        return "bernstein", shapes[0][0], 5.0, 1e-3
     raise FusedStructureError(
-        f"fused kernels support MonotonicRQSTransform and"
-        f" MonotonicAffineTransform univariates, got {func}"
+        f"fused kernels support RQS/affine/SOSP/Bernstein univariates,"
+        f" got {func}"
     )
 
 
@@ -234,8 +260,9 @@ def extract_nsf_params(flow):
     program). Returns a list of per-AR-layer dicts plus the static config
     ``{bins, univ, bound, slope}``."""
     from ..flows.autoregressive import MaskedAutoregressiveTransform
-    from ..lazy import LazyComposedTransform
+    from ..lazy import LazyComposedTransform, UnconditionalTransform
     from ..nn import MaskedLinear
+    from ..transforms import SoftclipTransform
 
     if not isinstance(getattr(flow, "transform", None), LazyComposedTransform):
         raise FusedStructureError(
@@ -246,6 +273,16 @@ def extract_nsf_params(flow):
     layers = []
     cfg = None
     for t in flow.transform.transforms:
+        if isinstance(t, UnconditionalTransform):
+            # SoftclipTransform interleaves (the SOSPF/NAF-style domain
+            # guard, reference: zuko/flows/polynomial.py:73-76)
+            if t.f is not SoftclipTransform or t.args:
+                raise FusedStructureError(
+                    "fused AR kernels support SoftclipTransform interleaves"
+                    f" only, got {t.f}"
+                )
+            layers.append(("softclip", float(t.kwargs.get("bound", 5.0))))
+            continue
         if type(t) is not MaskedAutoregressiveTransform:
             raise FusedStructureError(
                 "fused AR kernels support MaskedAutoregressiveTransform"
@@ -269,7 +306,8 @@ def extract_nsf_params(flow):
     if cfg is None:
         raise FusedStructureError("flow has no transform layers")
 
-    features = layers[0]["masks"][-1].shape[0] // (
+    first_ar = next(l for l in layers if isinstance(l, dict))
+    features = first_ar["masks"][-1].shape[0] // (
         _univ_size(cfg[0], cfg[1])
     )
     base = _base_config(flow, features, cfg[0])
@@ -296,6 +334,19 @@ def extract_nsf_params(flow):
 # roofline lever, PERF.md).
 
 
+def _softmax_slabs(slabs):
+    """Numerically-stable softmax across a list of (F, TB) slabs."""
+    m = slabs[0]
+    for a in slabs[1:]:
+        m = jnp.maximum(m, a)
+    es = [jnp.exp(a - m) for a in slabs]
+    tot = es[0]
+    for e in es[1:]:
+        tot = tot + e
+    inv = 1.0 / tot
+    return [e * inv for e in es]
+
+
 def _spline_knots_F(h, F, K, bound, slope):
     """h (T*F, TB) param-major -> knot lists: xs/ys (K+1 of (F, TB)),
     ds (K+1 of (F, TB)). Shared by the forward and inverse spline."""
@@ -309,19 +360,8 @@ def _spline_knots_F(h, F, K, bound, slope):
     hs = [v / (1 + jnp.abs(2 * v / log_s)) for v in hs]
     ds = [d / (1 + jnp.abs(d / log_s)) for d in ds]
 
-    def softmax_slabs(slabs):
-        m = slabs[0]
-        for a in slabs[1:]:
-            m = jnp.maximum(m, a)
-        es = [jnp.exp(a - m) for a in slabs]
-        tot = es[0]
-        for e in es[1:]:
-            tot = tot + e
-        inv = 1.0 / tot
-        return [e * inv for e in es]
-
-    ws = softmax_slabs(ws)
-    hs = softmax_slabs(hs)
+    ws = _softmax_slabs(ws)
+    hs = _softmax_slabs(hs)
 
     # exact running sums (a triangular MATMUL would run at the MXU's default
     # bfloat16-pass precision and corrupt knots)
@@ -430,6 +470,106 @@ def _circular_wrap(x, B):
     return x - 2 * B * jnp.floor(x / (2 * B)) - B
 
 
+def _sosp_forward_F(x, h, F, PL, bound, slope):
+    """Feature-vectorized SOSP univariate (SOSPF): the integrand is the mean
+    of P squared degree-L polynomials plus a minimum slope, integrated
+    exactly by (L+1)-point Gauss-Legendre; ladj = log g(x); the learned
+    shift is added afterwards (reference: zuko/transforms.py:927-963 and
+    zuko/flows/polynomial.py:23-29). h (T*F, TB) param-major with
+    T = P*(L+1) + 1: coefficient (k, l) at slab k*(L+1)+l, the shift last."""
+    P, L1 = PL
+    aa = [
+        [h[(k * L1 + l) * F : (k * L1 + l + 1) * F, :] for l in range(L1)]
+        for k in range(P)
+    ]
+    const = h[P * L1 * F : (P * L1 + 1) * F, :]
+
+    def g(v):
+        u = v / bound
+        acc = None
+        for k in range(P):
+            p = aa[k][L1 - 1]
+            for l in range(L1 - 2, -1, -1):
+                p = p * u + aa[k][l]
+            p = 1.0 + p
+            acc = p * p if acc is None else acc + p * p
+        return acc / P + slope
+
+    # (L+1)-point quadrature is exact for the degree-2L integrand
+    # (reference: zuko/transforms.py:951-963 via utils.py:247-363)
+    nodes, weights = np.polynomial.legendre.leggauss(L1)
+    quad = None
+    for t, w in zip(nodes, weights):
+        gi = g(x * (0.5 * (float(t) + 1.0)))
+        quad = float(w) * gi if quad is None else quad + float(w) * gi
+    y = 0.5 * x * quad + const
+    return y, jnp.log(g(x))
+
+
+def _bernstein_forward_F(x, h, F, M, bound):
+    """Feature-vectorized bounds-pinned Bernstein univariate (BPF):
+    softmax-+-cumsum coefficient constraint with identity-like pinned ends,
+    Beta-pdf basis with static log-normalizers, linear extrapolation outside
+    the eps-bounds, analytic derivative for the ladj (reference:
+    zuko/transforms.py:640-831). h (M*F, TB) param-major raw coefficients."""
+    B, eps = bound, 1e-6
+    raws = [h[t * F : (t + 1) * F, :] for t in range(M)]
+    d_bound = (2 * B) / (M + 4)
+    sm = _softmax_slabs(raws)
+    scale = 2 * B - 4 * d_bound
+
+    # theta = cumsum([-B, d, d, softmax*scale..., d, d]): the three leading
+    # and two trailing coefficients are compile-time constants
+    # (reference constraint: zuko/transforms.py:797-818)
+    theta = [-B, -B + d_bound, -B + 2 * d_bound]
+    run = None
+    for s in sm:
+        run = s if run is None else run + s
+        theta.append((-B + 2 * d_bound) + scale * run)
+    theta.append(B - d_bound)
+    theta.append(B)
+    N = M + 5
+    order = N - 1
+
+    u = (x + B) / (2 * B)
+    lower = u <= eps
+    upper = u >= 1 - eps
+    extrap = lower | upper
+    u_safe = jnp.where(extrap, 0.5, u)
+    lu = jnp.log(u_safe)
+    l1u = jnp.log1p(-u_safe)
+
+    def poly(theta_list):
+        # mean_i Beta(i+1, n-i)-pdf(u) * theta_i with n = len(theta_list)
+        # (reference basis: zuko/transforms.py:729-740); the log-normalizers
+        # are static scalars
+        n = len(theta_list)
+        acc = None
+        for i, th in enumerate(theta_list):
+            lognorm = (
+                math.lgamma(i + 1) + math.lgamma(n - i) - math.lgamma(n + 1)
+            )
+            b = jnp.exp(i * lu + (n - 1 - i) * l1u - lognorm)
+            term = b * th
+            acc = term if acc is None else acc + term
+        return acc / n
+
+    y = poly(theta)
+    # derivative in u: mean-form with dtheta_i = order * (theta_{i+1}-theta_i)
+    dtheta = [
+        order * (theta[i + 1] - theta[i]) for i in range(order)
+    ]
+    dy = poly(dtheta)
+
+    # linear extrapolation with fixed offsets (-B, B) and slopes (2B, 2B)
+    # => identity-like bounds, ladj 0 outside (reference:
+    # zuko/transforms.py:820-831)
+    y = jnp.where(lower, 2 * B * (u - eps) - B, y)
+    y = jnp.where(upper, 2 * B * (u - 1 + eps) + B, y)
+    ladj = jnp.where(extrap, 0.0, jnp.log(dy) - math.log(2 * B))
+    return y, ladj
+
+
 def _univ_forward_F(x, h, F, K, bound, slope, univ):
     """(F, TB) batch of univariate forwards + ladj."""
     if univ == "rqs":
@@ -437,6 +577,10 @@ def _univ_forward_F(x, h, F, K, bound, slope, univ):
     if univ == "crqs":
         # spline(shift(x)) (reference: zuko/flows/spline.py:65-72)
         return _spline_forward_F(_circular_wrap(x, bound), h, F, K, bound, slope)
+    if univ == "sosp":
+        return _sosp_forward_F(x, h, F, K, bound, slope)
+    if univ == "bernstein":
+        return _bernstein_forward_F(x, h, F, K, bound)
     return _affine_F(x, h, F, slope, inverse=False)
 
 
@@ -445,30 +589,61 @@ def _univ_inverse_F(y, h, F, K, bound, slope, univ):
         return _spline_inverse_F(y, h, F, K, bound, slope)
     if univ == "crqs":
         return _circular_wrap(_spline_inverse_F(y, h, F, K, bound, slope), bound)
+    if univ in ("sosp", "bernstein"):
+        # iterative inverses — density-only in the fused family; sampling
+        # falls back to the XLA newton_bisection path
+        raise FusedStructureError(
+            f"fused sampling does not support the {univ!r} univariate"
+        )
     return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
-def _hyper_T(xT, cT, ps):
+def _hyper_T(xT, cT, ps, precision=None):
     """Masked hyper-MLP in transposed layout: concat(x, c) -> phi (T*F, TB).
-    (reference conditioning: zuko/flows/autoregressive.py:207-215)."""
+    (reference conditioning: zuko/flows/autoregressive.py:207-215).
+
+    ``precision`` controls the MXU pass structure: the default single
+    bfloat16 pass is fine for density evaluation, but iterative solvers
+    (NAF/UNAF bisection) must pass ``HIGHEST`` — input rounding otherwise
+    shifts the solved root by ~1e-2 (measured on v5e)."""
     h = xT if cT is None else jnp.concatenate([xT, cT], axis=0)
     n = len(ps) // 3
     for i in range(n):
         W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
-        h = jnp.dot(M * W, h, preferred_element_type=jnp.float32) + b[:, None]
+        # promote with the activations: f32 MXU accumulation on TPU, full
+        # f64 in the x64 test mode (a hard f32 preference would silently
+        # downcast the f64 path)
+        h = jnp.dot(
+            M * W, h,
+            preferred_element_type=jnp.promote_types(W.dtype, h.dtype),
+            precision=precision,
+        ) + b[:, None]
         if i < n - 1:
             h = jnp.maximum(h, 0.0)
     return h
 
 
 def _split_layers(flat_params, layout):
-    """layout: per-layer (n_linear, passes) pairs -> [(params, passes), ...]"""
+    """layout entries: ``("ar", n_linear, passes)`` or ``("softclip", bound)``
+    -> [("ar", params, passes) | ("softclip", bound), ...]"""
     per_layer = []
     idx = 0
-    for Ws_n, passes in layout:
-        per_layer.append((flat_params[idx : idx + 3 * Ws_n], passes))
+    for entry in layout:
+        if entry[0] == "softclip":
+            per_layer.append(entry)
+            continue
+        _, Ws_n, passes = entry
+        per_layer.append(("ar", flat_params[idx : idx + 3 * Ws_n], passes))
         idx += 3 * Ws_n
     return per_layer
+
+
+def _softclip_forward_F(x, B):
+    """SoftclipTransform forward + ladj on (F, TB) slabs:
+    y = x / (1 + |x/B|), ladj = -2 log1p(|x/B|)
+    (reference: zuko/transforms.py:286-316)."""
+    q = jnp.abs(x / B)
+    return x / (1.0 + q), -2.0 * jnp.log1p(q)
 
 
 def _base_log_prob_T(zT, F, base):
@@ -488,9 +663,13 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
                  univ="rqs", base=("normal",)):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     acc = None
-    for ps, _ in _split_layers(flat_params, layout):
-        h = _hyper_T(xT, cT, ps)
-        xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
+    for entry in _split_layers(flat_params, layout):
+        if entry[0] == "softclip":
+            xT, ladj = _softclip_forward_F(xT, entry[1])
+        else:
+            _, ps, _ = entry
+            h = _hyper_T(xT, cT, ps)
+            xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
         acc = ladj if acc is None else acc + ladj
 
     if base[0] == "normal":
@@ -517,7 +696,13 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ, base):
 
 
 def _univ_size(univ, K):
-    return 3 * K - 1 if univ in ("rqs", "crqs") else 2
+    if univ in ("rqs", "crqs"):
+        return 3 * K - 1
+    if univ == "sosp":
+        return K[0] * K[1] + 1  # (polynomials, degree+1) coeffs + shift
+    if univ == "bernstein":
+        return K  # raw theta coefficients
+    return 2  # affine: shift + raw log-scale
 
 
 def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
@@ -534,7 +719,17 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
         acc = _base_log_prob_T(zT, F, base)
 
     y = zT
-    for ps, passes in reversed(per_layer):
+    for entry in reversed(per_layer):
+        if entry[0] == "softclip":
+            B = entry[1]
+            # closed-form softclip inverse (reference: transforms.py:286-316)
+            x = y / (1.0 - jnp.abs(y / B))
+            if want_log_prob:
+                _, ladj = _softclip_forward_F(x, B)
+                acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
+            y = x
+            continue
+        _, ps, passes = entry
         x = jnp.zeros_like(y)
         # `passes` fixed-point sweeps suffice by triangularity (coupling-style
         # layers declare passes=2; fully autoregressive layers passes=F)
@@ -588,7 +783,10 @@ def _flatten_flow(flow):
     T = _univ_size(cfg["univ"], cfg["bins"])
     flat_params, layout = [], []
     for layer in layers:
-        layout.append((len(layer["weights"]), layer["passes"]))
+        if not isinstance(layer, dict):
+            layout.append(layer)  # ("softclip", bound)
+            continue
+        layout.append(("ar", len(layer["weights"]), layer["passes"]))
         ws, bs, ms = layer["weights"], layer["biases"], layer["masks"]
         perm = _param_major_perm(ws[-1].shape[0], T)
         ws = ws[:-1] + [ws[-1][perm]]
@@ -624,6 +822,11 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     """
     flat_params, layout, cfg = _flatten_flow(flow)
     K, univ = cfg["bins"], cfg["univ"]
+    if univ in ("sosp", "bernstein"):
+        raise FusedStructureError(
+            f"fused sampling does not support the {univ!r} univariate"
+            " (density-only); use the flow's XLA sampling path"
+        )
     bound, slope = cfg["bound"], cfg["slope"]
     base = cfg["base"]
     F = flat_params[0].shape[1]
@@ -898,7 +1101,9 @@ def _mlp_T(xT, cT, ps):
     n = len(ps) // 2
     for i in range(n):
         W, b = ps[2 * i], ps[2 * i + 1]
-        h = jnp.dot(W, h, preferred_element_type=jnp.float32) + b[:, None]
+        h = jnp.dot(
+            W, h, preferred_element_type=jnp.promote_types(W.dtype, h.dtype)
+        ) + b[:, None]
         if i < n - 1:
             h = jnp.maximum(h, 0.0)
     return h

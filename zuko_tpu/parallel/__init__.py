@@ -15,6 +15,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_module,
     sharded_fused_log_prob,
+    sharded_fused_sample,
     tensor_parallel_spec,
 )
 from .train import (  # noqa: F401
@@ -34,6 +35,7 @@ __all__ = [
     "shard_batch",
     "shard_module",
     "sharded_fused_log_prob",
+    "sharded_fused_sample",
     "tensor_parallel_spec",
     "train_mle",
 ]

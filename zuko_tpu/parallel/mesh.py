@@ -158,6 +158,41 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     return fn(x, c)
 
 
+def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
+                         want_log_prob: bool = False):
+    """Sample-parallel fused NSF sampling: each device draws and inverts its
+    own shard of the sample axis (no cross-device communication — sampling is
+    embarrassingly parallel over draws). Per-device keys are derived with
+    :func:`jax.random.fold_in` on the device's ``data``-axis index, so the
+    global draw set is deterministic for a given ``key`` and mesh shape.
+    With ``want_log_prob`` also returns the per-sample ``log q(x)`` (the
+    reverse-KL quantity, reference: zuko/distributions.py:129-138)."""
+    from ..ops.nsf_fused import fused_nsf_sample
+
+    n = int(np.prod(sample_shape)) if sample_shape else 1
+    d = mesh.shape["data"]
+    assert n % d == 0, f"sample count {n} must divide the data axis {d}"
+    local = (n // d,)
+    out_specs = (P("data"), P("data")) if want_log_prob else P("data")
+
+    def draw(key):
+        idx = jax.lax.axis_index("data")
+        return fused_nsf_sample(
+            flow, jax.random.fold_in(key, idx), local, c=c,
+            want_log_prob=want_log_prob,
+        )
+
+    fn = jax.shard_map(
+        draw, mesh=mesh, in_specs=P(), out_specs=out_specs, check_vma=False
+    )
+    out = fn(key)
+    shape = tuple(sample_shape)
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(shape + x.shape[-1:]), lp.reshape(shape)
+    return out.reshape(shape + out.shape[-1:])
+
+
 def shard_module(mesh: Mesh, module: Any, specs: Optional[dict] = None):
     """Place a module's arrays on the mesh: leaves named in ``specs`` get the
     given PartitionSpec, everything else is replicated."""
