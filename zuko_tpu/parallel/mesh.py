@@ -138,23 +138,25 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     parameters ride in as closed-over (replicated) constants."""
     from ..ops.nsf_fused import fused_nsf_log_prob
 
+    # jit the wrapper: an eagerly-called shard_map executes the body op by op
+    # across the mesh (measured ~100x the jitted wall time on a CPU mesh)
     if c is None:
-        fn = jax.shard_map(
+        fn = jax.jit(jax.shard_map(
             lambda xs: fused_nsf_log_prob(flow, xs),
             mesh=mesh,
             in_specs=P("data"),
             out_specs=P("data"),
             check_vma=False,
-        )
+        ))
         return fn(x)
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         lambda xs, cs: fused_nsf_log_prob(flow, xs, cs),
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P("data"),
         check_vma=False,
-    )
+    ))
     return fn(x, c)
 
 
@@ -182,9 +184,11 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
             want_log_prob=want_log_prob,
         )
 
-    fn = jax.shard_map(
+    # jit the wrapper: an eagerly-called shard_map executes the body op by op
+    # across the mesh (measured ~100x the jitted wall time on a CPU mesh)
+    fn = jax.jit(jax.shard_map(
         draw, mesh=mesh, in_specs=P(), out_specs=out_specs, check_vma=False
-    )
+    ))
     out = fn(key)
     shape = tuple(sample_shape)
     if want_log_prob:
