@@ -24,7 +24,11 @@ import zuko_tpu.flows.spline
 import zuko_tpu.lazy
 import zuko_tpu.mixtures
 import zuko_tpu.nn
+import zuko_tpu.ops.cnf_fused
+import zuko_tpu.ops.dispatch
+import zuko_tpu.ops.gf_fused
 import zuko_tpu.ops.masked_linear
+import zuko_tpu.ops.naf_fused
 import zuko_tpu.ops.nsf_fused
 import zuko_tpu.ops.rqs
 import zuko_tpu.parallel.mesh
@@ -48,7 +52,11 @@ MODULES = [
     zuko_tpu.lazy,
     zuko_tpu.mixtures,
     zuko_tpu.nn,
+    zuko_tpu.ops.cnf_fused,
+    zuko_tpu.ops.dispatch,
+    zuko_tpu.ops.gf_fused,
     zuko_tpu.ops.masked_linear,
+    zuko_tpu.ops.naf_fused,
     zuko_tpu.ops.nsf_fused,
     zuko_tpu.ops.rqs,
     zuko_tpu.parallel.mesh,

@@ -591,3 +591,98 @@ def test_gf_fused_structure_rejection(key, dispatch_on):
     nsf = NSF(3, 0, transforms=2, key=kf)
     with pytest.raises(FusedStructureError):
         extract_gf_params(nsf)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_cnf_fused_density(exact, key, dispatch_on):
+    r"""CNF densities dispatch through the fused dopri45 kernel (XLA-path
+    math off-TPU: global-step augmented integration, exact-jvp or Hutchinson
+    trace). Reference: zuko/transforms.py:1076-1179, zuko/utils.py:366-593."""
+    import os
+
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.dispatch import FusedContinuousFlow
+
+    kf, kx, kh = jax.random.split(key, 3)
+    flow = CNF(3, exact=exact, key=kf)
+    x = jax.random.normal(kx, (32, 3))
+
+    d = flow(None, key=None if exact else kh)
+    assert type(d) is FusedContinuousFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(None, key=None if exact else kh).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == lp_ref.shape == (32,)
+    assert jnp.allclose(lp, lp_ref, atol=1e-5), jnp.abs(lp - lp_ref).max()
+
+    # gradients through the dispatched density equal the XLA path
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(
+            combine(p, static)(None, key=None if exact else kh).log_prob(x)
+        )
+
+    g_fused = jax.grad(loss)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=1e-6), (n, jnp.abs(a - b).max())
+
+
+def test_cnf_fused_tile_math_matches_reference(key):
+    r"""The kernel's per-tile adaptive integration (the math the Pallas
+    program runs) agrees with the global-step reference math when one tile
+    holds the whole batch (identical accept/reject decisions)."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.cnf_fused import (
+        _cnf_tile_math,
+        _ref_log_prob,
+        extract_cnf_params,
+    )
+
+    kf, kx = jax.random.split(key)
+    flow = CNF(3, key=kf)
+    transform = flow.transform(None)
+    ws, bs, c_phi, _, cfg = extract_cnf_params(flow, transform, None)
+    x = jax.random.normal(kx, (64, 3)).astype(ws[0].dtype)
+
+    nf, F = cfg["nf"], cfg["F"]
+    W1 = ws[0]
+    params = [W1[:, 2 * nf : 2 * nf + F], W1[:, : 2 * nf], bs[0]]
+    for W, b in zip(ws[1:], bs[1:]):
+        params += [W, b]
+    lp_tile = _cnf_tile_math(x.T, None, params, cfg)[0]
+    lp_ref = _ref_log_prob(x, None, ws, bs, None, cfg)
+    assert jnp.allclose(lp_tile, lp_ref, atol=1e-4), jnp.abs(lp_tile - lp_ref).max()
+
+
+def test_cnf_fused_structure_rejection(key, dispatch_on):
+    r"""ODE nets the CNF kernel cannot represent (LayerNorm, non-ELU
+    activations, batched context) fall back to the XLA path."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.cnf_fused import extract_cnf_params
+    from zuko_tpu.ops.nsf_fused import FusedStructureError
+
+    kf, kc = jax.random.split(key)
+    # LayerNorm hyper-net -> fallback
+    flow_ln = CNF(3, normalize=True, key=kf)
+    assert type(flow_ln(None)) is NormalizingFlow
+    with pytest.raises(FusedStructureError):
+        extract_cnf_params(flow_ln, flow_ln.transform(None))
+
+    # non-ELU activation -> fallback
+    flow_relu = CNF(3, activation=jax.nn.relu, key=kf)
+    assert type(flow_relu(None)) is NormalizingFlow
+
+    # batched context -> fallback
+    flow_c = CNF(3, 2, key=kf)
+    cb = jax.random.normal(kc, (5, 2))
+    assert type(flow_c(cb)) is NormalizingFlow

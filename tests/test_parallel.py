@@ -182,3 +182,28 @@ def test_sharded_train_mle_matches(key):
     for m in metrics:
         assert {"step", "epoch", "loss", "grad_norm", "examples_per_s"} <= set(m)
         assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])
+
+
+def test_sharded_fused_on_model_axis_mesh(key):
+    r"""The sharded fused tier works on a 2-axis (data, model) mesh: sampling
+    and density shard over ``data`` and replicate over ``model``. Also a
+    regression gate for the eagerly-executed shard_map pathology (the body
+    ran op by op across the mesh, ~100x slower than jitted)."""
+    import time
+
+    from zuko_tpu.parallel import sharded_fused_log_prob, sharded_fused_sample
+
+    flow = _flow(key)
+    mesh = make_mesh(model=2)
+
+    t0 = time.time()
+    with mesh:
+        x, lq = sharded_fused_sample(
+            mesh, flow, jax.random.PRNGKey(5), (32,), want_log_prob=True
+        )
+        lp = sharded_fused_log_prob(mesh, flow, x)
+        jax.block_until_ready(lp)
+    assert time.time() - t0 < 120, "sharded fused tier pathologically slow"
+    assert x.shape == (32, 4) and lp.shape == (32,)
+    assert jnp.allclose(lq, lp, atol=1e-6)
+    assert jnp.allclose(lp, flow(None).log_prob(x), atol=1e-6)

@@ -23,6 +23,10 @@ Four tiers (see PERF.md for measurements):
   gaussianization layers with analytic log-Jacobians, rotation matmuls and
   per-feature bisection inverses per batch tile (in-kernel erf/erfinv —
   Mosaic lowers neither).
+* ``cnf_fused`` — whole-flow CNF density: the entire adaptive dopri45
+  integration of the augmented (state, log-Jacobian) system per batch tile,
+  exact forward-mode trace columns batched along lanes or a Hutchinson
+  probe, with the ODE net resident in VMEM.
 * ``rqs`` / ``masked_linear`` — per-op kernels (reference anchors:
   zuko/transforms.py:449-567, zuko/nn.py:202-218). Bit-exact but they break
   XLA whole-graph fusion at tabular sizes, so opt-in via
@@ -37,6 +41,7 @@ import os
 import jax
 
 __all__ = [
+    "cnf_fused",
     "dispatch",
     "gf_fused",
     "kernels_enabled",
@@ -64,6 +69,7 @@ def kernels_enabled() -> bool:
 
 
 from . import (  # noqa: E402, F401
+    cnf_fused,
     dispatch,
     gf_fused,
     masked_linear,

@@ -1,0 +1,498 @@
+r"""Whole-flow fused CNF (FFJORD) density kernels.
+
+One Pallas program per batch tile runs the ENTIRE adaptive Dormand–Prince
+4(5) integration of the augmented system :math:`d(x, \log|J|)/dt =
+(f_\phi(t, x), \mathrm{tr}\,\partial_x f_\phi)` with the ODE network's
+weights resident in VMEM: every accepted/rejected step, all 7 tableau
+stages, the sinusoidal time embedding and the trace term (exact
+forward-mode columns batched along the lane axis, or a Hutchinson probe)
+happen on-chip without HBM round-trips between steps.
+
+Reference semantics: zuko/transforms.py:1076-1179 (FreeFormJacobianTransform:
+augmented integration, ``trace_scale`` relaxation, exact batched-identity
+trace vs Hutchinson), zuko/utils.py:366-593 (dopri45 + ACA error control;
+the same tableau and error-control constants live in
+:mod:`zuko_tpu.utils`), zuko/flows/continuous.py:23-113 (ODE net + time
+embedding).
+
+Adaptive stepping is per batch TILE in the kernel (each tile chooses its own
+accepted-step sequence), whereas the XLA path shares one step sequence
+across the whole batch — both integrate to the same ``atol``/``rtol``
+tolerances, so densities agree to solver tolerance, not bitwise. The jnp
+fallback (off-TPU, and the custom-VJP backward) reproduces the XLA path's
+global-step integration exactly via :func:`zuko_tpu.utils.odeint`.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "extract_cnf_params",
+    "fused_cnf_log_prob",
+]
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nsf_fused import (
+    FusedStructureError,
+    _require_standard_base,
+    _use_pallas_fused,
+)
+
+try:  # pragma: no cover - exercised on TPU only
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_TB_CNF = 256  # batch tile; exact-trace tangents are (H, F*TB) in VMEM
+
+# Dormand-Prince 4(5) tableau (matches zuko_tpu.utils and the reference's
+# zuko/utils.py:443-497)
+from ..utils import _DP_A, _DP_B4, _DP_B5, _DP_C  # noqa: E402
+
+
+# ----------------------------------------------------------------- extraction
+
+
+def extract_cnf_params(module, transform, c=None):
+    """Validate a built CNF transform and pull kernel parameters.
+
+    ``transform`` is the ComposedTransform returned by the lazy layer: it
+    must hold exactly one FreeFormJacobianTransform over `_ffj_dynamics`
+    whose ODE net is a plain Linear/ELU MLP (no LayerNorm, no stacking) —
+    anything else raises :class:`FusedStructureError` so dispatch falls back
+    to the XLA path. Returns ``(ws, bs, freqs, c_vec, eps_key, cfg)``.
+    """
+    from ..flows.continuous import _ffj_dynamics
+    from ..nn import Activation, Linear
+    from ..transforms import ComposedTransform, FreeFormJacobianTransform
+
+    if isinstance(transform, ComposedTransform):
+        if len(transform.transforms) != 1:
+            raise FusedStructureError(
+                "fused CNF kernels require a single-transform flow"
+            )
+        t = transform.transforms[0]
+    else:
+        t = transform
+    if type(t) is not FreeFormJacobianTransform or t.f is not _ffj_dynamics:
+        raise FusedStructureError(
+            "fused CNF kernels require a FreeFormJacobianTransform over the"
+            f" CNF dynamics, got {type(t).__name__}"
+        )
+    if (t.t0, t.t1) != (0.0, 1.0):
+        raise FusedStructureError(
+            f"fused CNF density integrates t=0..1, got ({t.t0}, {t.t1})"
+        )
+    if not t.exact and t.key is None:
+        raise FusedStructureError("Hutchinson trace requires a PRNG key")
+
+    phi = t.phi
+    ode, freqs, c_phi = phi["ode"], phi["freqs"], phi["c"]
+    if c_phi is not None and jnp.ndim(c_phi) > 1:
+        raise FusedStructureError(
+            "fused CNF kernels support unbatched context only"
+        )
+    if isinstance(freqs, jax.core.Tracer):
+        raise FusedStructureError("traced time-embedding frequencies")
+    freqs = np.asarray(freqs)
+
+    ws, bs = [], []
+    expect_linear = True
+    for layer in ode.layers:
+        if expect_linear:
+            if not isinstance(layer, Linear) or layer.weight.ndim != 2:
+                raise FusedStructureError(
+                    "fused CNF kernels require a plain (unstacked) Linear"
+                    f" MLP, got {type(layer).__name__}"
+                )
+            if layer.bias is None:
+                raise FusedStructureError("fused CNF kernels require biases")
+            ws.append(layer.weight)
+            bs.append(layer.bias)
+            expect_linear = False
+        else:
+            if not isinstance(layer, Activation) or layer.fn is not jax.nn.elu:
+                raise FusedStructureError(
+                    "fused CNF kernels support ELU activations only, got"
+                    f" {type(layer).__name__}"
+                )
+            expect_linear = True
+    if expect_linear or len(ws) < 1:
+        raise FusedStructureError("unexpected ODE-net layer structure")
+
+    F = ws[-1].shape[0]
+    C = 0 if c_phi is None else int(np.shape(c_phi)[-1])
+    nf = freqs.shape[0]
+    if ws[0].shape[1] != 2 * nf + F + C:
+        raise FusedStructureError(
+            f"ODE-net input width {ws[0].shape[1]} != 2*{nf} + {F} + {C}"
+        )
+
+    _require_standard_base(module, F)
+    cfg = {
+        "F": F, "C": C, "nf": nf,
+        "atol": float(t.atol), "rtol": float(t.rtol),
+        "max_steps": int(t.max_steps),
+        "exact": bool(t.exact), "scale": float(t.trace_scale),
+        "freqs": tuple(float(f) for f in freqs),
+    }
+    return ws, bs, c_phi, t.key, cfg
+
+
+# ------------------------------------------------- reference math (jnp path)
+
+
+def _net_apply(u, ws, bs):
+    """The ODE net on the last axis — exactly nn.MLP(Linear/ELU)."""
+    h = u
+    n = len(ws)
+    for i, (W, b) in enumerate(zip(ws, bs)):
+        h = h @ W.T + b
+        if i < n - 1:
+            h = jax.nn.elu(h)
+    return h
+
+
+def _ref_log_prob(x, eps, ws, bs, c, cfg):
+    """The XLA-path math with explicit parameters: augmented global-batch
+    dopri45 via utils.odeint, exact-jvp or Hutchinson trace — numerically
+    identical to FreeFormJacobianTransform.call_and_ladj + the standard
+    normal base (reference: zuko/transforms.py:1147-1179)."""
+    from ..utils import broadcast, odeint
+
+    F = cfg["F"]
+    scale = cfg["scale"]
+    freqs = jnp.asarray(cfg["freqs"], x.dtype)
+
+    def g_of(t, p):
+        def g(u):
+            te = freqs * t[..., None]
+            te = jnp.concatenate([jnp.cos(te), jnp.sin(te)], axis=-1)
+            if p["c"] is None:
+                parts = broadcast(te, u, ignore=1)
+            else:
+                parts = broadcast(te, u, p["c"], ignore=1)
+            return _net_apply(jnp.concatenate(parts, axis=-1), p["w"], p["b"])
+        return g
+
+    def f_aug(t, state, p):
+        xt, _ = state
+        g = g_of(t, p)
+        if cfg["exact"]:
+            basis = jnp.eye(F, dtype=xt.dtype)
+
+            def column(e):
+                return jax.jvp(g, (xt,), (jnp.broadcast_to(e, xt.shape),))
+
+            dxs, jes = jax.vmap(column)(basis)
+            dx = dxs[0]
+            trace = jnp.einsum("i...i->...", jes)
+        else:
+            dx, jeps = jax.jvp(g, (xt,), (p["eps"],))
+            trace = jnp.sum(jeps * p["eps"], axis=-1)
+        return dx, trace * scale
+
+    phi = {"w": list(ws), "b": list(bs), "c": c}
+    if not cfg["exact"]:
+        phi["eps"] = eps
+    ladj0 = jnp.zeros(x.shape[:-1], x.dtype)
+    y, ladj = odeint(
+        f_aug, (x, ladj0), 0.0, 1.0,
+        phi=phi, atol=cfg["atol"], rtol=cfg["rtol"],
+        max_steps=cfg["max_steps"],
+    )
+    lp = -0.5 * jnp.sum(y * y, axis=-1) - 0.5 * F * _LOG_2PI
+    return lp + ladj / scale
+
+
+# ----------------------------------------------------------------- kernel math
+
+
+def _elu(z):
+    # Mosaic lowers no expm1 (jax.nn.elu uses it) — explicit where/exp form
+    return jnp.where(z > 0.0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+
+
+def _elu_d(z):
+    # ELU'(z) = 1 for z > 0 else exp(z)
+    return jnp.where(z > 0.0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+
+
+def _dot(W, u):
+    return jax.lax.dot_general(
+        W, u, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.promote_types(W.dtype, u.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _cnf_tile_math(xT, epsT, params, cfg):
+    """Adaptive dopri45 on one (F, TB) tile; returns log_prob (1, TB).
+
+    ``params``: [W1_x (H1, F), W1_te (H1, 2nf), b1_eff (H1,),
+    W2, b2, ..., Wn, bn] — the context contribution is folded into b1_eff
+    outside the kernel (it does not depend on x or t)."""
+    F = cfg["F"]
+    exact = cfg["exact"]
+    freqs = cfg["freqs"]
+    scale = cfg["scale"]
+    atol, rtol = cfg["atol"], cfg["rtol"]
+    max_steps = cfg["max_steps"]
+    dtype = xT.dtype
+
+    W1_x, W1_te, b1 = params[0], params[1], params[2]
+    rest = params[3:]
+    TB = xT.shape[1]
+    n_tan = F if exact else 1
+
+    if exact:
+        # V0: F identity blocks along lanes — V0[r, j*TB + k] = (r == j)
+        r = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 0)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 1) // TB
+        V0 = jnp.where(r == blk, 1.0, 0.0).astype(dtype)
+    else:
+        V0 = epsT  # (F, TB)
+
+    def tile_lanes(a):
+        # (H, TB) -> (H, n_tan*TB) by repetition along lanes
+        if n_tan == 1:
+            return a
+        return jnp.concatenate([a] * n_tan, axis=1)
+
+    def f_aug(t, xt):
+        """dx (F, TB) and d(ladj*scale) (1, TB) at tile state xt."""
+        # time-embedding bias: nf cos + nf sin scalar-weighted columns
+        te_b = b1
+        for k, fk in enumerate(freqs):
+            te_b = te_b + W1_te[:, k] * jnp.cos(fk * t)
+            te_b = te_b + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
+
+        h = _dot(W1_x, xt) + te_b[:, None]
+        v = _dot(W1_x, V0)
+        n = len(rest) // 2
+        for i in range(n):
+            W, b = rest[2 * i], rest[2 * i + 1]
+            v = _dot(W, tile_lanes(_elu_d(h)) * v)
+            h = _dot(W, _elu(h)) + b[:, None]
+        # h: dx (F, TB); v: tangent outputs (F, n_tan*TB)
+        if exact:
+            tr = None
+            for j in range(F):
+                tj = v[j : j + 1, j * TB : (j + 1) * TB]
+                tr = tj if tr is None else tr + tj
+        else:
+            tr = jnp.sum(epsT * v, axis=0, keepdims=True)
+        return h, tr * scale
+
+    def dp_step(x, l, t, dt):
+        # tableau entries as python floats: numpy f64 scalars would break
+        # weak typing (f32 carries promote to f64 under the x64 test mode)
+        kxs, kls = [], []
+        for i in range(7):
+            xi, li = x, l
+            for j in range(i):
+                a = float(_DP_A[i, j])
+                if a != 0.0:
+                    xi = xi + (dt * a) * kxs[j]
+                    li = li + (dt * a) * kls[j]
+            kx, kl = f_aug(t + float(_DP_C[i]) * dt, xi)
+            kxs.append(kx)
+            kls.append(kl)
+        x5, l5 = x, l
+        ex = jnp.zeros_like(x)
+        el = jnp.zeros_like(l)
+        for i in range(7):
+            b5 = float(_DP_B5[i])
+            if b5 != 0.0:
+                x5 = x5 + (dt * b5) * kxs[i]
+                l5 = l5 + (dt * b5) * kls[i]
+            d = float(_DP_B5[i] - _DP_B4[i])
+            if d != 0.0:
+                ex = ex + (dt * d) * kxs[i]
+                el = el + (dt * d) * kls[i]
+        return x5, l5, ex, el
+
+    tiny = float(np.finfo(np.float32).tiny)
+
+    def cond(carry):
+        _, _, t, _, attempts = carry
+        return (t < 1.0) & (attempts < 4 * max_steps)
+
+    def body(carry):
+        x, l, t, dt, attempts = carry
+        dt = jnp.minimum(dt, 1.0 - t)
+        y, ly, ex, el = dp_step(x, l, t, dt)
+        tol_x = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(y))
+        tol_l = atol + rtol * jnp.maximum(jnp.abs(l), jnp.abs(ly))
+        ratio = jnp.maximum(
+            jnp.max(jnp.abs(ex) / tol_x), jnp.max(jnp.abs(el) / tol_l)
+        )
+        ratio = jnp.where(jnp.isnan(ratio), jnp.inf, ratio)
+        accept = ratio <= 1.0
+        x = jnp.where(accept, y, x)
+        l = jnp.where(accept, ly, l)
+        t = jnp.where(accept, t + dt, t)
+        factor = jnp.clip(0.9 * jnp.maximum(ratio, tiny) ** (-0.2), 0.1, 10.0)
+        return x, l, t, dt * factor, attempts + 1
+
+    t0 = jnp.asarray(0.0, dtype)
+    dt0 = jnp.asarray(1.0, dtype)
+    x, l, t, _, _ = jax.lax.while_loop(
+        cond, body, (xT, jnp.zeros((1, TB), dtype), t0, dt0,
+                     jnp.asarray(0, jnp.int32))
+    )
+    # loud failure on budget exhaustion, mirroring utils.odeint
+    eps_f = float(np.finfo(np.float32).eps)
+    exhausted = t < 1.0 - 64.0 * eps_f
+    x = jnp.where(exhausted, jnp.full_like(x, jnp.nan), x)
+    l = jnp.where(exhausted, jnp.full_like(l, jnp.nan), l)
+
+    lp = -0.5 * jnp.sum(x * x, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+    return lp + l / scale
+
+
+def _cnf_kernel(*refs, n_params, cfg):
+    if cfg["exact"]:
+        x_ref, params = refs[0], [refs[1 + i][...] for i in range(n_params)]
+        out_ref = refs[1 + n_params]
+        out_ref[...] = _cnf_tile_math(x_ref[...], None, params, cfg)
+    else:
+        x_ref, eps_ref = refs[0], refs[1]
+        params = [refs[2 + i][...] for i in range(n_params)]
+        out_ref = refs[2 + n_params]
+        out_ref[...] = _cnf_tile_math(x_ref[...], eps_ref[...], params, cfg)
+
+
+# ----------------------------------------------------------------- public API
+
+
+def fused_cnf_log_prob(module, transform, x, c=None):
+    r"""Compute the CNF density with one fused Pallas kernel per batch tile
+    (XLA-path math off-TPU). Differentiable via a custom VJP whose backward
+    runs the XLA path's global-step augmented integration (so gradients are
+    exactly the XLA path's; the kernel forward agrees to solver tolerance —
+    both discretize the same continuous system to ``atol``/``rtol``)."""
+    ws, bs, c_phi, key, cfg = extract_cnf_params(module, transform, c)
+    if x.shape[-1] != cfg["F"]:
+        raise FusedStructureError(
+            f"x has {x.shape[-1]} features, flow has {cfg['F']}"
+        )
+    if cfg["exact"]:
+        eps = jnp.zeros((), x.dtype)  # unused placeholder
+    else:
+        # the XLA path's probe exactly (zuko/transforms.py:1171-1172)
+        eps = jax.random.normal(key, x.shape, x.dtype)
+    flat = []
+    for W, b in zip(ws, bs):
+        flat += [W, b]
+    static = _StaticCfg(cfg)
+    return _cnf_op(static, x, eps, c_phi, *flat)
+
+
+class _StaticCfg:
+    """Hashable wrapper so cfg can ride as a nondiff argument."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self._key = tuple(sorted((k, v) for k, v in cfg.items()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticCfg) and self._key == other._key
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cnf_op(static, x, eps, c, *flat):
+    return _cnf_impl(static, x, eps, c, *flat)
+
+
+def _cnf_fwd(static, x, eps, c, *flat):
+    return _cnf_impl(static, x, eps, c, *flat), (x, eps, c, flat)
+
+
+def _cnf_bwd(static, res, g):
+    x, eps, c, flat = res
+    cfg = static.cfg
+
+    def ref(x, c, fp):
+        ws = [fp[2 * i] for i in range(len(fp) // 2)]
+        bs = [fp[2 * i + 1] for i in range(len(fp) // 2)]
+        return _ref_log_prob(x, eps, ws, bs, c, cfg)
+
+    if c is None:
+        _, vjp = jax.vjp(lambda x, fp: ref(x, None, fp), x, flat)
+        dx, dfp = vjp(g)
+        return (dx, jnp.zeros_like(eps), None, *dfp)
+    _, vjp = jax.vjp(ref, x, c, flat)
+    dx, dc, dfp = vjp(g)
+    return (dx, jnp.zeros_like(eps), dc, *dfp)
+
+
+_cnf_op.defvjp(_cnf_fwd, _cnf_bwd)
+
+
+def _cnf_impl(static, x, eps, c, *flat):
+    cfg = static.cfg
+    F, C = cfg["F"], cfg["C"]
+    ws = [flat[2 * i] for i in range(len(flat) // 2)]
+    bs = [flat[2 * i + 1] for i in range(len(flat) // 2)]
+
+    if not _use_pallas_fused(x.dtype):
+        return _ref_log_prob(x, eps, ws, bs, c, cfg)
+
+    nf = cfg["nf"]
+    # split the first layer into x / time-embedding / context columns
+    # (dynamics input order: [te, x, c] — zuko_tpu/flows/continuous.py:30-34)
+    W1 = ws[0]
+    W1_te = W1[:, : 2 * nf]
+    W1_x = W1[:, 2 * nf : 2 * nf + F]
+    b1_eff = bs[0]
+    if C:
+        b1_eff = b1_eff + ws[0][:, 2 * nf + F :] @ c.astype(W1.dtype)
+    params = [W1_x, W1_te, b1_eff]
+    for W, b in zip(ws[1:], bs[1:]):
+        params += [W, b]
+
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, F)
+    n = xf.shape[0]
+    pad = (-n) % _TB_CNF
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+
+    n_params = len(params)
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for p in params
+    ]
+    in_specs = [pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    args = [xf.T]
+    if not cfg["exact"]:
+        ef = eps.reshape(-1, F)
+        if pad:
+            ef = jnp.pad(ef, ((0, pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(ef.T)
+
+    out = pl.pallas_call(
+        functools.partial(_cnf_kernel, n_params=n_params, cfg=cfg),
+        grid=(m // _TB_CNF,),
+        in_specs=in_specs + param_specs,
+        out_specs=pl.BlockSpec((1, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
+    )(*args, *params)
+    out = out[0, :n] if pad else out[0, :]
+    return out.reshape(batch_shape)

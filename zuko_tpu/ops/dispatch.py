@@ -30,6 +30,7 @@ import os
 import jax
 
 from ..distributions import NormalizingFlow
+from .cnf_fused import extract_cnf_params, fused_cnf_log_prob
 from .gf_fused import extract_gf_params, fused_gf_log_prob, fused_gf_sample
 from .naf_fused import extract_naf_params, fused_naf_sample
 from .nsf_fused import (
@@ -43,6 +44,7 @@ from .nsf_fused import (
 
 __all__ = [
     "FusedAutoregressiveFlow",
+    "FusedContinuousFlow",
     "FusedCouplingFlow",
     "FusedDensityFlow",
     "FusedGaussianizationFlow",
@@ -120,6 +122,23 @@ class FusedCouplingFlow(NormalizingFlow):
         return fused_nice_log_prob(self._module, x, self._c)
 
 
+class FusedContinuousFlow(NormalizingFlow):
+    r"""A :class:`NormalizingFlow` whose density runs through the fused CNF
+    kernel (:mod:`zuko_tpu.ops.cnf_fused`): the whole adaptive dopri45
+    integration of the augmented (state, log-Jacobian) system per batch tile
+    with the ODE net resident in VMEM. Sampling keeps the XLA path (the
+    backward integration is the same cost either way and must stay
+    differentiable for ``rsample``)."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        return fused_cnf_log_prob(self._module, self.transform, x, self._c)
+
+
 class FusedGaussianizationFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose density AND sampling run through the
     fused GF kernels (:mod:`zuko_tpu.ops.gf_fused`): analytic gaussianization
@@ -193,6 +212,12 @@ def maybe_fused_flow(module, transform, base, c):
         pass
     else:
         return FusedGaussianizationFlow(transform, base, module, c)
+    try:
+        extract_cnf_params(module, transform, c)
+    except FusedStructureError:
+        pass
+    else:
+        return FusedContinuousFlow(transform, base, module, c)
     try:
         extract_naf_params(module)
     except FusedStructureError:

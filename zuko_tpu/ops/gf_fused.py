@@ -286,14 +286,20 @@ def _gauss_inverse_F(y, shift, scale, K):
     reference's f-space bisection (zuko/transforms.py:609-617) without an
     erfinv per iterate."""
     target = _erf(y * _INV_SQRT2)
-    lo = jnp.full_like(y, -_GF_BOUND)
-    hi = jnp.full_like(y, _GF_BOUND)
-    for _ in range(_GF_N_ITER):
+
+    # rolled lax loop — a Python unroll bloats the Mosaic program ~30x
+    def body(_, carry):
+        lo, hi = carry
         mid = 0.5 * (lo + hi)
         m, _ = _gauss_mean_F(mid, shift, scale, K)
         go_right = m < target
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo = jnp.full_like(y, -_GF_BOUND)
+    hi = jnp.full_like(y, _GF_BOUND)
+    lo, hi = jax.lax.fori_loop(0, _GF_N_ITER, body, (lo, hi))
     return 0.5 * (lo + hi)
 
 

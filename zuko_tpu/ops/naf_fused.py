@@ -326,8 +326,20 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
     f_eval = _mono_eval_bd if kind == "mnn" else _umnn_eval_bd
     bd_w, bd_b = st["mono_w"], st["mono_b"]  # block-diagonal (see layout)
 
-    x = jnp.zeros_like(y)
-    for _ in range(min(st["passes"], F)):
+    # lax loops, not Python unrolls: sweeps x bisection x net unrolled to
+    # straight-line code produced multi-MB Mosaic programs (the UNAF variant
+    # OOM-killed the AOT compile service); the rolled form is ~30x smaller
+    # and numerically identical.
+    def bisect_body(_, carry):
+        lo, hi, sig_all, target = carry
+        mid = 0.5 * (lo + hi)
+        fm = f_eval(mid, sig_all, bd_w, bd_b, F)
+        go_right = fm < target
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi, sig_all, target
+
+    def sweep_body(_, x):
         # HIGHEST: solver inputs must be f32-exact (see _hyper_T note)
         h = _hyper_T(x, cT, made, precision=jax.lax.Precision.HIGHEST)
 
@@ -346,14 +358,14 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
 
         lo = jnp.full_like(y, -bound)
         hi = jnp.full_like(y, bound)
-        for _ in range(n_iter):
-            mid = 0.5 * (lo + hi)
-            fm = f_eval(mid, sig_all, bd_w, bd_b, F)
-            go_right = fm < target
-            lo = jnp.where(go_right, mid, lo)
-            hi = jnp.where(go_right, hi, mid)
-        x = 0.5 * (lo + hi)
-    return x
+        lo, hi, _, _ = jax.lax.fori_loop(
+            0, n_iter, bisect_body, (lo, hi, sig_all, target)
+        )
+        return 0.5 * (lo + hi)
+
+    return jax.lax.fori_loop(
+        0, min(st["passes"], F), sweep_body, jnp.zeros_like(y)
+    )
 
 
 def _naf_sample_math_T(zT, cT, stages, F, S):

@@ -662,13 +662,21 @@ def _base_log_prob_T(zT, F, base):
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
                  univ="rqs", base=("normal",)):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
+    # The polynomial ladj = log g(x) with g a squared polynomial of the
+    # hyper-net outputs is precision-sensitive: the default single-bf16-pass
+    # matmul costs ~1e-2 on those log-densities (measured on v5e), so the
+    # polynomial families run their hyper matmuls f32-exact. Splines/affine
+    # are insensitive (monotone constraint pipelines) and keep the fast pass.
+    precision = (
+        jax.lax.Precision.HIGHEST if univ in ("sosp", "bernstein") else None
+    )
     acc = None
     for entry in _split_layers(flat_params, layout):
         if entry[0] == "softclip":
             xT, ladj = _softclip_forward_F(xT, entry[1])
         else:
             _, ps, _ = entry
-            h = _hyper_T(xT, cT, ps)
+            h = _hyper_T(xT, cT, ps, precision=precision)
             xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
         acc = ladj if acc is None else acc + ladj
 
