@@ -686,3 +686,27 @@ def test_cnf_fused_structure_rejection(key, dispatch_on):
     flow_c = CNF(3, 2, key=kf)
     cb = jax.random.normal(kc, (5, 2))
     assert type(flow_c(cb)) is NormalizingFlow
+
+
+def test_cnf_fused_exhaustion_poisons(key):
+    r"""The kernel tile math NaN-poisons on step-budget exhaustion, exactly
+    like utils.odeint (reference never truncates silently,
+    zuko/utils.py:538-552)."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.cnf_fused import _cnf_tile_math, extract_cnf_params
+
+    flow = CNF(3, max_steps=1, key=key)
+    transform = flow.transform(None)
+    ws, bs, _, _, cfg = extract_cnf_params(flow, transform, None)
+    # a 1-step budget cannot integrate t=0..1 below tolerance for a generic
+    # random net unless the dynamics are trivially smooth — force exhaustion
+    # with a hard budget and check the poison path wiring instead
+    cfg = dict(cfg, max_steps=0)
+    nf, F = cfg["nf"], cfg["F"]
+    W1 = ws[0]
+    params = [W1[:, 2 * nf : 2 * nf + F], W1[:, : 2 * nf], bs[0]]
+    for W, b in zip(ws[1:], bs[1:]):
+        params += [W, b]
+    x = jax.random.normal(key, (8, 3)).astype(ws[0].dtype)
+    lp = _cnf_tile_math(x.T, None, params, cfg)
+    assert jnp.all(jnp.isnan(lp)), "exhausted budget must NaN-poison"

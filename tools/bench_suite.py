@@ -122,6 +122,49 @@ def main():
     dt = (time.perf_counter() - t0) / args.repeats
     print(f"train step     : {B / dt / 1e6:8.2f} M examples/s")
 
+    # --- round-2 fused families (dispatch = public API) ----------------------
+    import jax.tree_util as jtu
+
+    from zuko_tpu.flows import CNF, GF, NAF
+
+    Bs = min(B, 4096)  # solver-kernel batch (bisection / ODE per tile)
+    Rs = max(R // 2, 2)
+
+    def density_row(label, fl, BB=B):
+        xx = jax.random.normal(key, (BB, 6))
+
+        @jax.jit
+        def lp(x):
+            def body(carry, _):
+                return carry + jnp.sum(fl(None).log_prob(x + 1e-9 * carry)), None
+            return lax.scan(body, 0.0, None, length=Rs)[0]
+
+        dt = timed(lp, xx)
+        print(f"{label}: {BB * Rs / dt / 1e6:8.2f} M evals/s")
+
+    def sample_row(label, fl, BB=Bs):
+        @jax.jit
+        def sm(k):
+            def body(carry, i):
+                s = fl(None).sample(jax.random.fold_in(k, i), (BB,))
+                return carry + jnp.sum(s), None
+            return lax.scan(body, 0.0, jnp.arange(Rs))[0]
+
+        dt = timed(sm, key)
+        print(f"{label}: {BB * Rs / dt / 1e6:8.2f} M samples/s")
+
+    gf = GF(6, transforms=3, key=key)
+    pg, sg = partition(gf)
+    gf = combine(jtu.tree_map(lambda a: a * 0.3, pg), sg)
+    density_row("GF  density fused", gf)
+    sample_row("GF  sampling fused", gf)
+
+    naf = NAF(6, transforms=3, signal=16, key=key)
+    sample_row("NAF sampling fused", naf)
+
+    cnf = CNF(6, key=key)
+    density_row("CNF density fused", cnf, BB=min(B, 16384))
+
 
 if __name__ == "__main__":
     main()
