@@ -710,3 +710,68 @@ def test_cnf_fused_exhaustion_poisons(key):
     x = jax.random.normal(key, (8, 3)).astype(ws[0].dtype)
     lp = _cnf_tile_math(x.T, None, params, cfg)
     assert jnp.all(jnp.isnan(lp)), "exhausted budget must NaN-poison"
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_cnf_fused_sampling(exact, key, dispatch_on):
+    r"""CNF sampling dispatches through the fused backward-integration
+    kernel: the plain inverse is bit-identical to the XLA path (same
+    un-augmented integration), sample_and_log_prob agrees to roundoff, and
+    rsample keeps the differentiable XLA path (reference semantics:
+    zuko/transforms.py:1129-1138, zuko/distributions.py:121-138)."""
+    import os
+
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.dispatch import FusedContinuousFlow
+
+    kf, ks, kh = jax.random.split(key, 3)
+    flow = CNF(3, exact=exact, key=kf)
+    hk = None if exact else kh
+
+    d = flow(None, key=hk)
+    assert type(d) is FusedContinuousFlow
+    x = d.sample(ks, (32,))
+    x2, lq = d.sample_and_log_prob(ks, (32,))
+    r = d.rsample(ks, (8,))
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        dref = flow(None, key=hk)
+        x_ref = dref.sample(ks, (32,))
+        x2r, lqr = dref.sample_and_log_prob(ks, (32,))
+        r_ref = dref.rsample(ks, (8,))
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    assert jnp.allclose(x, x_ref, atol=0.0), jnp.abs(x - x_ref).max()
+    assert jnp.allclose(x2, x2r, atol=0.0)
+    assert jnp.allclose(lq, lqr, atol=1e-5), jnp.abs(lq - lqr).max()
+    assert jnp.allclose(r, r_ref, atol=0.0)
+
+
+def test_cnf_fused_sample_tile_math_matches_reference(key):
+    r"""The sampling kernel's per-tile math (reversed augmented integration)
+    agrees with the global-step reference when one tile holds the batch."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.cnf_fused import (
+        _cnf_tile_sample_math,
+        _kernel_params,
+        _ref_sample,
+        extract_cnf_params,
+    )
+
+    kf, kz = jax.random.split(key)
+    flow = CNF(3, key=kf)
+    transform = flow.transform(None)
+    ws, bs, c_phi, _, cfg = extract_cnf_params(flow, transform, None)
+    z = jax.random.normal(kz, (64, 3)).astype(ws[0].dtype)
+
+    params = _kernel_params(ws, bs, None, cfg)
+    x_t, lq_t = _cnf_tile_sample_math(z.T, None, params, cfg, True)
+    x_r, lq_r = _ref_sample(z, None, ws, bs, None, cfg, True)
+    assert jnp.allclose(x_t.T, x_r, atol=1e-4), jnp.abs(x_t.T - x_r).max()
+    assert jnp.allclose(lq_t[0], lq_r, atol=1e-4), jnp.abs(lq_t[0] - lq_r).max()
+
+    x_t2 = _cnf_tile_sample_math(z.T, None, params, cfg, False)
+    x_r2 = _ref_sample(z, None, ws, bs, None, cfg, False)
+    assert jnp.allclose(x_t2.T, x_r2, atol=1e-4)

@@ -28,6 +28,7 @@ from __future__ import annotations
 __all__ = [
     "extract_cnf_params",
     "fused_cnf_log_prob",
+    "fused_cnf_sample",
 ]
 
 import functools
@@ -161,11 +162,12 @@ def _net_apply(u, ws, bs):
     return h
 
 
-def _ref_log_prob(x, eps, ws, bs, c, cfg):
+def _ref_integrate(x, eps, ws, bs, c, cfg, t0, t1):
     """The XLA-path math with explicit parameters: augmented global-batch
     dopri45 via utils.odeint, exact-jvp or Hutchinson trace — numerically
-    identical to FreeFormJacobianTransform.call_and_ladj + the standard
-    normal base (reference: zuko/transforms.py:1147-1179)."""
+    identical to FreeFormJacobianTransform.call_and_ladj
+    (reference: zuko/transforms.py:1147-1179). Returns the endpoint state
+    and ``scale * ladj`` of the (t0 -> t1) map."""
     from ..utils import broadcast, odeint
 
     F = cfg["F"]
@@ -204,13 +206,45 @@ def _ref_log_prob(x, eps, ws, bs, c, cfg):
     if not cfg["exact"]:
         phi["eps"] = eps
     ladj0 = jnp.zeros(x.shape[:-1], x.dtype)
-    y, ladj = odeint(
-        f_aug, (x, ladj0), 0.0, 1.0,
+    return odeint(
+        f_aug, (x, ladj0), t0, t1,
         phi=phi, atol=cfg["atol"], rtol=cfg["rtol"],
         max_steps=cfg["max_steps"],
     )
+
+
+def _ref_log_prob(x, eps, ws, bs, c, cfg):
+    F, scale = cfg["F"], cfg["scale"]
+    y, ladj = _ref_integrate(x, eps, ws, bs, c, cfg, 0.0, 1.0)
     lp = -0.5 * jnp.sum(y * y, axis=-1) - 0.5 * F * _LOG_2PI
     return lp + ladj / scale
+
+
+def _ref_sample(z, eps, ws, bs, c, cfg, want_log_prob):
+    F, scale = cfg["F"], cfg["scale"]
+    if not want_log_prob:
+        # plain inverse: un-augmented integration, exactly
+        # FreeFormJacobianTransform.inverse (error control over x only)
+        from ..utils import broadcast, odeint
+
+        freqs = jnp.asarray(cfg["freqs"], z.dtype)
+
+        def f_dyn(t, u, p):
+            te = freqs * t[..., None]
+            te = jnp.concatenate([jnp.cos(te), jnp.sin(te)], axis=-1)
+            if p["c"] is None:
+                parts = broadcast(te, u, ignore=1)
+            else:
+                parts = broadcast(te, u, p["c"], ignore=1)
+            return _net_apply(jnp.concatenate(parts, axis=-1), p["w"], p["b"])
+
+        return odeint(
+            f_dyn, z, 1.0, 0.0, phi={"w": list(ws), "b": list(bs), "c": c},
+            atol=cfg["atol"], rtol=cfg["rtol"], max_steps=cfg["max_steps"],
+        )
+    x, ladj = _ref_integrate(z, eps, ws, bs, c, cfg, 1.0, 0.0)
+    lp = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * F * _LOG_2PI
+    return x, lp - ladj / scale
 
 
 # ----------------------------------------------------------------- kernel math
@@ -234,8 +268,12 @@ def _dot(W, u):
     )
 
 
-def _cnf_tile_math(xT, epsT, params, cfg):
-    """Adaptive dopri45 on one (F, TB) tile; returns log_prob (1, TB).
+def _cnf_tile_integrate(xT, epsT, params, cfg, reverse=False, with_trace=True):
+    """Adaptive dopri45 of the augmented system on one (F, TB) tile; returns
+    the final state and ``scale * integral`` of the trace along the
+    integration direction. ``reverse=True`` integrates t: 1 -> 0 (the
+    sampling direction; reference: FreeFormJacobianTransform.inv swaps the
+    bounds, zuko/transforms.py:1129-1138).
 
     ``params``: [W1_x (H1, F), W1_te (H1, 2nf), b1_eff (H1,),
     W2, b2, ..., Wn, bn] — the context contribution is folded into b1_eff
@@ -253,7 +291,9 @@ def _cnf_tile_math(xT, epsT, params, cfg):
     TB = xT.shape[1]
     n_tan = F if exact else 1
 
-    if exact:
+    if not with_trace:
+        V0 = None
+    elif exact:
         # V0: F identity blocks along lanes — V0[r, j*TB + k] = (r == j)
         r = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 0)
         blk = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 1) // TB
@@ -267,8 +307,11 @@ def _cnf_tile_math(xT, epsT, params, cfg):
             return a
         return jnp.concatenate([a] * n_tan, axis=1)
 
-    def f_aug(t, xt):
-        """dx (F, TB) and d(ladj*scale) (1, TB) at tile state xt."""
+    def f_aug(s, xt):
+        """dx (F, TB) and d(ladj*scale) (1, TB) at tile state xt, in
+        normalized time s (t = 1 - s and a -1 Jacobian factor when
+        integrating in reverse — exactly utils.odeint's normalization)."""
+        t = 1.0 - s if reverse else s
         # time-embedding bias: nf cos + nf sin scalar-weighted columns
         te_b = b1
         for k, fk in enumerate(freqs):
@@ -276,20 +319,26 @@ def _cnf_tile_math(xT, epsT, params, cfg):
             te_b = te_b + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
 
         h = _dot(W1_x, xt) + te_b[:, None]
-        v = _dot(W1_x, V0)
+        v = None if V0 is None else _dot(W1_x, V0)
         n = len(rest) // 2
         for i in range(n):
             W, b = rest[2 * i], rest[2 * i + 1]
-            v = _dot(W, tile_lanes(_elu_d(h)) * v)
+            if v is not None:
+                v = _dot(W, tile_lanes(_elu_d(h)) * v)
             h = _dot(W, _elu(h)) + b[:, None]
         # h: dx (F, TB); v: tangent outputs (F, n_tan*TB)
-        if exact:
+        if v is None:
+            tr = jnp.zeros((1, xt.shape[1]), xt.dtype)
+        elif exact:
             tr = None
             for j in range(F):
                 tj = v[j : j + 1, j * TB : (j + 1) * TB]
                 tr = tj if tr is None else tr + tj
         else:
             tr = jnp.sum(epsT * v, axis=0, keepdims=True)
+        if reverse:
+            # the (t1 - t0) = -1 normalized-time Jacobian factor
+            return -h, -(tr * scale)
         return h, tr * scale
 
     def dp_step(x, l, t, dt):
@@ -354,9 +403,32 @@ def _cnf_tile_math(xT, epsT, params, cfg):
     exhausted = t < 1.0 - 64.0 * eps_f
     x = jnp.where(exhausted, jnp.full_like(x, jnp.nan), x)
     l = jnp.where(exhausted, jnp.full_like(l, jnp.nan), l)
+    return x, l
 
-    lp = -0.5 * jnp.sum(x * x, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+
+def _cnf_tile_math(xT, epsT, params, cfg):
+    """Density on one tile: integrate x forward (t: 0 -> 1), return
+    log_prob (1, TB) = N(0,I) log-density at the endpoint plus the ladj."""
+    F, scale = cfg["F"], cfg["scale"]
+    z, l = _cnf_tile_integrate(xT, epsT, params, cfg, reverse=False)
+    lp = -0.5 * jnp.sum(z * z, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
     return lp + l / scale
+
+
+def _cnf_tile_sample_math(zT, epsT, params, cfg, want_log_prob):
+    """Sampling on one tile: integrate base draws backward (t: 1 -> 0);
+    with ``want_log_prob``, log q(x) = base.log_prob(z) - ladj of the
+    inverse map (reference: zuko/distributions.py:129-138). The plain
+    inverse skips the tangent work entirely (un-augmented integration,
+    matching FreeFormJacobianTransform.inverse)."""
+    F, scale = cfg["F"], cfg["scale"]
+    x, l = _cnf_tile_integrate(
+        zT, epsT, params, cfg, reverse=True, with_trace=want_log_prob
+    )
+    if not want_log_prob:
+        return x
+    lp = -0.5 * jnp.sum(zT * zT, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+    return x, lp - l / scale
 
 
 def _cnf_kernel(*refs, n_params, cfg):
@@ -369,6 +441,24 @@ def _cnf_kernel(*refs, n_params, cfg):
         params = [refs[2 + i][...] for i in range(n_params)]
         out_ref = refs[2 + n_params]
         out_ref[...] = _cnf_tile_math(x_ref[...], eps_ref[...], params, cfg)
+
+
+def _cnf_sample_kernel(*refs, n_params, cfg, want_log_prob):
+    if cfg["exact"]:
+        z_ref, params = refs[0], [refs[1 + i][...] for i in range(n_params)]
+        out = _cnf_tile_sample_math(z_ref[...], None, params, cfg, want_log_prob)
+        base = 1 + n_params
+    else:
+        z_ref, eps_ref = refs[0], refs[1]
+        params = [refs[2 + i][...] for i in range(n_params)]
+        out = _cnf_tile_sample_math(
+            z_ref[...], eps_ref[...], params, cfg, want_log_prob
+        )
+        base = 2 + n_params
+    if want_log_prob:
+        refs[base][...], refs[base + 1][...] = out
+    else:
+        refs[base][...] = out
 
 
 # ----------------------------------------------------------------- public API
@@ -441,6 +531,23 @@ def _cnf_bwd(static, res, g):
 _cnf_op.defvjp(_cnf_fwd, _cnf_bwd)
 
 
+def _kernel_params(ws, bs, c, cfg):
+    """Split the first layer into x / time-embedding / context columns
+    (dynamics input order: [te, x, c] — zuko_tpu/flows/continuous.py:30-34);
+    the context contribution folds into the first bias."""
+    F, C, nf = cfg["F"], cfg["C"], cfg["nf"]
+    W1 = ws[0]
+    W1_te = W1[:, : 2 * nf]
+    W1_x = W1[:, 2 * nf : 2 * nf + F]
+    b1_eff = bs[0]
+    if C:
+        b1_eff = b1_eff + W1[:, 2 * nf + F :] @ c.astype(W1.dtype)
+    params = [W1_x, W1_te, b1_eff]
+    for W, b in zip(ws[1:], bs[1:]):
+        params += [W, b]
+    return params
+
+
 def _cnf_impl(static, x, eps, c, *flat):
     cfg = static.cfg
     F, C = cfg["F"], cfg["C"]
@@ -450,18 +557,7 @@ def _cnf_impl(static, x, eps, c, *flat):
     if not _use_pallas_fused(x.dtype):
         return _ref_log_prob(x, eps, ws, bs, c, cfg)
 
-    nf = cfg["nf"]
-    # split the first layer into x / time-embedding / context columns
-    # (dynamics input order: [te, x, c] — zuko_tpu/flows/continuous.py:30-34)
-    W1 = ws[0]
-    W1_te = W1[:, : 2 * nf]
-    W1_x = W1[:, 2 * nf : 2 * nf + F]
-    b1_eff = bs[0]
-    if C:
-        b1_eff = b1_eff + ws[0][:, 2 * nf + F :] @ c.astype(W1.dtype)
-    params = [W1_x, W1_te, b1_eff]
-    for W, b in zip(ws[1:], bs[1:]):
-        params += [W, b]
+    params = _kernel_params(ws, bs, c, cfg)
 
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, F)
@@ -496,3 +592,87 @@ def _cnf_impl(static, x, eps, c, *flat):
     )(*args, *params)
     out = out[0, :n] if pad else out[0, :]
     return out.reshape(batch_shape)
+
+
+def fused_cnf_sample(module, transform, key, sample_shape, c=None,
+                     want_log_prob=False):
+    r"""Draw CNF samples with one fused kernel per batch tile: base draws
+    integrated backward (t: 1 -> 0) through the adaptive dopri45 loop with
+    the ODE net in VMEM; with ``want_log_prob`` the same pass accumulates
+    ``log q(x) = base.log_prob(z) - ladj`` of the inverse map (the
+    reverse-KL quantity, reference: zuko/distributions.py:129-138). Forward
+    only — the differentiable ``rsample`` keeps the XLA path."""
+    ws, bs, c_phi, tkey, cfg = extract_cnf_params(module, transform, c)
+    F = cfg["F"]
+    try:  # match the base distribution's dtype so draws equal flow.sample's
+        dtype = jnp.asarray(module.base.args[0]).dtype
+    except (AttributeError, IndexError):
+        dtype = ws[0].dtype
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    if cfg["exact"]:
+        eps = None
+    else:
+        # the XLA inverse path's probe at z (zuko/transforms.py:1171-1172)
+        eps = jax.random.normal(tkey, z.shape, dtype)
+
+    if not _use_pallas_fused(dtype):
+        out = _ref_sample(z, eps, ws, bs, c_phi, cfg, want_log_prob)
+        return out
+
+    params = _kernel_params(ws, bs, c_phi, cfg)
+    zf = z.reshape(-1, F)
+    n = zf.shape[0]
+    pad = (-n) % _TB_CNF
+    if pad:
+        zf = jnp.pad(zf, ((0, pad), (0, 0)))
+    m = zf.shape[0]
+
+    n_params = len(params)
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for p in params
+    ]
+    in_specs = [pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    args = [zf.T]
+    if not cfg["exact"]:
+        ef = eps.reshape(-1, F)
+        if pad:
+            ef = jnp.pad(ef, ((0, pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(ef.T)
+
+    if want_log_prob:
+        out_specs = (
+            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((F, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((F, m), dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _cnf_sample_kernel, n_params=n_params, cfg=cfg,
+            want_log_prob=want_log_prob,
+        ),
+        grid=(m // _TB_CNF,),
+        in_specs=in_specs + param_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*args, *params)
+
+    if want_log_prob:
+        x, lq = out
+        x = x.T[:n] if pad else x.T
+        lq = lq[0, :n] if pad else lq[0, :]
+        return x.reshape(z.shape), lq.reshape(z.shape[:-1])
+    out = out.T[:n] if pad else out.T
+    return out.reshape(z.shape)

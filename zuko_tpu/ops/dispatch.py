@@ -30,7 +30,11 @@ import os
 import jax
 
 from ..distributions import NormalizingFlow
-from .cnf_fused import extract_cnf_params, fused_cnf_log_prob
+from .cnf_fused import (
+    extract_cnf_params,
+    fused_cnf_log_prob,
+    fused_cnf_sample,
+)
 from .gf_fused import extract_gf_params, fused_gf_log_prob, fused_gf_sample
 from .naf_fused import extract_naf_params, fused_naf_sample
 from .nsf_fused import (
@@ -123,12 +127,12 @@ class FusedCouplingFlow(NormalizingFlow):
 
 
 class FusedContinuousFlow(NormalizingFlow):
-    r"""A :class:`NormalizingFlow` whose density runs through the fused CNF
-    kernel (:mod:`zuko_tpu.ops.cnf_fused`): the whole adaptive dopri45
-    integration of the augmented (state, log-Jacobian) system per batch tile
-    with the ODE net resident in VMEM. Sampling keeps the XLA path (the
-    backward integration is the same cost either way and must stay
-    differentiable for ``rsample``)."""
+    r"""A :class:`NormalizingFlow` whose density AND sampling run through
+    the fused CNF kernels (:mod:`zuko_tpu.ops.cnf_fused`): the whole
+    adaptive dopri45 integration (augmented with the log-Jacobian for
+    densities and ``sample_and_log_prob``, un-augmented for the plain
+    inverse) per batch tile with the ODE net resident in VMEM. ``rsample``
+    keeps the differentiable XLA path."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -137,6 +141,23 @@ class FusedContinuousFlow(NormalizingFlow):
 
     def log_prob(self, x):
         return fused_cnf_log_prob(self._module, self.transform, x, self._c)
+
+    def sample(self, key, sample_shape=()):
+        return fused_cnf_sample(
+            self._module, self.transform, key, sample_shape, c=self._c
+        )
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        return fused_cnf_sample(
+            self._module, self.transform, key, sample_shape, c=self._c,
+            want_log_prob=True,
+        )
+
+    def rsample(self, key, sample_shape=()):
+        return NormalizingFlow.sample(self, key, sample_shape)
+
+    def rsample_and_log_prob(self, key, sample_shape=()):
+        return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
 class FusedGaussianizationFlow(NormalizingFlow):
