@@ -207,3 +207,39 @@ def test_sharded_fused_on_model_axis_mesh(key):
     assert x.shape == (32, 4) and lp.shape == (32,)
     assert jnp.allclose(lq, lp, atol=1e-6)
     assert jnp.allclose(lp, flow(None).log_prob(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("family", ["gf", "cnf", "naf"])
+def test_sharded_fused_sample_families(family, key):
+    r"""Sample-parallel fused sampling covers the whole fused-sampler zoo:
+    the sharded draw equals running the same fused sampler per device shard
+    (deterministic fold_in keys), and densities at the draws are finite."""
+    import jax.tree_util as jtu
+
+    from zuko_tpu.core import combine, partition
+    from zuko_tpu.flows import CNF, GF, NAF
+    from zuko_tpu.parallel import sharded_fused_sample
+
+    if family == "gf":
+        flow = GF(3, transforms=2, key=key)
+        p, st = partition(flow)
+        flow = combine(jtu.tree_map(lambda a: a * 0.3, p), st)
+    elif family == "cnf":
+        flow = CNF(3, key=key)
+    else:
+        flow = NAF(3, transforms=2, signal=4, key=key)
+
+    mesh = make_mesh(model=1)
+    x = sharded_fused_sample(mesh, flow, jax.random.PRNGKey(3), (32,))
+    assert x.shape == (32, 3)
+    assert jnp.all(jnp.isfinite(x))
+    x2 = sharded_fused_sample(mesh, flow, jax.random.PRNGKey(3), (32,))
+    assert jnp.array_equal(x, x2)
+    assert jnp.all(jnp.isfinite(flow(None).log_prob(x)))
+
+    if family != "naf":  # NAF kernels are sample-only
+        x3, lq = sharded_fused_sample(
+            mesh, flow, jax.random.PRNGKey(3), (32,), want_log_prob=True
+        )
+        assert x3.shape == (32, 3) and lq.shape == (32,)
+        assert jnp.all(jnp.isfinite(lq))

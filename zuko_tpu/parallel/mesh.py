@@ -160,16 +160,66 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     return fn(x, c)
 
 
+def _fused_sampler_for(flow, c, want_log_prob):
+    """Pick the fused whole-flow sampler matching ``flow``'s structure:
+    NSF/NCSF/MAF sweeps, GF bisection, CNF backward integration, or NAF/UNAF
+    monotone-net bisection (no fused log q for the latter). Raises
+    FusedStructureError when nothing matches."""
+    from ..ops.cnf_fused import extract_cnf_params, fused_cnf_sample
+    from ..ops.gf_fused import extract_gf_params, fused_gf_sample
+    from ..ops.naf_fused import extract_naf_params, fused_naf_sample
+    from ..ops.nsf_fused import (
+        FusedStructureError,
+        extract_nsf_params,
+        fused_nsf_sample,
+    )
+
+    try:
+        extract_nsf_params(flow)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda k, shape: fused_nsf_sample(
+            flow, k, shape, c=c, want_log_prob=want_log_prob
+        )
+    try:
+        extract_gf_params(flow, c)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda k, shape: fused_gf_sample(
+            flow, k, shape, c=c, want_log_prob=want_log_prob
+        )
+    try:
+        transform = flow.transform(c)
+        extract_cnf_params(flow, transform, c)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda k, shape: fused_cnf_sample(
+            flow, transform, k, shape, c=c, want_log_prob=want_log_prob
+        )
+    if want_log_prob:
+        raise FusedStructureError(
+            "no fused sample_and_log_prob for this structure (NAF/UNAF"
+            " sampling kernels are sample-only)"
+        )
+    extract_naf_params(flow)
+    return lambda k, shape: fused_naf_sample(flow, k, shape, c=c)
+
+
 def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
                          want_log_prob: bool = False):
-    """Sample-parallel fused NSF sampling: each device draws and inverts its
+    """Sample-parallel fused sampling: each device draws and inverts its
     own shard of the sample axis (no cross-device communication — sampling is
-    embarrassingly parallel over draws). Per-device keys are derived with
+    embarrassingly parallel over draws). The fused sampler is picked by the
+    flow's structure (NSF/NCSF/MAF, GF, CNF, NAF/UNAF — see
+    :func:`_fused_sampler_for`). Per-device keys are derived with
     :func:`jax.random.fold_in` on the device's ``data``-axis index, so the
     global draw set is deterministic for a given ``key`` and mesh shape.
     With ``want_log_prob`` also returns the per-sample ``log q(x)`` (the
     reverse-KL quantity, reference: zuko/distributions.py:129-138)."""
-    from ..ops.nsf_fused import fused_nsf_sample
+    sampler = _fused_sampler_for(flow, c, want_log_prob)
 
     n = int(np.prod(sample_shape)) if sample_shape else 1
     d = mesh.shape["data"]
@@ -179,10 +229,7 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
 
     def draw(key):
         idx = jax.lax.axis_index("data")
-        return fused_nsf_sample(
-            flow, jax.random.fold_in(key, idx), local, c=c,
-            want_log_prob=want_log_prob,
-        )
+        return sampler(jax.random.fold_in(key, idx), local)
 
     # jit the wrapper: an eagerly-called shard_map executes the body op by op
     # across the mesh (measured ~100x the jitted wall time on a CPU mesh)
