@@ -389,7 +389,10 @@ def _cnf_tile_integrate(xT, epsT, params, cfg, reverse=False, with_trace=True):
         x = jnp.where(accept, y, x)
         l = jnp.where(accept, ly, l)
         t = jnp.where(accept, t + dt, t)
-        factor = jnp.clip(0.9 * jnp.maximum(ratio, tiny) ** (-0.2), 0.1, 10.0)
+        # 0.9 * ratio**(-1/5) via exp/log — Mosaic lowers no math.powf
+        factor = jnp.clip(
+            0.9 * jnp.exp(-0.2 * jnp.log(jnp.maximum(ratio, tiny))), 0.1, 10.0
+        )
         return x, l, t, dt * factor, attempts + 1
 
     t0 = jnp.asarray(0.0, dtype)
