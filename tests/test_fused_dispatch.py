@@ -775,3 +775,46 @@ def test_cnf_fused_sample_tile_math_matches_reference(key):
     x_t2 = _cnf_tile_sample_math(z.T, None, params, cfg, False)
     x_r2 = _ref_sample(z, None, ws, bs, None, cfg, False)
     assert jnp.allclose(x_t2.T, x_r2, atol=1e-4)
+
+
+def test_bayesian_reparam_dispatches_fused(key, dispatch_on):
+    r"""A Bayesian-wrapped flow's reparameterized draws keep the fused fast
+    path: the swapped-in traced weights extract cleanly and gradients route
+    to the posterior means/logvars through the fused custom VJP
+    (reference semantics: zuko/bayesian.py:141-168)."""
+    import os
+
+    from zuko_tpu.bayesian import BayesianModel
+
+    kf, kr, kx = jax.random.split(key, 3)
+    flow = NSF(3, 0, transforms=2, hidden_features=(16, 16), key=kf)
+    bm = BayesianModel(flow)
+    x = jax.random.normal(kx, (32, 3))
+
+    rflow = bm.reparameterize(kr)
+    d = rflow(None)
+    assert type(d) is FusedAutoregressiveFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = rflow(None).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(lp, lp_ref, atol=1e-8), jnp.abs(lp - lp_ref).max()
+
+    # gradients flow to the posterior parameters and match the XLA path
+    params, static = partition(bm)
+
+    def loss(p):
+        m = combine(p, static)
+        return -jnp.mean(m.reparameterize(kr)(None).log_prob(x))
+
+    g_fused = jax.grad(loss)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=2e-6), (n, jnp.abs(a - b).max())
