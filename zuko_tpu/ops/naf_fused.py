@@ -281,30 +281,41 @@ def _mono_eval_bd(mid, sig_all, bd_w, bd_b, F):
     return u  # (F, TB)
 
 
+# quadrature points batched along lanes per CHUNK: all 32 at once allocates
+# (F*H, 32*TB) block-diagonal intermediates (~33MB at TB=256) and blows the
+# 16MB scoped-VMEM stack limit on v5e; 8-point chunks cap the live set at
+# ~1/4 of that with the same 3-matmul structure per chunk
+_UMNN_CHUNK = 8
+
+
 def _umnn_eval_bd(mid, sig_all, bd_w, bd_b, F):
-    """All features × all 32 quadrature points in 3 block-diagonal matmuls:
-    points ride the LANE axis, features the block structure
-    (reference integrand: zuko/flows/neural.py:100-104, quadrature:
-    zuko/transforms.py:911-918)."""
+    """All features × the 32 quadrature points (in lane-batched chunks) via
+    block-diagonal matmuls: points ride the LANE axis, features the block
+    structure (reference integrand: zuko/flows/neural.py:100-104,
+    quadrature: zuko/transforms.py:911-918)."""
     TB = mid.shape[1]
-    xs = jnp.concatenate(
-        [mid * (0.5 * (t + 1.0)) for t in _GL_NODES], axis=1
-    )  # (F, P*TB) point-major lane blocks
-    sigs = jnp.concatenate([sig_all] * _UMNN_N, axis=1)  # (F*S, P*TB)
-    u = jnp.concatenate([sigs, xs], axis=0)
-
     n = len(bd_w)
-    for i, (W, b) in enumerate(zip(bd_w, bd_b)):
-        u = _dot_hi(W, u) + b[:, None]
-        if i < n - 1:
-            u = _elu(u)
+    acc = None
+    for c0 in range(0, _UMNN_N, _UMNN_CHUNK):
+        pts = _GL_NODES[c0 : c0 + _UMNN_CHUNK]
+        P = len(pts)
+        xs = jnp.concatenate(
+            [mid * (0.5 * (t + 1.0)) for t in pts], axis=1
+        )  # (F, P*TB) point-major lane blocks
+        sigs = jnp.concatenate([sig_all] * P, axis=1)  # (F*S, P*TB)
+        u = jnp.concatenate([sigs, xs], axis=0)
 
-    # g = exp(softclip(dx, 7)) in [1e-3, 1e3] (zuko/flows/neural.py:100-104)
-    g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (F, P*TB)
+        for i, (W, b) in enumerate(zip(bd_w, bd_b)):
+            u = _dot_hi(W, u) + b[:, None]
+            if i < n - 1:
+                u = _elu(u)
 
-    acc = _GL_WEIGHTS[0] * g[:, :TB]
-    for p in range(1, _UMNN_N):
-        acc = acc + _GL_WEIGHTS[p] * g[:, p * TB : (p + 1) * TB]
+        # g = exp(softclip(dx, 7)) in [1e-3, 1e3] (zuko/flows/neural.py:100-104)
+        g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (F, P*TB)
+
+        for p in range(P):
+            term = _GL_WEIGHTS[c0 + p] * g[:, p * TB : (p + 1) * TB]
+            acc = term if acc is None else acc + term
     return 0.5 * mid * acc
 
 
