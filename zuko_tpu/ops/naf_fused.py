@@ -82,6 +82,11 @@ def _extract_stacked_net(net, linear_cls, act_ok, in_features, label):
             expect_linear = True
     if expect_linear or not lins:
         raise FusedStructureError(f"{label} net must end with a linear")
+    if len(lins) < 2:
+        raise FusedStructureError(
+            f"{label} net needs at least one hidden layer"
+            " (the fused solver hoists the first layer per sweep)"
+        )
     if lins[0].weight.shape[2] != in_features or lins[-1].weight.shape[1] != 1:
         raise FusedStructureError(
             f"{label} net must map ({in_features}) -> 1 per feature"
@@ -215,42 +220,17 @@ _UMNN_N = 32
 _GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(_UMNN_N)
 
 
-def _block_diag_net(mono_w, kind, F, S):
-    """Convert per-feature stacked weights (each (F*H_out, H_in)) into
-    BLOCK-DIAGONAL matrices so one matmul evaluates every feature's net at
-    once — the per-feature Python loop becomes 3 matmuls per bisection
-    iterate. The first layer uses an [all signals; all x] input layout:
-    columns ``f*S:(f+1)*S`` hold feature f's signal weights and column
-    ``F*S + f`` its x weight. For MNN the |W| of MonotonicLinear is baked in
-    here (abs of a block-diagonal embeds blockwise). Built OUTSIDE the
-    kernel; the kernel only consumes the results."""
-    bds = []
-    for i, W in enumerate(mono_w):
-        if kind == "mnn":
-            W = jnp.abs(W)
-        H_out = W.shape[0] // F
-        H_in = W.shape[1]
-        if i == 0:
-            bd = jnp.zeros((F * H_out, F * S + F), W.dtype)
-            for f in range(F):
-                blk = W[f * H_out : (f + 1) * H_out, :]
-                bd = bd.at[f * H_out : (f + 1) * H_out, f * S : (f + 1) * S].set(
-                    blk[:, 1:]
-                )
-                bd = bd.at[f * H_out : (f + 1) * H_out, F * S + f].set(blk[:, 0])
-        else:
-            bd = jnp.zeros((F * H_out, F * H_in), W.dtype)
-            for f in range(F):
-                bd = bd.at[
-                    f * H_out : (f + 1) * H_out, f * H_in : (f + 1) * H_in
-                ].set(W[f * H_out : (f + 1) * H_out, :])
-        bds.append(bd)
-    return bds
+def _bake_abs(mono_w, kind):
+    """MonotonicLinear applies |W| (reference: zuko/nn.py:323-333) — bake the
+    abs OUTSIDE the kernel so in-kernel evaluations are plain matmuls."""
+    return [jnp.abs(W) for W in mono_w] if kind == "mnn" else list(mono_w)
 
 
 def _dot_hi(W, u):
-    # HIGHEST: solver evaluations must be f32-exact — default single-pass
-    # bf16 MXU rounding shifts the solved root by ~1e-2 (measured on v5e)
+    # HIGHEST (6-pass): solver evaluations must be f32-exact — the default
+    # single bf16 MXU pass shifts solved roots by ~1e-2 (measured on v5e).
+    # HIGH (3-pass) is NOT an option: Mosaic's dot lowering rejects it
+    # ("Unsupported dot precision: HIGH", jax 0.8 pallas/mosaic/lowering.py).
     return jnp.dot(
         W, u,
         preferred_element_type=jnp.promote_types(W.dtype, u.dtype),
@@ -258,65 +238,105 @@ def _dot_hi(W, u):
     )
 
 
-def _two_way_elu_blocks(z, F):
-    """TwoWayELU applied per feature block of a block-diagonal activation
-    (F blocks of H rows; first half elu, second half -elu(-x)). The
-    row-half mask is built from an in-kernel iota — pallas_call rejects
-    captured array constants."""
-    H = z.shape[0] // F
-    r = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-    mask = (r % H) < (H // 2)
-    return jnp.where(mask, _elu(z), -_elu(-z))
+def _two_way_elu_rows(z):
+    """TwoWayELU on a per-feature (H, TB) slab: first half of the rows elu,
+    second half -elu(-x) (reference: zuko/nn.py:335-353)."""
+    H = z.shape[0]
+    return jnp.concatenate(
+        [_elu(z[: H // 2, :]), -_elu(-z[H // 2 :, :])], axis=0
+    )
 
 
-def _mono_eval_bd(mid, sig_all, bd_w, bd_b, F):
-    """All features' monotone nets in 3 block-diagonal matmuls:
-    mid (F, TB), sig_all (F*S, TB) -> f(mid) (F, TB)."""
-    u = jnp.concatenate([sig_all, mid], axis=0)
-    n = len(bd_w)
-    for i, (W, b) in enumerate(zip(bd_w, bd_b)):
-        u = _dot_hi(W, u) + b[:, None]
-        if i < n - 1:
-            u = _two_way_elu_blocks(u, F)
-    return u  # (F, TB)
+def _hoist_first_layer(sig_all, mono_w, mono_b, F, S):
+    """The first monotone-net layer's SIGNAL contribution is constant across
+    every bisection iterate of a sweep — hoist it: per feature,
+    ``pre1_f = W1_f[:, 1:] @ sig_f + b1_f`` runs ONCE per sweep instead of
+    once per solver step. Returns ``pre1`` (F*H1, TB) and ``w1x`` (F*H1, 1) —
+    the x column, applied in-loop as a rank-1 broadcast (VPU, no matmul)."""
+    W1, b1 = mono_w[0], mono_b[0]
+    H1 = W1.shape[0] // F
+    pre = [
+        _dot_hi(W1[f * H1 : (f + 1) * H1, 1:], sig_all[f * S : (f + 1) * S, :])
+        + b1[f * H1 : (f + 1) * H1, :]
+        for f in range(F)
+    ]
+    return jnp.concatenate(pre, axis=0), W1[:, :1]
+
+
+def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
+    """All features' monotone nets, first layer hoisted: per solver step and
+    feature, the work is one rank-1 broadcast (the x column), one (H, H)
+    matmul per middle layer, and a VPU reduction for the 1-row output layer —
+    F× fewer MXU FLOPs than a block-diagonal formulation and no (F*H, ·)
+    live intermediates. mid (F, TB) -> f(mid) (F, TB)."""
+    H1 = mono_w[0].shape[0] // F
+    wL, bL = mono_w[-1], mono_b[-1]
+    outs = []
+    for f in range(F):
+        u = act(
+            pre1[f * H1 : (f + 1) * H1, :]
+            + w1x[f * H1 : (f + 1) * H1] * mid[f : f + 1, :]
+        )
+        for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
+            Ho = W.shape[0] // F
+            u = act(
+                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                + b[f * Ho : (f + 1) * Ho, :]
+            )
+        outs.append(
+            jnp.sum(wL[f : f + 1, :].T * u, axis=0, keepdims=True)
+            + bL[f : f + 1, :]
+        )
+    return jnp.concatenate(outs, axis=0)  # (F, TB)
 
 
 # quadrature points batched along lanes per CHUNK: all 32 at once allocates
-# (F*H, 32*TB) block-diagonal intermediates (~33MB at TB=256) and blows the
-# 16MB scoped-VMEM stack limit on v5e; 8-point chunks cap the live set at
-# ~1/4 of that with the same 3-matmul structure per chunk
+# (H, 32*TB) per-feature intermediates that crowd the 16MB scoped-VMEM stack
+# on v5e; 8-point chunks keep the live set small with the same per-chunk
+# matmul structure
 _UMNN_CHUNK = 8
 
 
-def _umnn_eval_bd(mid, sig_all, bd_w, bd_b, F):
-    """All features × the 32 quadrature points (in lane-batched chunks) via
-    block-diagonal matmuls: points ride the LANE axis, features the block
-    structure (reference integrand: zuko/flows/neural.py:100-104,
-    quadrature: zuko/transforms.py:911-918)."""
+def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
+    """All features × the 32 quadrature points (lane-batched in chunks),
+    integrand nets evaluated per feature with the hoisted first layer
+    (reference integrand: zuko/flows/neural.py:100-104, quadrature:
+    zuko/transforms.py:911-918). mid (F, TB) -> integral (F, TB)."""
     TB = mid.shape[1]
-    n = len(bd_w)
-    acc = None
-    for c0 in range(0, _UMNN_N, _UMNN_CHUNK):
-        pts = _GL_NODES[c0 : c0 + _UMNN_CHUNK]
-        P = len(pts)
-        xs = jnp.concatenate(
-            [mid * (0.5 * (t + 1.0)) for t in pts], axis=1
-        )  # (F, P*TB) point-major lane blocks
-        sigs = jnp.concatenate([sig_all] * P, axis=1)  # (F*S, P*TB)
-        u = jnp.concatenate([sigs, xs], axis=0)
-
-        for i, (W, b) in enumerate(zip(bd_w, bd_b)):
-            u = _dot_hi(W, u) + b[:, None]
-            if i < n - 1:
-                u = _elu(u)
-
-        # g = exp(softclip(dx, 7)) in [1e-3, 1e3] (zuko/flows/neural.py:100-104)
-        g = jnp.exp(u / (1.0 + jnp.abs(u / 7.0)))  # (F, P*TB)
-
-        for p in range(P):
-            term = _GL_WEIGHTS[c0 + p] * g[:, p * TB : (p + 1) * TB]
-            acc = term if acc is None else acc + term
-    return 0.5 * mid * acc
+    H1 = mono_w[0].shape[0] // F
+    wL, bL = mono_w[-1], mono_b[-1]
+    outs = []
+    for f in range(F):
+        pre_f = pre1[f * H1 : (f + 1) * H1, :]
+        w1x_f = w1x[f * H1 : (f + 1) * H1]
+        mid_f = mid[f : f + 1, :]
+        acc = None
+        for c0 in range(0, _UMNN_N, _UMNN_CHUNK):
+            pts = _GL_NODES[c0 : c0 + _UMNN_CHUNK]
+            P = len(pts)
+            # points ride the LANE axis: (H1, P*TB) point-major blocks
+            u = act(jnp.concatenate(
+                [pre_f + w1x_f * (mid_f * (0.5 * (t + 1.0))) for t in pts],
+                axis=1,
+            ))
+            for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
+                Ho = W.shape[0] // F
+                u = act(
+                    _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                    + b[f * Ho : (f + 1) * Ho, :]
+                )
+            du = (
+                jnp.sum(wL[f : f + 1, :].T * u, axis=0, keepdims=True)
+                + bL[f : f + 1, :]
+            )
+            # g = exp(softclip(dx, 7)) in [1e-3, 1e3]
+            # (zuko/flows/neural.py:100-104)
+            g = jnp.exp(du / (1.0 + jnp.abs(du / 7.0)))  # (1, P*TB)
+            for p in range(P):
+                term = _GL_WEIGHTS[c0 + p] * g[:, p * TB : (p + 1) * TB]
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    return 0.5 * mid * jnp.concatenate(outs, axis=0)
 
 
 def _ar_inverse_sweeps_T(y, cT, st, F, S):
@@ -334,24 +354,16 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
     n_iter = _n_bisect(bound, eps)
     kind = st.get("kind", "mnn")
     T = S if kind == "mnn" else S + 1
-    f_eval = _mono_eval_bd if kind == "mnn" else _umnn_eval_bd
-    bd_w, bd_b = st["mono_w"], st["mono_b"]  # block-diagonal (see layout)
+    f_eval = _mono_eval_hoisted if kind == "mnn" else _umnn_eval_hoisted
+    act = _two_way_elu_rows if kind == "mnn" else _elu
+    mono_w, mono_b = st["mono_w"], st["mono_b"]  # |W| pre-baked for MNN
 
     # lax loops, not Python unrolls: sweeps x bisection x net unrolled to
     # straight-line code produced multi-MB Mosaic programs (the UNAF variant
     # OOM-killed the AOT compile service); the rolled form is ~30x smaller
     # and numerically identical.
-    def bisect_body(_, carry):
-        lo, hi, sig_all, target = carry
-        mid = 0.5 * (lo + hi)
-        fm = f_eval(mid, sig_all, bd_w, bd_b, F)
-        go_right = fm < target
-        lo = jnp.where(go_right, mid, lo)
-        hi = jnp.where(go_right, hi, mid)
-        return lo, hi, sig_all, target
-
     def sweep_body(_, x):
-        # HIGHEST: solver inputs must be f32-exact (see _hyper_T note)
+        # HIGHEST: solver inputs must be f32-exact (see _dot_hi note)
         h = _hyper_T(x, cT, made, precision=jax.lax.Precision.HIGHEST)
 
         # per-sweep constants: all signal slabs, and the UMNN shift
@@ -367,11 +379,20 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
         else:
             target = y
 
+        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+
+        def bisect_body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            fm = f_eval(mid, pre1, w1x, mono_w, mono_b, F, act)
+            go_right = fm < target
+            lo = jnp.where(go_right, mid, lo)
+            hi = jnp.where(go_right, hi, mid)
+            return lo, hi
+
         lo = jnp.full_like(y, -bound)
         hi = jnp.full_like(y, bound)
-        lo, hi, _, _ = jax.lax.fori_loop(
-            0, n_iter, bisect_body, (lo, hi, sig_all, target)
-        )
+        lo, hi = jax.lax.fori_loop(0, n_iter, bisect_body, (lo, hi))
         return 0.5 * (lo + hi)
 
     return jax.lax.fori_loop(
@@ -395,8 +416,8 @@ def _naf_sample_math_T(zT, cT, stages, F, S):
 
 def _stage_layout(stages, F, S):
     """Static description of ``stages`` + flat param list (kernel inputs).
-    The per-feature stacked monotone/integrand weights are converted to
-    block-diagonal form here, outside the kernel (see _block_diag_net)."""
+    The monotone/integrand weights stay per-feature stacked (F*H_out, H_in);
+    MNN's |W| is baked here, outside the kernel (see _bake_abs)."""
     flat, layout = [], []
     for kind, st in stages:
         if kind == "softclip":
@@ -404,8 +425,10 @@ def _stage_layout(stages, F, S):
         else:
             flat += [a for trip in zip(st["made_w"], st["made_b"], st["made_m"])
                      for a in trip]
-            flat += _block_diag_net(st["mono_w"], st.get("kind", "mnn"), F, S)
-            flat += st["mono_b"]
+            flat += _bake_abs(st["mono_w"], st.get("kind", "mnn"))
+            # biases as 2-D columns: in-kernel 1-D slicing + newaxis lowers
+            # to a gather Mosaic rejects ("Only 2D gather is supported")
+            flat += [b.reshape(-1, 1) for b in st["mono_b"]]
             layout.append((
                 "ar",
                 {
@@ -470,9 +493,10 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
     stages, cfg = extract_naf_params(flow)
     F, S = cfg["features"], cfg["signal"]
     flat_params, layout = _stage_layout(stages, cfg["features"], cfg["signal"])
-    # UMNN batches 32 quadrature points along lanes inside the kernel —
-    # shrink the batch tile to keep the (H, 32*TB) intermediates in VMEM
-    tb = 256 if any(
+    # UMNN batches quadrature-point chunks along lanes inside the kernel —
+    # halve the batch tile to keep the (H, _UMNN_CHUNK*TB) per-feature
+    # intermediates comfortably inside the 16MB scoped-VMEM stack
+    tb = 512 if any(
         k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout
     ) else _TB
 
