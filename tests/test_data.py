@@ -70,3 +70,23 @@ def test_two_moons_shapes():
     x, y = two_moons(256)
     assert x.shape == (256, 2) and y.shape == (256,)
     assert set(np.unique(y)) <= {0.0, 1.0}
+
+
+def test_digits_real_data():
+    # REAL data (UCI handwritten digits via sklearn) — the offline-available
+    # density benchmark; MAF-style treatment mirrors _power_preprocess
+    from zuko_tpu.data import digits_dataset
+
+    train, val, test = digits_dataset()
+    assert train.shape[1] == val.shape[1] == test.shape[1] == 64
+    assert train.shape[0] + val.shape[0] + test.shape[0] == 1797
+    assert train.dtype == np.float32
+    # z-scored with train+val moments
+    tv = np.vstack((train, val))
+    assert np.allclose(tv.mean(0), 0.0, atol=1e-5)
+    assert np.allclose(tv.std(0), 1.0, atol=1e-4)
+    # deterministic
+    t2, _, _ = digits_dataset()
+    assert np.array_equal(train, t2)
+    # dequantization: no two identical rows (raw integer data has dupes)
+    assert np.unique(train, axis=0).shape[0] == train.shape[0]

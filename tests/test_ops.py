@@ -225,3 +225,29 @@ def test_log_acc_f32():
     out1 = np.asarray(jax.jit(_log_acc)(jnp.asarray(near1)), np.float64)
     err1 = np.abs(out1 - np.log(near1.astype(np.float64)))
     assert err1.max() < 1e-7
+
+
+def test_reverse_kl_self_consistency_f32(key):
+    # float32 path with the hoisted presplit forms: the reverse-KL solve
+    # runs at the density precision (split3), so the reported log q agrees
+    # with the density math to ~1e-5 — upgrading only the final ladj
+    # evaluation leaves ~1e-3 z-mismatch error (measured on v5e, r10/r11)
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops import nsf_fused as nf
+
+    flow = NSF(5, 0, transforms=3, hidden_features=(32, 32), key=key)
+    fp, layout, cfg = nf._flatten_flow(flow)
+    fp = [p.astype(jnp.float32) for p in fp]
+    z = jax.random.normal(jax.random.PRNGKey(3), (256, 5), jnp.float32)
+
+    for mode in ("mask", "cat"):
+        kp, kl = nf._presplit_params(list(fp), layout, mode)
+        x, lq = nf._sample_math_T(
+            z.T, kp, kl, 5, cfg["bins"], cfg["bound"], cfg["slope"], None,
+            want_log_prob=True, univ=cfg["univ"], base=cfg["base"],
+        )
+        lp = nf._full_math_T(
+            x, list(fp), layout, 5, cfg["bins"], cfg["bound"], cfg["slope"],
+            None, univ=cfg["univ"], base=cfg["base"],
+        )
+        assert jnp.abs(lq - lp).max() < 5e-5, (mode, jnp.abs(lq - lp).max())

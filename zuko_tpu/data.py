@@ -15,7 +15,13 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["two_moons", "ring_energy", "uci_dataset", "uci_power"]
+__all__ = [
+    "two_moons",
+    "ring_energy",
+    "uci_dataset",
+    "uci_power",
+    "digits_dataset",
+]
 
 
 def two_moons(n: int, sigma: float = 1e-1, seed: int = 0):
@@ -178,3 +184,35 @@ def uci_dataset(name: str, path: str = None, n: int = 65536, seed: int = 0):
 def uci_power(path: str = None, n: int = 65536, seed: int = 0):
     """UCI POWER (D=6) — see :func:`uci_dataset`."""
     return uci_dataset("power", path, n, seed)
+
+
+def digits_dataset(seed: int = 42):
+    """UCI Optical Recognition of Handwritten Digits — REAL data, shipped
+    inside scikit-learn (the only real density-benchmark data available in a
+    zero-egress environment). 1797 scanned 8x8 digit images with integer
+    pixel counts in [0, 16].
+
+    MAF-style tabular-density treatment (the same recipe as
+    ``_power_preprocess``): shuffle, dequantize the counts with U(0, 1)
+    noise, split 80/10/10, z-score with train+val moments. Returns
+    ``(train, val, test)`` float32 arrays of shape (n, 64).
+    """
+    from sklearn.datasets import load_digits
+
+    data = load_digits().data.astype(np.float64)
+    rng = np.random.RandomState(seed)
+    rng.shuffle(data)
+    data = data + rng.rand(*data.shape)
+
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    data = data[:-n_test]
+    n_val = int(0.1 * data.shape[0])
+    val = data[-n_val:]
+    train = data[:-n_val]
+
+    mu = np.vstack((train, val)).mean(axis=0)
+    sd = np.vstack((train, val)).std(axis=0)
+    return tuple(
+        ((s - mu) / sd).astype(np.float32) for s in (train, val, test)
+    )

@@ -39,6 +39,7 @@ except ImportError:  # pragma: no cover
 
 from .nsf_fused import (
     FusedStructureError,
+    _dot_split3,
     _extract_mlp_linears,
     _hyper_T,
     _require_standard_base,
@@ -56,10 +57,13 @@ def _n_bisect(bound, eps):
 
 
 # coarse-phase x-tolerance and Newton polish count (see _ar_inverse_sweeps_T):
-# 3 exact Newton steps from ~2.4e-3 reach well past eps=1e-6 quadratically;
-# 5 adds margin for low-slope (flat) univariates at small cost
-_COARSE_XTOL = 4e-3
-_N_NEWTON = 5
+# 3 exact Newton steps from ~1e-2 reach well past eps=1e-6 quadratically.
+# Hardware A/B (tools/tpu_validate_r9.py): xtol=2e-2/n=3/split3 gives
+# 1.14M NAF samples/s at ~1.2e-5 parity vs the XLA-highest path; deeper
+# bisection (4e-3) or more polish (n=5) or 6-pass matmuls cost 20-40%
+# throughput for no measurable accuracy gain.
+_COARSE_XTOL = 2e-2
+_N_NEWTON = 3
 
 
 def _extract_stacked_net(net, linear_cls, act_ok, in_features, label):
@@ -234,12 +238,16 @@ def _bake_abs(mono_w, kind):
 
 
 def _dot_hi(W, u, prec=jax.lax.Precision.HIGHEST):
-    # HIGHEST (6-pass) wherever the solve must be f32-exact — the default
-    # single bf16 MXU pass shifts solved roots by ~1e-2 (measured on v5e).
-    # HIGH (3-pass) is NOT an option: Mosaic's dot lowering rejects it
-    # ("Unsupported dot precision: HIGH", jax 0.8 pallas/mosaic/lowering.py).
+    # Near-exact matmuls wherever the solve needs them — the default single
+    # bf16 MXU pass shifts solved roots by ~1e-2 (measured on v5e). HIGH
+    # (3-pass) is NOT lowerable by Mosaic ("Unsupported dot precision:
+    # HIGH"), so HIGHEST requests run the manual 3-pass bf16 split
+    # (`_dot_split3`, ~2^-16 relative): hardware A/B (tpu_validate_r9)
+    # shows it matches the 6-pass solve to ~1e-5 at 15-25% more throughput.
     # The coarse bisection phase passes prec=None (single fast pass): its
     # ~1e-2 noise floor is exactly what the Newton polish mops up.
+    if prec is jax.lax.Precision.HIGHEST:
+        return _dot_split3(W, u)
     return jnp.dot(
         W, u,
         preferred_element_type=jnp.promote_types(W.dtype, u.dtype),

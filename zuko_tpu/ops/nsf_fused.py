@@ -649,18 +649,132 @@ def _univ_inverse_F(y, h, F, K, bound, slope, univ):
     return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
+def _dot_split3(A, x):
+    """f32-faithful matmul in 3 explicit bf16 MXU passes: split both
+    operands into bf16 hi + bf16 lo residual and drop only the lo*lo term
+    (~2^-16 relative). Mosaic rejects ``Precision.HIGH`` (its 3-pass
+    equivalent), so the split is spelled out; outside f32 it falls back to
+    an exact dot (the f64 test mode must stay f64)."""
+    if A.dtype != jnp.float32 or x.dtype != jnp.float32:
+        return jnp.dot(
+            A, x,
+            preferred_element_type=jnp.promote_types(A.dtype, x.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    Ah = A.astype(jnp.bfloat16)
+    Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    return (d(Ah, xl) + d(Al, xh)) + d(Ah, xh)
+
+
+# density-path hyper matmul mode, A/B-swappable (tools/tpu_validate_r8.py):
+# None = 1 bf16 pass, "split3" = 3 passes, Precision.HIGHEST = 6 passes
+_DENSITY_HYPER_PREC = "split3"
+
+# Kernel-side weight preprocessing (tools/tpu_validate_r10.py A/B). The
+# grid re-runs the kernel body once per batch tile, so any weight-only
+# work inside it (the MADE mask multiply, the bf16 hi/lo split of
+# `_dot_split3`) repeats grid-many times; both are hoisted into the
+# wrapper and the preprocessed arrays passed as kernel params instead.
+#   _PRESPLIT_DENSITY: "off" = in-kernel split3, "pair" = pre-split
+#     (Wh, Wl) bf16 pairs + 3 in-kernel dots, "cat" = one pre-concatenated
+#     (out, 3*in) bf16 operand + a single wide MXU pass.
+#   _PREMASK_SAMPLE: pre-apply the mask to sampling weights (the solver
+#     sweeps otherwise redo M*W every fixed-point iterate).
+_PRESPLIT_DENSITY = "cat"
+_PREMASK_SAMPLE = True
+
+_LAYER_STEP = {"ar": 3, "ars": 3, "arc": 2, "arm": 2}
+
+
+def _presplit_params(flat_params, layout, mode):
+    """Rewrite AR-layer (W, b, M) triples for the kernel: pre-apply the
+    mask and (for the density split3 modes) pre-split the weights into
+    bf16 hi/lo so the kernel never touches weight-only math. Returns
+    (kernel_params, kernel_layout); f64/CPU fallback and the custom-VJP
+    backward keep the original ("ar", W, b, M) form."""
+    tag = {"mask": "arm", "pair": "ars", "cat": "arc"}[mode]
+    kparams, klayout = [], []
+    idx = 0
+    for entry in layout:
+        if entry[0] != "ar":
+            klayout.append(entry)
+            continue
+        _, n_lin, passes = entry
+        klayout.append((tag, n_lin, passes))
+        for i in range(n_lin):
+            W, b, M = flat_params[idx + 3 * i : idx + 3 * i + 3]
+            Wm = M * W
+            if tag == "arm":
+                kparams += [Wm, b]
+                continue
+            Wh = Wm.astype(jnp.bfloat16)
+            Wl = (Wm - Wh.astype(Wm.dtype)).astype(jnp.bfloat16)
+            if tag == "ars":
+                kparams += [Wh, Wl, b]
+            else:  # one (out, 3*in) operand: [Wh|Wh|Wl] @ [xh;xl;xh]
+                kparams += [jnp.concatenate([Wh, Wh, Wl], axis=1), b]
+        idx += 3 * n_lin
+    return kparams, tuple(klayout)
+
+
+def _hyper_pre_T(xT, cT, ps, tag, precision=None):
+    """`_hyper_T` over preprocessed weights (see `_presplit_params`).
+    ``precision="split3"`` upgrades the pre-masked ("arm") single-pass form
+    to 3 explicit bf16 passes — used for the one final ladj evaluation in
+    the sampler (solver sweeps stay single-pass)."""
+    h = xT if cT is None else jnp.concatenate([xT, cT], axis=0)
+    step = _LAYER_STEP[tag]
+    n = len(ps) // step
+    for i in range(n):
+        if tag == "arm" and precision == "split3":
+            W, b = ps[2 * i], ps[2 * i + 1]
+            h = _dot_split3(W, h) + b[:, None]
+        elif tag == "arm":  # pre-masked, single bf16 MXU pass
+            W, b = ps[2 * i], ps[2 * i + 1]
+            h = jnp.dot(W, h, preferred_element_type=jnp.float32) + b[:, None]
+        elif tag == "ars":  # pre-split, 3 passes (= `_dot_split3`)
+            Wh, Wl, b = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
+            hh = h.astype(jnp.bfloat16)
+            hl = (h - hh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(a, v):
+                return jnp.dot(a, v, preferred_element_type=jnp.float32)
+
+            h = (d(Wh, hl) + d(Wl, hh)) + d(Wh, hh) + b[:, None]
+        else:  # "arc": the 3 passes as one wide contraction
+            Wc, b = ps[2 * i], ps[2 * i + 1]
+            hh = h.astype(jnp.bfloat16)
+            hl = (h - hh.astype(jnp.float32)).astype(jnp.bfloat16)
+            hc = jnp.concatenate([hh, hl, hh], axis=0)
+            h = jnp.dot(Wc, hc, preferred_element_type=jnp.float32) + b[:, None]
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+    return h
+
+
 def _hyper_T(xT, cT, ps, precision=None):
     """Masked hyper-MLP in transposed layout: concat(x, c) -> phi (T*F, TB).
     (reference conditioning: zuko/flows/autoregressive.py:207-215).
 
-    ``precision`` controls the MXU pass structure: the default single
-    bfloat16 pass is fine for density evaluation, but iterative solvers
-    (NAF/UNAF bisection) must pass ``HIGHEST`` — input rounding otherwise
-    shifts the solved root by ~1e-2 (measured on v5e)."""
+    ``precision`` controls the MXU pass structure: None = single bfloat16
+    pass (fast, ~1e-2 relative on the outputs), the string ``"split3"`` =
+    3 explicit bf16 passes (~2^-16, see `_dot_split3`), or a
+    ``jax.lax.Precision`` (HIGHEST = 6 passes, f32-exact)."""
     h = xT if cT is None else jnp.concatenate([xT, cT], axis=0)
     n = len(ps) // 3
     for i in range(n):
         W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
+        if precision == "split3":
+            h = _dot_split3(M * W, h) + b[:, None]
+            if i < n - 1:
+                h = jnp.maximum(h, 0.0)
+            continue
         # promote with the activations: f32 MXU accumulation on TPU, full
         # f64 in the x64 test mode (a hard f32 preference would silently
         # downcast the f64 path)
@@ -675,17 +789,19 @@ def _hyper_T(xT, cT, ps, precision=None):
 
 
 def _split_layers(flat_params, layout):
-    """layout entries: ``("ar", n_linear, passes)`` or ``("softclip", bound)``
-    -> [("ar", params, passes) | ("softclip", bound), ...]"""
+    """layout entries: ``(tag, n_linear, passes)`` with tag in
+    ``_LAYER_STEP`` (see `_presplit_params`) or ``("softclip", bound)``
+    -> [(tag, params, passes) | ("softclip", bound), ...]"""
     per_layer = []
     idx = 0
     for entry in layout:
         if entry[0] == "softclip":
             per_layer.append(entry)
             continue
-        _, Ws_n, passes = entry
-        per_layer.append(("ar", flat_params[idx : idx + 3 * Ws_n], passes))
-        idx += 3 * Ws_n
+        tag, Ws_n, passes = entry
+        step = _LAYER_STEP[tag]
+        per_layer.append((tag, flat_params[idx : idx + step * Ws_n], passes))
+        idx += step * Ws_n
     return per_layer
 
 
@@ -713,21 +829,27 @@ def _base_log_prob_T(zT, F, base):
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
                  univ="rqs", base=("normal",)):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
-    # The polynomial ladj = log g(x) with g a squared polynomial of the
-    # hyper-net outputs is precision-sensitive: the default single-bf16-pass
-    # matmul costs ~1e-2 on those log-densities (measured on v5e), so the
-    # polynomial families run their hyper matmuls f32-exact. Splines/affine
-    # are insensitive (monotone constraint pipelines) and keep the fast pass.
+    # Density hyper matmuls run 3-pass bf16 (`_dot_split3`): the single
+    # bf16 pass costs ~2e-3 median on the returned log-densities (measured
+    # on v5e vs f64 truth — the rounding rides through the constraint
+    # pipeline into the knots/coefficients), while the kernel is VPU-bound
+    # so extra MXU passes are nearly free. Polynomial families keep the
+    # f32-exact 6-pass mode: their ladj = log of a squared polynomial of h
+    # amplifies input rounding hardest.
     precision = (
-        jax.lax.Precision.HIGHEST if univ in ("sosp", "bernstein") else None
+        jax.lax.Precision.HIGHEST if univ in ("sosp", "bernstein")
+        else _DENSITY_HYPER_PREC
     )
     acc = None
     for entry in _split_layers(flat_params, layout):
         if entry[0] == "softclip":
             xT, ladj = _softclip_forward_F(xT, entry[1])
         else:
-            _, ps, _ = entry
-            h = _hyper_T(xT, cT, ps, precision=precision)
+            tag, ps, _ = entry
+            if tag == "ar":
+                h = _hyper_T(xT, cT, ps, precision=precision)
+            else:
+                h = _hyper_pre_T(xT, cT, ps, tag)
             xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
         acc = ladj if acc is None else acc + ladj
 
@@ -788,15 +910,27 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
                 acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
             y = x
             continue
-        _, ps, passes = entry
+        tag, ps, passes = entry
+        # Reverse-KL precision rule (hardware r10/r11): with
+        # ``want_log_prob`` the WHOLE solve runs at the density precision
+        # (split3). Upgrading only the final ladj evaluation is not enough —
+        # 1-pass sweeps return the inverse of the *rounded* transform, and
+        # the base-log-prob term then disagrees with the density kernel by
+        # ~1e-3 median (z-mismatch x |z|). Plain sampling keeps the 1-pass
+        # sweeps: the rounding only perturbs draws statistically.
+        prec = _DENSITY_HYPER_PREC if want_log_prob else None
+        if tag == "ar":
+            hyper = functools.partial(_hyper_T, precision=prec)
+        else:
+            hyper = functools.partial(_hyper_pre_T, tag=tag, precision=prec)
         x = jnp.zeros_like(y)
         # `passes` fixed-point sweeps suffice by triangularity (coupling-style
         # layers declare passes=2; fully autoregressive layers passes=F)
         for _ in range(min(passes, F)):
-            h = _hyper_T(x, cT, ps)
+            h = hyper(x, cT, ps)
             x = _univ_inverse_F(y, h, F, K, bound, slope, univ)
         if want_log_prob:
-            h = _hyper_T(x, cT, ps)
+            h = hyper(x, cT, ps)
             _, ladj = _univ_forward_F(x, h, F, K, bound, slope, univ)
             acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
         y = x
@@ -930,6 +1064,17 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     if pad:
         zc = jnp.pad(zc, ((0, pad), (0, 0)))
     m = zc.shape[0]
+
+    if _PREMASK_SAMPLE:  # the solver sweeps otherwise redo M*W per iterate
+        # reverse-KL solves run split3 (see _sample_math_T) — hoist the
+        # bf16 hi/lo weight split out of the grid too ("cat", the r10
+        # density winner); plain sampling keeps dtype-preserving premask
+        mode = (
+            "cat"
+            if want_log_prob and _DENSITY_HYPER_PREC == "split3"
+            else "mask"
+        )
+        flat_params, layout = _presplit_params(flat_params, layout, mode)
 
     n_params = len(flat_params)
     param_specs = [
@@ -1066,6 +1211,16 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     m = xf.shape[0]
 
+    # hoist weight-only work (mask multiply, bf16 split) out of the grid
+    if (
+        _PRESPLIT_DENSITY != "off"
+        and _DENSITY_HYPER_PREC == "split3"
+        and univ not in ("sosp", "bernstein")
+    ):
+        flat_params, layout = _presplit_params(
+            flat_params, layout, _PRESPLIT_DENSITY
+        )
+
     n_params = len(flat_params)
     param_specs = [
         pl.BlockSpec(
@@ -1154,15 +1309,21 @@ def extract_coupling_params(flow):
     }
 
 
-def _mlp_T(xT, cT, ps):
-    """Plain (unmasked) MLP in transposed layout."""
+def _mlp_T(xT, cT, ps, precision=None):
+    """Plain (unmasked) MLP in transposed layout (precision: see
+    `_hyper_T`)."""
     h = xT if cT is None else jnp.concatenate([xT, cT], axis=0)
     n = len(ps) // 2
     for i in range(n):
         W, b = ps[2 * i], ps[2 * i + 1]
-        h = jnp.dot(
-            W, h, preferred_element_type=jnp.promote_types(W.dtype, h.dtype)
-        ) + b[:, None]
+        if precision == "split3":
+            h = _dot_split3(W, h) + b[:, None]
+        else:
+            h = jnp.dot(
+                W, h,
+                preferred_element_type=jnp.promote_types(W.dtype, h.dtype),
+                precision=precision,
+            ) + b[:, None]
         if i < n - 1:
             h = jnp.maximum(h, 0.0)
     return h
@@ -1190,7 +1351,8 @@ def _coupling_math_T(xT, flat_params, layout, F, K, bound, slope, cT, univ,
         Fb = len(idx_b)
         x_a = jnp.concatenate([xT[f : f + 1, :] for f in idx_a], axis=0)
         x_b = jnp.concatenate([xT[f : f + 1, :] for f in idx_b], axis=0)
-        h = _mlp_T(x_a, cT, ps)
+        h = _mlp_T(x_a, cT, ps,
+                   precision=None if inverse else _DENSITY_HYPER_PREC)
 
         if inverse:
             out_b = _univ_inverse_F(x_b, h, Fb, K, bound, slope, univ)
