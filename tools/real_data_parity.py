@@ -26,6 +26,8 @@ import numpy as np
 p = argparse.ArgumentParser()
 p.add_argument("--epochs", type=int, default=30)
 p.add_argument("--skip-reference", action="store_true")
+p.add_argument("--gmm", action="store_true",
+               help="also run the GMM (K=10, full cov) head-to-head")
 p.add_argument("--cpu", action="store_true",
                help="run the zuko_tpu side on CPU (leave the TPU free)")
 args = p.parse_args()
@@ -90,4 +92,46 @@ z_test = float(-jax.jit(lambda v: trained(None).log_prob(v).mean())(test))
 print(f"zuko_tpu ({jax.default_backend()}):  val NLL {z_val:.3f}"
       f"  test NLL {z_test:.3f}  ({jt:.0f}s train,"
       f" final epoch loss {float(losses[-1]):.3f})", flush=True)
+
+# ---- GMM head-to-head (second model family) -------------------------
+if args.gmm:
+    K = 10  # ten digit classes
+
+    if not args.skip_reference:
+        torch.manual_seed(0)
+        # diagonal covariances on both sides: with 1457 points in 64-d a
+        # full-covariance mixture is ill-posed — the reference's own
+        # moment-matched init fails cholesky (kmeans AND random
+        # strategies), and MLE training collapses components to
+        # unbounded likelihood
+        rg = zuko.mixtures.GMM(D, components=K, covariance_type="diagonal")
+        rg.initialize(torch.as_tensor(train), strategy="kmeans")
+        opt = torch.optim.Adam(rg.parameters(), lr=LR)
+        t0 = time.perf_counter()
+        for epoch in range(args.epochs):
+            perm = torch.randperm(tr.shape[0])
+            for i in range(0, tr.shape[0] - BATCH + 1, BATCH):
+                loss = -rg().log_prob(tr[perm[i : i + BATCH]]).mean()
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+        rt = time.perf_counter() - t0
+        with torch.no_grad():
+            rg_test = -rg().log_prob(torch.as_tensor(test)).mean().item()
+        print(f"reference GMM (torch CPU):  test NLL {rg_test:.3f}"
+              f"  ({rt:.0f}s train)", flush=True)
+
+    from zuko_tpu.mixtures import GMM
+
+    g = GMM(D, components=K, covariance_type="diagonal",
+            key=jax.random.PRNGKey(0))
+    g = g.initialize(train, strategy="kmeans", key=jax.random.PRNGKey(2))
+    t0 = time.perf_counter()
+    g_tr, _ = train_mle(g, train, epochs=args.epochs, batch_size=BATCH,
+                        lr=LR, key=jax.random.PRNGKey(1))
+    gt = time.perf_counter() - t0
+    zg_test = float(-jax.jit(lambda v: g_tr(None).log_prob(v).mean())(test))
+    print(f"zuko_tpu GMM ({jax.default_backend()}):  test NLL {zg_test:.3f}"
+          f"  ({gt:.0f}s train)", flush=True)
+
 print("DONE", flush=True)

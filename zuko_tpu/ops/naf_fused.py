@@ -357,12 +357,23 @@ def _mono_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
 # matmul structure
 _UMNN_CHUNK = 8
 
+# The COARSE bisection only brackets the root to _COARSE_XTOL (2e-2) — a
+# low-order rule is plenty for that (the integrand is smooth: a softclipped
+# exp of an MLP), and the Newton polish re-evaluates with the full 32-point
+# rule, so the solved root matches the XLA path's quadrature exactly. One
+# 8-point chunk instead of four cuts the dominant UNAF cost ~4x.
+_UMNN_COARSE_N = 8
+_GL_NODES_C, _GL_WEIGHTS_C = np.polynomial.legendre.leggauss(_UMNN_COARSE_N)
 
-def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
-    """All features × the 32 quadrature points (lane-batched in chunks),
+
+def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
+                       nodes=None, weights=None):
+    """All features × the quadrature points (lane-batched in chunks),
     integrand nets evaluated per feature with the hoisted first layer
     (reference integrand: zuko/flows/neural.py:100-104, quadrature:
     zuko/transforms.py:911-918). mid (F, TB) -> integral (F, TB)."""
+    nodes = _GL_NODES if nodes is None else nodes
+    weights = _GL_WEIGHTS if weights is None else weights
     TB = mid.shape[1]
     H1 = mono_w[0].shape[0] // F
     wL, bL = mono_w[-1], mono_b[-1]
@@ -372,8 +383,8 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
         w1x_f = w1x[f * H1 : (f + 1) * H1]
         mid_f = mid[f : f + 1, :]
         acc = None
-        for c0 in range(0, _UMNN_N, _UMNN_CHUNK):
-            pts = _GL_NODES[c0 : c0 + _UMNN_CHUNK]
+        for c0 in range(0, len(nodes), _UMNN_CHUNK):
+            pts = nodes[c0 : c0 + _UMNN_CHUNK]
             P = len(pts)
             # points ride the LANE axis: (H1, P*TB) point-major blocks
             u = act(jnp.concatenate(
@@ -394,7 +405,7 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
             # (zuko/flows/neural.py:100-104)
             g = jnp.exp(du / (1.0 + jnp.abs(du / 7.0)))  # (1, P*TB)
             for p in range(P):
-                term = _GL_WEIGHTS[c0 + p] * g[:, p * TB : (p + 1) * TB]
+                term = weights[c0 + p] * g[:, p * TB : (p + 1) * TB]
                 acc = term if acc is None else acc + term
         outs.append(acc)
     return 0.5 * mid * jnp.concatenate(outs, axis=0)
@@ -444,7 +455,14 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
     bound, eps = st["bound"], st["eps"]
     kind = st.get("kind", "mnn")
     T = S if kind == "mnn" else S + 1
-    f_eval = _mono_eval_hoisted if kind == "mnn" else _umnn_eval_hoisted
+    if kind == "mnn":
+        f_eval = _mono_eval_hoisted
+    else:
+        # coarse bisection runs the cheap low-order quadrature (see
+        # _UMNN_COARSE_N note); Newton re-evaluates with the full rule
+        f_eval = functools.partial(
+            _umnn_eval_hoisted, nodes=_GL_NODES_C, weights=_GL_WEIGHTS_C
+        )
     f_vg = _mono_vg_hoisted if kind == "mnn" else _umnn_vg_hoisted
     act = _two_way_elu_rows if kind == "mnn" else _elu
     mono_w, mono_b = st["mono_w"], st["mono_b"]  # |W| pre-baked for MNN

@@ -689,6 +689,19 @@ _DENSITY_HYPER_PREC = "split3"
 _PRESPLIT_DENSITY = "cat"
 _PREMASK_SAMPLE = True
 
+# Batch-tile grid semantics. Hardware A/B (tools/tpu_validate_r13.py):
+# "parallel" (declare grid iterations independent) is ~17% SLOWER than the
+# default sequential semantics on this grid — with constant-index weight
+# blocks Mosaic already keeps them resident, and the parallel path loses
+# the revolving-buffer pipelining of the batch tiles. Keep None.
+_GRID_SEMANTICS = None
+
+
+def _compiler_params():
+    if _GRID_SEMANTICS is None:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=(_GRID_SEMANTICS,))
+
 _LAYER_STEP = {"ar": 3, "ars": 3, "arc": 2, "arm": 2}
 
 
@@ -1112,6 +1125,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
     )(zc.T, *flat_params)
 
     if want_log_prob:
@@ -1245,6 +1259,7 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
             (1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, m), xc.dtype),
+        compiler_params=_compiler_params(),
     )(xT, *flat_params)
 
     out = out[0, :]
