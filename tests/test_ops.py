@@ -251,3 +251,54 @@ def test_reverse_kl_self_consistency_f32(key):
             None, univ=cfg["univ"], base=cfg["base"],
         )
         assert jnp.abs(lq - lp).max() < 5e-5, (mode, jnp.abs(lq - lp).max())
+
+
+def test_log_acc_gradients():
+    # the int32-bitcast frexp autodiffs to a silent ZERO gradient; the
+    # attached custom_jvp restores the analytic 1/x (this killed the ladj
+    # term of every f32 training gradient through the fused backward —
+    # invisible to the f64 battery, which routes to jnp.log)
+    from zuko_tpu.ops.nsf_fused import _log1p_acc, _log_acc
+
+    v = jnp.asarray(
+        np.random.default_rng(0).uniform(0.05, 20.0, (256,)), jnp.float32
+    )
+    g = jax.grad(lambda t: jnp.sum(_log_acc(t)))(v)
+    assert jnp.abs(g - 1.0 / v).max() < 1e-5
+    g1 = jax.grad(lambda t: jnp.sum(_log1p_acc(t)))(v)
+    assert jnp.abs(g1 - 1.0 / (1.0 + v)).max() < 1e-5
+
+
+def test_fused_backward_f32_matches_xla(key):
+    # float32 end-to-end: gradients through the fused custom-VJP backward
+    # (which differentiates the accurate-log / split3 math) must match the
+    # plain XLA path to f32 roundoff-accumulation levels
+    import os
+
+    from zuko_tpu.core import combine, named_parameters, partition
+    from zuko_tpu.flows import NSF
+
+    flow = NSF(8, 0, transforms=2, hidden_features=(32, 32), key=key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (128, 8), jnp.float32)
+    params, static = partition(flow)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), params
+    )
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(None).log_prob(x))
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    try:
+        g_fused = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    g_xla = jax.grad(loss)(params)
+    del os.environ["ZUKO_TPU_FUSED_DISPATCH"]
+
+    for (n, a), (_, b) in zip(
+        named_parameters(g_fused), named_parameters(g_xla)
+    ):
+        scale = jnp.abs(b).max() + 1e-3
+        rel = float(jnp.abs(a - b).max() / scale)
+        assert rel < 2e-2, (n, rel)

@@ -21,6 +21,7 @@ __all__ = [
     "uci_dataset",
     "uci_power",
     "digits_dataset",
+    "digits_binary",
 ]
 
 
@@ -184,6 +185,25 @@ def uci_dataset(name: str, path: str = None, n: int = 65536, seed: int = 0):
 def uci_power(path: str = None, n: int = 65536, seed: int = 0):
     """UCI POWER (D=6) — see :func:`uci_dataset`."""
     return uci_dataset("power", path, n, seed)
+
+
+def digits_binary(seed: int = 42):
+    """Binarized UCI digits for the VAE tier (the reference tutorial
+    binarizes MNIST by rounding, docs/tutorials/vae.ipynb cell 12): raw
+    integer counts in [0, 16] thresholded at > 7.5, shuffled, split
+    80/10/10. Returns ``(train, val, test)`` float32 0/1 arrays (n, 64)."""
+    from sklearn.datasets import load_digits
+
+    data = load_digits().data.astype(np.float64)
+    rng = np.random.RandomState(seed)
+    rng.shuffle(data)
+    data = (data > 7.5).astype(np.float32)
+
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    data = data[:-n_test]
+    n_val = int(0.1 * data.shape[0])
+    return data[:-n_val], data[-n_val:], test
 
 
 def digits_dataset(seed: int = 42):

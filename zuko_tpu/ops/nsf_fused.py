@@ -337,6 +337,7 @@ def extract_nsf_params(flow):
 _LN2 = 0.6931471805599453
 
 
+@jax.custom_jvp
 def _log_acc(x):
     """Accurate f32 natural log for strictly-positive normal floats.
 
@@ -347,7 +348,12 @@ def _log_acc(x):
     it by ~100x: frexp via int32 bit tricks, mantissa folded into
     [1/sqrt2, sqrt2), then ln(m) = 2 atanh((m-1)/(m+1)) as an odd series
     (|t| <= 0.1716, truncation after t^11 is ~6.6e-10). Pure mul/add/int
-    ops — lowers on Mosaic and XLA alike."""
+    ops — lowers on Mosaic and XLA alike.
+
+    The analytic derivative is attached as a ``custom_jvp``: the int32
+    bitcasts otherwise autodiff to a silent ZERO gradient, which killed
+    the ladj term of every training gradient through the fused custom-VJP
+    backward (caught by the D=64 digits run training to nonsense)."""
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = ((xi >> 23) & 0xFF) - 127
     m = jax.lax.bitcast_convert_type(
@@ -364,6 +370,12 @@ def _log_acc(x):
     return e * _LN2 + 2.0 * t * p
 
 
+@_log_acc.defjvp
+def _log_acc_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return _log_acc(x), dx / x
+
+
 def _log_ladj(x):
     """Log for log-det-Jacobian terms: `_log_acc` in f32 (the TPU hardware
     log is the bottleneck there), plain `jnp.log` in the f64 test mode."""
@@ -372,16 +384,24 @@ def _log_ladj(x):
     return jnp.log(x)
 
 
+@jax.custom_jvp
 def _log1p_acc(q):
     """Accurate log1p for q >= 0 (softclip ladjs): the same odd atanh
     series on t = q/(2+q) for small q, `_log_acc(1+q)` once 1+q carries
-    enough mantissa (q >= 0.5). Beats the hardware log1p's ~1e-4 floor."""
+    enough mantissa (q >= 0.5). Beats the hardware log1p's ~1e-4 floor.
+    Analytic derivative attached (see `_log_acc`)."""
     t = q / (2.0 + q)
     t2 = t * t
     p = 1.0 + t2 * (
         1 / 3 + t2 * (1 / 5 + t2 * (1 / 7 + t2 * (1 / 9 + t2 * (1 / 11))))
     )
     return jnp.where(q < 0.5, 2.0 * t * p, _log_acc(1.0 + jnp.maximum(q, 0.5)))
+
+
+@_log1p_acc.defjvp
+def _log1p_acc_jvp(primals, tangents):
+    (q,), (dq,) = primals, tangents
+    return _log1p_acc(q), dq / (1.0 + q)
 
 
 def _log1p_ladj(q):
