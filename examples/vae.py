@@ -70,15 +70,28 @@ def main():
     parser.add_argument("--samples", type=int, default=16384)
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--mnist-path", type=str, default=None)
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="use the 784-pixel synthetic set instead of real digits",
+    )
     args = parser.parse_args()
 
+    global PIXELS
     if args.mnist_path:
         with np.load(args.mnist_path) as d:
             x = (d["x_train"].reshape(-1, PIXELS) / 255.0 > 0.5).astype(
                 np.float32
             )
-    else:
+    elif args.synthetic:
         x = synthetic_mnist(args.samples)
+    else:
+        # REAL data by default: binarized UCI digits (64 pixels). The
+        # reference-protocol head-to-head lives in
+        # tools/real_data_vae_parity.py (-ELBO 20.25 vs torch 20.17).
+        from zuko_tpu.data import digits_binary
+
+        x, _, _ = digits_binary()
+        PIXELS = x.shape[1]
 
     key = jax.random.PRNGKey(0)
     vae = VAE(key)
@@ -108,7 +121,12 @@ def main():
             losses.append(float(loss))
         print(f"epoch {epoch}: -ELBO {np.mean(losses):.2f} ± {np.std(losses):.2f}")
 
-    print("reference anchor (real MNIST): -ELBO ~= 65.8 after 64 epochs")
+    if args.mnist_path or args.synthetic:
+        print("reference anchor (real MNIST): -ELBO ~= 65.8 after 64 epochs")
+    else:
+        print("reference-protocol anchor (binarized digits, 64 epochs,"
+              " 512-wide encoder/decoder): -ELBO ~= 20.2 on test"
+              " (tools/real_data_vae_parity.py)")
 
 
 if __name__ == "__main__":

@@ -302,3 +302,43 @@ def test_fused_backward_f32_matches_xla(key):
         scale = jnp.abs(b).max() + 1e-3
         rel = float(jnp.abs(a - b).max() / scale)
         assert rel < 2e-2, (n, rel)
+
+
+def test_feature_padding_math(key):
+    # sublane-alignment padding (Mosaic miscompiles unaligned slab slices
+    # on hardware, r16/r18): padded math with realF masking must equal the
+    # unpadded math exactly, for density, sampling, and log q
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops import nsf_fused as nf
+
+    F, Fp = 11, 16
+    flow = NSF(F, 0, transforms=2, hidden_features=(16, 16), key=key)
+    fp, layout, cfg = nf._flatten_flow(flow)
+    T = nf._univ_size(cfg["univ"], cfg["bins"])
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, F))
+    lp = nf._full_math_T(
+        x.T, list(fp), layout, F, cfg["bins"], cfg["bound"], cfg["slope"],
+        None, univ=cfg["univ"], base=cfg["base"],
+    )
+    pp, playout = nf._pad_features(list(fp), layout, F, 0, Fp, T)
+    xp = nf._pad_feature_cols(x, F, Fp)
+    lp_pad = nf._full_math_T(
+        xp.T, pp, playout, Fp, cfg["bins"], cfg["bound"], cfg["slope"],
+        None, univ=cfg["univ"], base=cfg["base"], realF=F,
+    )
+    assert jnp.allclose(lp, lp_pad, atol=1e-10), jnp.abs(lp - lp_pad).max()
+
+    z = jax.random.normal(jax.random.PRNGKey(4), (64, F))
+    s, lq = nf._sample_math_T(
+        z.T, list(fp), layout, F, cfg["bins"], cfg["bound"], cfg["slope"],
+        None, want_log_prob=True, univ=cfg["univ"], base=cfg["base"],
+    )
+    zp = nf._pad_feature_cols(z, F, Fp)
+    sp, lqp = nf._sample_math_T(
+        zp.T, pp, playout, Fp, cfg["bins"], cfg["bound"], cfg["slope"],
+        None, want_log_prob=True, univ=cfg["univ"], base=cfg["base"],
+        realF=F,
+    )
+    assert jnp.allclose(s, sp[:F], atol=1e-10)
+    assert jnp.allclose(lq, lqp, atol=1e-10)

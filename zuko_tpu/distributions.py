@@ -723,20 +723,80 @@ class NormalizingFlow(Distribution):
         # reference: zuko/distributions.py:101-103
         return self.transform.inverse_shape(self.base.event_shape)
 
+    # Maximum batch rows per XLA program on TPU. XLA:TPU miscompiles the
+    # composed multi-layer density graph above a batch threshold at some
+    # feature counts — measured ~21 nats median error at (16384, 43) while
+    # b <= 12288 is correct, every layer standalone is correct, and the
+    # unjitted op sequence is correct (tools/tpu_validate_r19/r22/r26.py).
+    # Chunked `lax.map` execution is the one mitigation that works
+    # (r27; barriers, remat, matmul precision, dot/gather rewrites do
+    # not). The fused Pallas tier is unaffected — this guards the
+    # fallback/regular path only.
+    _XLA_SAFE_ROWS = 8192
+
     def log_prob(self, x):
+        x = jnp.asarray(x)
+        k = len(self.event_shape)
+        batch = x.shape[: x.ndim - k]
+        rows = math.prod(batch) if batch else 1
+        if (
+            rows > self._XLA_SAFE_ROWS
+            and self.batch_shape == ()
+            and jax.default_backend() not in ("cpu", "gpu")
+        ):
+            flat = x.reshape((rows,) + x.shape[x.ndim - k :])
+            n_chunks = -(-rows // self._XLA_SAFE_ROWS)
+            pad = n_chunks * self._XLA_SAFE_ROWS - rows
+            if pad:  # repeat leading rows (valid inputs, sliced off below)
+                flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+            chunks = flat.reshape(
+                (n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:]
+            )
+            out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
+            return out[:rows].reshape(batch)
+        return self._log_prob_impl(x)
+
+    def _log_prob_impl(self, x):
         z, ladj = self.transform.call_and_ladj(x)
         return self.base.log_prob(z) + ladj
 
     def sample(self, key, sample_shape: Shape = ()):
         z = self.base.sample(key, sample_shape)
-        return self.transform.inverse(z)
+        return self._chunked_rows(self.transform.inverse, z)
 
     def sample_and_log_prob(self, key, sample_shape: Shape = ()):
         z = self.base.sample(key, sample_shape)
-        x, ladj = self.transform.inverse_and_ladj(z)
+        x, ladj = self._chunked_rows(self.transform.inverse_and_ladj, z)
         return x, self.base.log_prob(z) - ladj
 
     rsample_and_log_prob = sample_and_log_prob
+
+    def _chunked_rows(self, fn, z):
+        """Apply ``fn`` over row chunks of ``z`` on TPU — the inverse
+        direction carries the same big-batch XLA miscompile as the density
+        (r28: NaN samples / 50% wrong log q at (16384, 43))."""
+        k = len(self.base.event_shape)
+        batch = z.shape[: z.ndim - k]
+        rows = math.prod(batch) if batch else 1
+        if (
+            rows <= self._XLA_SAFE_ROWS
+            or self.batch_shape != ()
+            or jax.default_backend() in ("cpu", "gpu")
+        ):
+            return fn(z)
+        flat = z.reshape((rows,) + z.shape[z.ndim - k :])
+        n_chunks = -(-rows // self._XLA_SAFE_ROWS)
+        pad = n_chunks * self._XLA_SAFE_ROWS - rows
+        if pad:  # repeat leading rows (valid inputs, sliced off below)
+            flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+        chunks = flat.reshape((n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:])
+        out = jax.lax.map(fn, chunks)
+
+        def unchunk(a):
+            a = a.reshape((n_chunks * self._XLA_SAFE_ROWS,) + a.shape[2:])
+            return a[:rows].reshape(batch + a.shape[1:])
+
+        return jax.tree_util.tree_map(unchunk, out)
 
     def expand(self, batch_shape: Shape):
         # reference: zuko/distributions.py:105-113 — only the base is expanded.

@@ -725,6 +725,79 @@ def _compiler_params():
 _LAYER_STEP = {"ar": 3, "ars": 3, "arc": 2, "arm": 2}
 
 
+def _pad_features(flat_params, layout, F, C, Fp, T):
+    """Insert ``Fp - F`` inert pad features so every (F, TB) slab the
+    kernel slices sits at a sublane-aligned (multiple-of-8) row offset.
+
+    Mosaic MIScompiles the strided slab slices ``h[t*F:(t+1)*F]`` for
+    unaligned F > 8 on hardware (r16/r17: D=43 fused density off by ~50
+    absolute while interpret mode matches the fallback to 3e-5) — so
+    unaligned feature counts are padded up and the pad rows masked out of
+    every reduction (`realF` threading). Pad columns of the first linear
+    (and its mask) are zero, so pad-feature values never contaminate real
+    features; pad rows of the last linear are zero, so pad-feature spline
+    parameters are exactly the bias-free neutral ones.
+
+    ``T`` is the per-feature univariate parameter count (`_univ_size`):
+    the last linear's rows are param-major ``[t*F + f]`` and re-spread to
+    ``[t*Fp + f]``."""
+    pad = Fp - F
+    out_params, out_layout = [], []
+    idx = 0
+    for entry in layout:
+        if entry[0] != "ar":
+            out_layout.append(entry)
+            continue
+        _, n_lin, passes = entry
+        out_layout.append(("ar", n_lin, passes))
+        for i in range(n_lin):
+            W, b, M = flat_params[idx + 3 * i : idx + 3 * i + 3]
+            if i == 0:  # input columns: [x (F) | context (C)] -> insert pad
+                W = jnp.concatenate(
+                    [W[:, :F], jnp.zeros((W.shape[0], pad), W.dtype),
+                     W[:, F:]], axis=1,
+                )
+                M = jnp.concatenate(
+                    [M[:, :F], jnp.zeros((M.shape[0], pad), M.dtype),
+                     M[:, F:]], axis=1,
+                )
+            if i == n_lin - 1:  # output rows: [t*F + f] -> [t*Fp + f]
+                Hin = W.shape[1]
+                W = jnp.pad(
+                    W.reshape(T, F, Hin), ((0, 0), (0, pad), (0, 0))
+                ).reshape(T * Fp, Hin)
+                M = jnp.pad(
+                    M.reshape(T, F, Hin), ((0, 0), (0, pad), (0, 0))
+                ).reshape(T * Fp, Hin)
+                b = jnp.pad(b.reshape(T, F), ((0, 0), (0, pad))).reshape(-1)
+            out_params += [W, b, M]
+        idx += 3 * n_lin
+    return out_params, tuple(out_layout)
+
+
+def _pad_feature_cols(xf, F, Fp):
+    """(m, F + C) -> (m, Fp + C): zero pad columns between x and context."""
+    pad = Fp - F
+    return jnp.concatenate(
+        [xf[:, :F], jnp.zeros((xf.shape[0], pad), xf.dtype), xf[:, F:]],
+        axis=1,
+    )
+
+
+# Feature padding (sublane-align F, `_pad_features`) — OFF: the r16
+# "unaligned-F miscompile" turned out to be the COMPARATOR (the regular
+# XLA path is what miscompiles at (16384, 43) — r19/r21 vs CPU truth:
+# XLA off by ~21 nats median, fused kernel at 1.5e-4 padded OR unpadded,
+# unpadded 4.6% faster). The padding machinery is kept, tested
+# (tests/test_ops.py::test_feature_padding_math), and flippable here
+# should a real alignment issue ever surface.
+_FEATURE_PAD = False
+
+
+def _needs_feature_pad(F):
+    return _FEATURE_PAD and F > 8 and F % 8 != 0
+
+
 def _presplit_params(flat_params, layout, mode):
     """Rewrite AR-layer (W, b, M) triples for the kernel: pre-apply the
     mask and (for the density split3 modes) pre-split the weights into
@@ -846,21 +919,37 @@ def _softclip_forward_F(x, B):
     return x / (1.0 + q), -2.0 * _log1p_ladj(q)
 
 
-def _base_log_prob_T(zT, F, base):
+def _row_mask(F, realF, dtype=jnp.float32):
+    """(F, 1) bool mask of the real (non-pad) feature rows, or None."""
+    if realF is None or realF == F:
+        return None
+    return jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0) < realF
+
+
+def _base_log_prob_T(zT, F, base, realF=None):
     """Base log-density on a (F, TB) tile: standard normal or constant box
-    (NCSF — Uniform gives -inf outside support, distributions.py Uniform)."""
+    (NCSF — Uniform gives -inf outside support, distributions.py Uniform).
+    With ``realF`` (feature padding, `_pad_features`) the pad rows are
+    excluded from the reduction and the constants use the real count."""
+    mask = _row_mask(F, realF)
+    n = F if realF is None else realF
     if base[0] == "normal":
-        return -0.5 * jnp.sum(zT**2, axis=0, keepdims=True) \
-            - 0.5 * F * math.log(2 * math.pi)
+        sq = zT**2
+        if mask is not None:
+            sq = jnp.where(mask, sq, 0.0)
+        return -0.5 * jnp.sum(sq, axis=0, keepdims=True) \
+            - 0.5 * n * math.log(2 * math.pi)
     _, lo, hi = base
-    inside = ((zT >= lo) & (zT <= hi)).astype(zT.dtype)
-    all_inside = jnp.sum(inside, axis=0, keepdims=True) >= F
-    lp = jnp.full_like(zT[:1, :], -F * math.log(hi - lo))
+    inside = (zT >= lo) & (zT <= hi)
+    if mask is not None:
+        inside = inside | ~mask  # pad rows count as inside
+    all_inside = jnp.sum(inside.astype(zT.dtype), axis=0, keepdims=True) >= F
+    lp = jnp.full_like(zT[:1, :], -n * math.log(hi - lo))
     return jnp.where(all_inside, lp, -jnp.inf)
 
 
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
-                 univ="rqs", base=("normal",)):
+                 univ="rqs", base=("normal",), realF=None):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     # Density hyper matmuls run 3-pass bf16 (`_dot_split3`): the single
     # bf16 pass costs ~2e-3 median on the returned log-densities (measured
@@ -886,14 +975,23 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
             xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
         acc = ladj if acc is None else acc + ladj
 
+    mask = _row_mask(F, realF)
+    n = F if realF is None else realF
     if base[0] == "normal":
         # one fused reduction over features: Σ ladj - x²/2, then the constant
-        return jnp.sum(acc - 0.5 * xT**2, axis=0, keepdims=True) \
-            - 0.5 * F * math.log(2 * math.pi)
-    return jnp.sum(acc, axis=0, keepdims=True) + _base_log_prob_T(xT, F, base)
+        term = acc - 0.5 * xT**2
+        if mask is not None:  # where, not multiply: pad ladjs may be ±inf
+            term = jnp.where(mask, term, 0.0)
+        return jnp.sum(term, axis=0, keepdims=True) \
+            - 0.5 * n * math.log(2 * math.pi)
+    if mask is not None:
+        acc = jnp.where(mask, acc, 0.0)
+    return jnp.sum(acc, axis=0, keepdims=True) \
+        + _base_log_prob_T(xT, F, base, realF=realF)
 
 
-def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ, base):
+def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ, base,
+              realF=None):
     x_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
     out_ref = refs[1 + n_params]
@@ -902,7 +1000,7 @@ def _kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ, base):
     cT = x_ref[F : F + C, :] if C else None
     flat = [r[:] for r in param_refs]
     out_ref[:, :] = _full_math_T(
-        xT, flat, layout, F, K, bound, slope, cT, univ, base
+        xT, flat, layout, F, K, bound, slope, cT, univ, base, realF=realF
     )
 
 
@@ -920,7 +1018,8 @@ def _univ_size(univ, K):
 
 
 def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
-                   want_log_prob=False, univ="rqs", base=("normal",)):
+                   want_log_prob=False, univ="rqs", base=("normal",),
+                   realF=None):
     """Transposed AR inversion of the whole flow: zT (F, TB) base draws ->
     samples (F, TB). Each layer runs `F` fixed-point sweeps (exact by
     triangularity — reference: zuko/transforms.py:994-1000); weights stay in
@@ -928,9 +1027,15 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
     ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) — the fused
     reverse-KL quantity (reference: zuko/distributions.py:129-138)."""
     per_layer = _split_layers(flat_params, layout)
+    mask = _row_mask(F, realF)
+
+    def ladj_sum(ladj):
+        if mask is not None:  # where, not multiply: pad ladjs may be ±inf
+            ladj = jnp.where(mask, ladj, 0.0)
+        return jnp.sum(ladj, axis=0, keepdims=True)
 
     if want_log_prob:
-        acc = _base_log_prob_T(zT, F, base)
+        acc = _base_log_prob_T(zT, F, base, realF=realF)
 
     y = zT
     for entry in reversed(per_layer):
@@ -940,7 +1045,7 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
             x = y / (1.0 - jnp.abs(y / B))
             if want_log_prob:
                 _, ladj = _softclip_forward_F(x, B)
-                acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
+                acc = acc + ladj_sum(ladj)
             y = x
             continue
         tag, ps, passes = entry
@@ -956,16 +1061,25 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
             hyper = functools.partial(_hyper_T, precision=prec)
         else:
             hyper = functools.partial(_hyper_pre_T, tag=tag, precision=prec)
-        x = jnp.zeros_like(y)
         # `passes` fixed-point sweeps suffice by triangularity (coupling-style
         # layers declare passes=2; fully autoregressive layers passes=F)
-        for _ in range(min(passes, F)):
-            h = hyper(x, cT, ps)
-            x = _univ_inverse_F(y, h, F, K, bound, slope, univ)
+        def sweep(_, xv):
+            h = hyper(xv, cT, ps)
+            return _univ_inverse_F(y, h, F, K, bound, slope, univ)
+
+        n_sweeps = min(passes, F)
+        if n_sweeps > 6:
+            # roll with fori_loop: a Python unroll at F=43 produces a
+            # multi-MB Mosaic program (the CLAUDE.md program-size hazard)
+            x = jax.lax.fori_loop(0, n_sweeps, sweep, jnp.zeros_like(y))
+        else:
+            x = jnp.zeros_like(y)
+            for _ in range(n_sweeps):
+                x = sweep(0, x)
         if want_log_prob:
             h = hyper(x, cT, ps)
             _, ladj = _univ_forward_F(x, h, F, K, bound, slope, univ)
-            acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
+            acc = acc + ladj_sum(ladj)
         y = x
 
     if want_log_prob:
@@ -974,7 +1088,7 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
 
 
 def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
-                     want_log_prob, univ, base):
+                     want_log_prob, univ, base, realF=None):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
 
@@ -985,14 +1099,15 @@ def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
         out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
         x, lp = _sample_math_T(
             zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True,
-            univ=univ, base=base,
+            univ=univ, base=base, realF=realF,
         )
         out_ref[:F, :] = x
         lp_ref[:, :] = lp
     else:
         out_ref = refs[1 + n_params]
         out_ref[:F, :] = _sample_math_T(
-            zT, flat, layout, F, K, bound, slope, cT, univ=univ, base=base
+            zT, flat, layout, F, K, bound, slope, cT, univ=univ, base=base,
+            realF=realF,
         )
 
 
@@ -1098,6 +1213,16 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         zc = jnp.pad(zc, ((0, pad), (0, 0)))
     m = zc.shape[0]
 
+    # sublane-align the feature dimension (see _pad_features)
+    realF = None
+    if _needs_feature_pad(F):
+        Fp = -(-F // 8) * 8
+        flat_params, layout = _pad_features(
+            list(flat_params), layout, F, C, Fp, _univ_size(univ, K)
+        )
+        zc = _pad_feature_cols(zc, F, Fp)
+        realF, F = F, Fp
+
     if _PREMASK_SAMPLE:  # the solver sweeps otherwise redo M*W per iterate
         # reverse-KL solves run split3 (see _sample_math_T) — hoist the
         # bf16 hi/lo weight split out of the grid too ("cat", the r10
@@ -1136,7 +1261,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         functools.partial(
             _sample_kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
             slope=slope, n_params=n_params, want_log_prob=want_log_prob,
-            univ=univ, base=base,
+            univ=univ, base=base, realF=realF,
         ),
         grid=(m // _TB,),
         in_specs=[
@@ -1150,10 +1275,14 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
 
     if want_log_prob:
         x, lp = out
+        if realF is not None:
+            x = x[:realF]
         x = x.T[:n] if pad else x.T
         lp = lp[0, :n] if pad else lp[0, :]
         return x.reshape(z.shape), lp.reshape(z.shape[:-1])
 
+    if realF is not None:
+        out = out[:realF]
     out = out.T[:n] if pad else out.T
     return out.reshape(z.shape)
 
@@ -1245,6 +1374,17 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     m = xf.shape[0]
 
+    # sublane-align the feature dimension (Mosaic miscompiles unaligned
+    # slab slices on hardware — see _pad_features)
+    realF = None
+    if _needs_feature_pad(F):
+        Fp = -(-F // 8) * 8
+        flat_params, layout = _pad_features(
+            list(flat_params), layout, F, C, Fp, _univ_size(univ, K)
+        )
+        xf = _pad_feature_cols(xf, F, Fp)
+        realF, F = F, Fp
+
     # hoist weight-only work (mask multiply, bf16 split) out of the grid
     if (
         _PRESPLIT_DENSITY != "off"
@@ -1269,6 +1409,7 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
         functools.partial(
             _kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
             slope=slope, n_params=n_params, univ=univ, base=base,
+            realF=realF,
         ),
         grid=(m // _TB,),
         in_specs=[

@@ -593,7 +593,14 @@ class MonotonicRQSTransform(Transform):
         kb = ku[..., 0]
 
         def take(arr, idx):
-            return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+            # one-hot contraction, NOT take_along_axis: XLA:TPU miscompiles
+            # the gather at some (batch, features) shapes — measured wrong
+            # by ~21 nats median at (16384, 43) vs f64 truth while correct
+            # at (2048, 43) (tools/tpu_validate_r19/r21.py). The one-hot
+            # form is branch-free, gather-free, and fast on the VPU.
+            K1 = arr.shape[-1]
+            eq = idx[..., None] == jnp.arange(K1, dtype=idx.dtype)
+            return jnp.sum(jnp.where(eq, arr, 0), axis=-1)
 
         x0 = take(hs, kb)
         x1 = take(hs, kb + 1)
