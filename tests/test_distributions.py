@@ -150,3 +150,40 @@ def test_topk_k_bounds(key):
     d = TopK(Normal(0.0, 1.0), k=2, n=3)
     x = d.sample(key, (8,))
     assert jnp.all(jnp.isfinite(d.log_prob(x)))
+
+
+def test_chunked_rows_paths(key):
+    # the XLA-miscompile guard (row-chunked lax.map on TPU): exercise the
+    # chunked plumbing on CPU via the _FORCE_CHUNK hook — results must be
+    # identical to the monolithic path, including non-divisible rows and
+    # multi-dim sample shapes
+    from zuko_tpu.distributions import NormalizingFlow
+    from zuko_tpu.flows import NSF
+
+    flow = NSF(3, 0, transforms=2, hidden_features=(8, 8), key=key)
+    d = flow.unconditional() if hasattr(flow, "unconditional") else flow(None)
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(2), (100, 91, 3))
+        lp_mono = d.log_prob(x)
+        ks = jax.random.PRNGKey(3)
+        s_mono = d.sample(ks, (9001,))
+        _, lq_mono = d.sample_and_log_prob(ks, (100, 91))
+
+        NormalizingFlow._FORCE_CHUNK = True
+        NormalizingFlow._XLA_SAFE_ROWS = 1000  # force multiple chunks + pad
+        try:
+            lp_ch = d.log_prob(x)
+            s_ch = d.sample(ks, (9001,))
+            _, lq_ch = d.sample_and_log_prob(ks, (100, 91))
+        finally:
+            NormalizingFlow._FORCE_CHUNK = False
+            NormalizingFlow._XLA_SAFE_ROWS = 8192
+
+        assert jnp.allclose(lp_ch, lp_mono, atol=1e-12)
+        assert jnp.allclose(s_ch, s_mono, atol=1e-12)
+        assert jnp.allclose(lq_ch, lq_mono, atol=1e-12)
+    finally:
+        del os.environ["ZUKO_TPU_FUSED_DISPATCH"]

@@ -342,3 +342,41 @@ def test_feature_padding_math(key):
     )
     assert jnp.allclose(s, sp[:F], atol=1e-10)
     assert jnp.allclose(lq, lqp, atol=1e-10)
+
+
+def test_fused_kernel_interpret_large_d(key):
+    # run the ACTUAL whole-flow Pallas kernel (interpret mode) at a
+    # larger, sublane-unaligned feature count — the r16-r29 investigation
+    # showed shape coverage beyond the D=6 tuning point matters
+    from jax.experimental import pallas as pl
+
+    from zuko_tpu.flows import NSF
+    from zuko_tpu.ops import nsf_fused as nf
+
+    flow = NSF(43, 0, transforms=2, hidden_features=(32, 32), key=key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 43), jnp.float32)
+    fp, layout, cfg = nf._flatten_flow(flow)
+    fp = [p.astype(jnp.float32) for p in fp]
+
+    lp_ref = nf._full_math_T(
+        x.T.astype(jnp.float32), list(fp), layout, 43, cfg["bins"],
+        cfg["bound"], cfg["slope"], None, univ=cfg["univ"],
+        base=cfg["base"],
+    )[0]
+
+    real_call = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return real_call(*a, **k)
+
+    orig_gate = nf._use_pallas_fused
+    nf.pl.pallas_call = patched
+    nf._use_pallas_fused = lambda dtype: dtype == jnp.float32
+    try:
+        lp_k = nf.fused_nsf_log_prob(flow, x)
+    finally:
+        nf.pl.pallas_call = real_call
+        nf._use_pallas_fused = orig_gate
+
+    assert jnp.abs(lp_k - lp_ref).max() < 1e-4, jnp.abs(lp_k - lp_ref).max()

@@ -733,6 +733,7 @@ class NormalizingFlow(Distribution):
     # not). The fused Pallas tier is unaffected — this guards the
     # fallback/regular path only.
     _XLA_SAFE_ROWS = 8192
+    _FORCE_CHUNK = False  # test hook: exercise the chunked paths on CPU
 
     def log_prob(self, x):
         x = jnp.asarray(x)
@@ -742,7 +743,10 @@ class NormalizingFlow(Distribution):
         if (
             rows > self._XLA_SAFE_ROWS
             and self.batch_shape == ()
-            and jax.default_backend() not in ("cpu", "gpu")
+            and (
+                self._FORCE_CHUNK
+                or jax.default_backend() not in ("cpu", "gpu")
+            )
         ):
             flat = x.reshape((rows,) + x.shape[x.ndim - k :])
             n_chunks = -(-rows // self._XLA_SAFE_ROWS)
@@ -781,7 +785,10 @@ class NormalizingFlow(Distribution):
         if (
             rows <= self._XLA_SAFE_ROWS
             or self.batch_shape != ()
-            or jax.default_backend() in ("cpu", "gpu")
+            or (
+                not self._FORCE_CHUNK
+                and jax.default_backend() in ("cpu", "gpu")
+            )
         ):
             return fn(z)
         flat = z.reshape((rows,) + z.shape[z.ndim - k :])

@@ -619,12 +619,16 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
     stages, cfg = extract_naf_params(flow)
     F, S = cfg["features"], cfg["signal"]
     flat_params, layout = _stage_layout(stages, cfg["features"], cfg["signal"])
-    # UMNN batches quadrature-point chunks along lanes inside the kernel —
-    # halve the batch tile to keep the (H, _UMNN_CHUNK*TB) per-feature
-    # intermediates comfortably inside the 16MB scoped-VMEM stack
-    tb = 512 if any(
-        k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout
-    ) else _TB
+    # Scoped-VMEM stack budget: the per-tile live set scales with F * tb
+    # (per-feature monotone-net slabs) — F=21 at tb=1024 hit the 16MB
+    # stack limit at compile (17.6M, r31). Shrink the tile until F * tb
+    # fits the validated F=8/tb=1024 budget; UMNN additionally halves for
+    # its lane-batched quadrature chunks.
+    tb = _TB
+    while tb > 128 and F * tb > 8 * _TB:
+        tb //= 2
+    if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
+        tb = min(tb, 512)
 
     try:
         dtype = jnp.asarray(flow.base.args[0]).dtype

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -692,9 +693,18 @@ def _dot_split3(A, x):
     return (d(Ah, xl) + d(Al, xh)) + d(Ah, xh)
 
 
-# density-path hyper matmul mode, A/B-swappable (tools/tpu_validate_r8.py):
-# None = 1 bf16 pass, "split3" = 3 passes, Precision.HIGHEST = 6 passes
-_DENSITY_HYPER_PREC = "split3"
+# Density-path hyper matmul mode (A/B: tools/tpu_validate_r8/r31.py):
+# None = 1 bf16 pass, "split3" = 3 passes, Precision.HIGHEST = 6 passes.
+# "split3" is the accuracy default (~1e-4 max vs f64 truth, ~100x better
+# than 1-pass) costing ~4% at the flagship 64-wide conditioner but ~42%
+# at 512-wide (MXU passes dominate there: 18.5M vs 32.2M evals/s at
+# 9.5e-4 median error) — ZUKO_TPU_DENSITY_PREC=fast opts wide models
+# into the 1-pass speed frontier.
+_DENSITY_HYPER_PREC = {
+    "fast": None,
+    "split3": "split3",
+    "exact": jax.lax.Precision.HIGHEST,
+}[os.environ.get("ZUKO_TPU_DENSITY_PREC", "split3")]
 
 # Kernel-side weight preprocessing (tools/tpu_validate_r10.py A/B). The
 # grid re-runs the kernel body once per batch tile, so any weight-only
