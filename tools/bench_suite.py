@@ -98,6 +98,23 @@ def main():
     dt = timed(samp_fused, params, key)
     print(f"sampling  fused: {B * R / dt / 1e6:8.2f} M samples/s")
 
+    # --- fused sample_and_log_prob (reverse-KL quantity) ---------------------
+    from zuko_tpu.ops.nsf_fused import fused_nsf_sample_and_log_prob
+
+    @jax.jit
+    def slp_fused(p, k):
+        def body(carry, i):
+            fl = combine(p, static)
+            _, lq = fused_nsf_sample_and_log_prob(
+                fl, jax.random.fold_in(k, i), (B,)
+            )
+            return carry + jnp.sum(lq), None
+
+        return lax.scan(body, 0.0, jnp.arange(R))[0]
+
+    dt = timed(slp_fused, params, key)
+    print(f"sample+logq fused: {B * R / dt / 1e6:6.2f} M samples/s")
+
     # --- MLE training step ---------------------------------------------------
     import optax
 
