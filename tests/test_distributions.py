@@ -187,3 +187,31 @@ def test_chunked_rows_paths(key):
         assert jnp.allclose(lq_ch, lq_mono, atol=1e-12)
     finally:
         del os.environ["ZUKO_TPU_FUSED_DISPATCH"]
+
+
+def test_chunked_rows_conditional_fallback(key):
+    # conditional flows capture a full-batch context inside the transform:
+    # row-chunking from outside cannot see it, so the guard must detect the
+    # broadcast failure (eval_shape) and fall back to the monolithic path
+    from zuko_tpu.distributions import NormalizingFlow
+    from zuko_tpu.flows import NSF
+
+    flow = NSF(3, 2, transforms=2, hidden_features=(8, 8), key=key)
+    c = jax.random.normal(jax.random.PRNGKey(5), (2500, 2))
+    x = jax.random.normal(jax.random.PRNGKey(6), (2500, 3))
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        d = flow(c)
+        lp_mono = d.log_prob(x)
+        NormalizingFlow._FORCE_CHUNK = True
+        NormalizingFlow._XLA_SAFE_ROWS = 1000
+        try:
+            lp_ch = d.log_prob(x)  # must NOT raise; falls back
+        finally:
+            NormalizingFlow._FORCE_CHUNK = False
+            NormalizingFlow._XLA_SAFE_ROWS = 8192
+        assert jnp.allclose(lp_ch, lp_mono, atol=1e-12)
+    finally:
+        del os.environ["ZUKO_TPU_FUSED_DISPATCH"]

@@ -756,9 +756,23 @@ class NormalizingFlow(Distribution):
             chunks = flat.reshape(
                 (n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:]
             )
-            out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
-            return out[:rows].reshape(batch)
+            if self._chunkable(self._log_prob_impl, chunks):
+                out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
+                return out[:rows].reshape(batch)
         return self._log_prob_impl(x)
+
+    @staticmethod
+    def _chunkable(fn, chunks):
+        """Whether ``fn`` traces on one chunk — a transform whose captured
+        context carries the FULL batch (conditional flows through the
+        regular path) cannot be row-chunked from outside; fall back to the
+        monolithic program for it."""
+        try:
+            jax.eval_shape(fn, jax.ShapeDtypeStruct(
+                chunks.shape[1:], chunks.dtype))
+            return True
+        except Exception:
+            return False
 
     def _log_prob_impl(self, x):
         z, ladj = self.transform.call_and_ladj(x)
@@ -797,6 +811,8 @@ class NormalizingFlow(Distribution):
         if pad:  # repeat leading rows (valid inputs, sliced off below)
             flat = jnp.concatenate([flat, flat[:pad]], axis=0)
         chunks = flat.reshape((n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:])
+        if not self._chunkable(fn, chunks):
+            return fn(z)
         out = jax.lax.map(fn, chunks)
 
         def unchunk(a):
