@@ -606,12 +606,24 @@ class MultivariateNormal(Distribution):
     def log_prob(self, x):
         d = x.shape[-1]
         diff = x - self.loc
-        # Solve L z = diff (batched triangular solve); jax requires equal
-        # batch ranks, so broadcast explicitly.
-        batch = jnp.broadcast_shapes(diff.shape[:-1], self.scale_tril.shape[:-2])
-        L = jnp.broadcast_to(self.scale_tril, batch + self.scale_tril.shape[-2:])
-        diff = jnp.broadcast_to(diff, batch + diff.shape[-1:])
-        z = jax.scipy.linalg.solve_triangular(L, diff[..., None], lower=True)[..., 0]
+        # Invert the shared triangular factor ONCE (batched over L's own
+        # dims — typically the K mixture components) and apply it as a
+        # matmul. The data-batched triangular solve this replaces
+        # broadcast L over the full data batch and computed garbage on
+        # TPU at scale (tools/tpu_validate_r34/r35.py: full-covariance
+        # GMM off by ~8e5 nats median at b=65536 while diagonal was
+        # fine); a triangular inverse is numerically safe, and the
+        # einsum runs at HIGHEST precision (trivial cost at these d).
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=self.scale_tril.dtype), self.scale_tril.shape
+        )
+        Linv = jax.scipy.linalg.solve_triangular(
+            self.scale_tril, eye, lower=True
+        )
+        z = jnp.einsum(
+            "...ed,...d->...e", Linv, diff,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         half_log_det = jnp.sum(
             jnp.log(jnp.abs(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))),
             axis=-1,
