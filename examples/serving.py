@@ -1,0 +1,81 @@
+r"""Production batch-scoring recipe: checkpoint -> mesh -> sharded fused
+density evaluation.
+
+The deployment story end-to-end: train a flow (here briefly, on the real
+offline digits data), persist it with ``zuko_tpu.serial``, reload it in a
+fresh "serving" step, lay a ``(data, model)`` mesh over the available
+chips, and score a large dataset through the fused Pallas kernel under
+``shard_map`` — each chip runs the whole-flow kernel on its shard of
+rows and XLA handles the gather-free output layout. On one v5e chip the
+fused density evaluates ~70M rows/s at D=6 (PERF.md); the mesh scales
+rows across chips with no code change.
+
+Run:  python examples/serving.py            (TPU or CPU)
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          JAX_PLATFORMS=cpu python examples/serving.py   (8-way CPU mesh)
+"""
+
+import argparse
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zuko_tpu import serial
+from zuko_tpu.data import digits_dataset
+from zuko_tpu.flows import NSF
+from zuko_tpu.parallel import make_mesh, sharded_fused_log_prob, train_mle
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument("--score-rows", type=int, default=1 << 16)
+    args = parser.parse_args()
+
+    train, _, test = digits_dataset()
+    D = train.shape[1]
+
+    # ---- "training job": fit and persist ----------------------------
+    flow = NSF(D, transforms=3, hidden_features=(64, 64),
+               key=jax.random.PRNGKey(0))
+    flow, losses = train_mle(flow, train, epochs=args.epochs,
+                             batch_size=256, key=jax.random.PRNGKey(1))
+    ckpt = tempfile.mktemp(suffix=".zuko")
+    serial.save(ckpt, flow)
+    print(f"trained {args.epochs} epochs (final loss"
+          f" {float(losses[-1]):.2f}); checkpoint -> {ckpt}")
+
+    # ---- "serving job": reload, shard, score ------------------------
+    served = serial.load(ckpt)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(model=1)
+    print(f"mesh: {n_dev} device(s), data axis {mesh.shape['data']}")
+
+    # a large scoring workload: tile the test set to --score-rows rows
+    reps = -(-args.score_rows // test.shape[0])
+    x = jnp.asarray(np.tile(test, (reps, 1))[: args.score_rows])
+
+    lp = sharded_fused_log_prob(mesh, served, x)  # compile + first run
+    lp.block_until_ready()
+    t0 = time.perf_counter()
+    lp = sharded_fused_log_prob(mesh, served, x)
+    lp.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"scored {x.shape[0]:,} rows in {dt * 1e3:.1f} ms "
+          f"({x.shape[0] / dt / 1e6:.1f}M rows/s); "
+          f"mean log-density {float(lp.mean()):.3f}")
+
+    # the served model matches the training-process model exactly
+    ref = flow(None).log_prob(x[:256])
+    assert jnp.allclose(lp[:256], ref, atol=1e-5), "checkpoint mismatch"
+    print("serving output == training-process output (round-trip exact)")
+
+
+if __name__ == "__main__":
+    main()

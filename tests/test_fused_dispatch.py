@@ -818,3 +818,23 @@ def test_bayesian_reparam_dispatches_fused(key, dispatch_on):
         os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
     for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
         assert jnp.allclose(a, b, atol=2e-6), (n, jnp.abs(a - b).max())
+
+
+def test_checkpoint_roundtrip_keeps_fused_path(key, dispatch_on, tmp_path):
+    r"""Checkpoint round-trips serialize jax.nn.relu BY VALUE (it does not
+    pickle by reference), so the loaded activation is a fresh object — the
+    structure extractor must still recognize it or served models silently
+    lose the fused fast path (caught by examples/serving.py)."""
+    from zuko_tpu import serial
+    from zuko_tpu.ops.nsf_fused import extract_nsf_params
+
+    flow = NSF(3, 0, transforms=2, hidden_features=(16, 16), key=key)
+    p = str(tmp_path / "ckpt.zuko")
+    serial.save(p, flow)
+    loaded = serial.load(p)
+
+    extract_nsf_params(loaded)  # must not raise
+    d = loaded(None)
+    assert type(d) is FusedAutoregressiveFlow
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+    assert jnp.allclose(d.log_prob(x), flow(None).log_prob(x), atol=1e-6)

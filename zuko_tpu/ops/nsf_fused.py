@@ -141,6 +141,19 @@ def _extract_mlp_linears(hyper, linear_cls):
     ReLU epilogue and dense bias adds)."""
     from ..nn import Activation
 
+    def _is_relu(fn):
+        # identity OR name/module match: checkpoint round-trips serialize
+        # jax.nn.relu BY VALUE (it does not pickle by reference), so a
+        # loaded flow's activation is a fresh object — an identity-only
+        # check silently dropped served models off the fused fast path
+        # (caught by examples/serving.py)
+        if fn is jax.nn.relu:
+            return True
+        return (
+            getattr(fn, "__name__", "") == "relu"
+            and "jax" in (getattr(fn, "__module__", "") or "")
+        )
+
     lins = []
     expect_linear = True
     for layer in hyper.layers:
@@ -157,7 +170,7 @@ def _extract_mlp_linears(hyper, linear_cls):
             lins.append(layer)
             expect_linear = False
         else:
-            if not (isinstance(layer, Activation) and layer.fn is jax.nn.relu):
+            if not (isinstance(layer, Activation) and _is_relu(layer.fn)):
                 raise FusedStructureError(
                     "fused kernels support ReLU hyper-net activations only;"
                     f" got {type(layer).__name__}"
