@@ -28,6 +28,8 @@ p.add_argument("--epochs", type=int, default=30)
 p.add_argument("--skip-reference", action="store_true")
 p.add_argument("--gmm", action="store_true",
                help="also run the GMM (K=10, full cov) head-to-head")
+p.add_argument("--conditional", action="store_true",
+               help="also run the label-conditional NSF head-to-head")
 p.add_argument("--cpu", action="store_true",
                help="run the zuko_tpu side on CPU (leave the TPU free)")
 args = p.parse_args()
@@ -133,5 +135,47 @@ if args.gmm:
     zg_test = float(-jax.jit(lambda v: g_tr(None).log_prob(v).mean())(test))
     print(f"zuko_tpu GMM ({jax.default_backend()}):  test NLL {zg_test:.3f}"
           f"  ({gt:.0f}s train)", flush=True)
+
+# ---- label-conditional NSF head-to-head -----------------------------
+if args.conditional:
+    from zuko_tpu.data import digits_conditional
+
+    (ctr, ytr), (cva, yva), (cte, yte) = digits_conditional()
+    print(f"conditional digits: train {ctr.shape} labels {ytr.shape}",
+          flush=True)
+
+    if not args.skip_reference:
+        torch.manual_seed(0)
+        rcf = zuko.flows.NSF(D, context=10, **CFG)
+        opt = torch.optim.Adam(rcf.parameters(), lr=LR)
+        trc = torch.as_tensor(ctr)
+        tyc = torch.as_tensor(ytr)
+        t0 = time.perf_counter()
+        for epoch in range(args.epochs):
+            perm = torch.randperm(trc.shape[0])
+            for i in range(0, trc.shape[0] - BATCH + 1, BATCH):
+                idx = perm[i : i + BATCH]
+                loss = -rcf(tyc[idx]).log_prob(trc[idx]).mean()
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+        rt = time.perf_counter() - t0
+        with torch.no_grad():
+            rc_test = -rcf(torch.as_tensor(yte)).log_prob(
+                torch.as_tensor(cte)).mean().item()
+        print(f"reference conditional NSF (torch CPU):  test NLL"
+              f" {rc_test:.3f}  ({rt:.0f}s train)", flush=True)
+
+    cflow = NSF(D, context=10, **CFG, key=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    c_tr, closs = train_mle(
+        cflow, ctr, context=ytr, epochs=args.epochs, batch_size=BATCH,
+        lr=LR, key=jax.random.PRNGKey(1),
+    )
+    ct = time.perf_counter() - t0
+    zc_test = float(-jax.jit(
+        lambda v, y: c_tr(y).log_prob(v).mean())(cte, yte))
+    print(f"zuko_tpu conditional NSF ({jax.default_backend()}):  test NLL"
+          f" {zc_test:.3f}  ({ct:.0f}s train)", flush=True)
 
 print("DONE", flush=True)

@@ -22,6 +22,7 @@ __all__ = [
     "uci_power",
     "digits_dataset",
     "digits_binary",
+    "digits_conditional",
 ]
 
 
@@ -185,6 +186,38 @@ def uci_dataset(name: str, path: str = None, n: int = 65536, seed: int = 0):
 def uci_power(path: str = None, n: int = 65536, seed: int = 0):
     """UCI POWER (D=6) — see :func:`uci_dataset`."""
     return uci_dataset("power", path, n, seed)
+
+
+def digits_conditional(seed: int = 42):
+    """Digits with one-hot class labels for conditional density
+    estimation: same treatment as :func:`digits_dataset` but shuffled by
+    permutation indexing so features and labels stay aligned (its own
+    split — the label-free loader's in-place shuffle order differs).
+    Returns ``((x_train, y_train), (x_val, y_val), (x_test, y_test))``
+    with x float32 (n, 64) and y one-hot float32 (n, 10)."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    data = d.data.astype(np.float64)
+    labels = d.target
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(data.shape[0])
+    data, labels = data[perm], labels[perm]
+    data = data + rng.rand(*data.shape)
+
+    n_test = int(0.1 * data.shape[0])
+    n_val = int(0.1 * (data.shape[0] - n_test))
+    sl = [
+        slice(0, -n_test - n_val),
+        slice(-n_test - n_val, -n_test),
+        slice(-n_test, None),
+    ]
+    mu = data[: -n_test].mean(axis=0)
+    sd = data[: -n_test].std(axis=0)
+    onehot = np.eye(10, dtype=np.float32)[labels]
+    return tuple(
+        (((data[s] - mu) / sd).astype(np.float32), onehot[s]) for s in sl
+    )
 
 
 def digits_binary(seed: int = 42):
