@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from zuko_tpu.core import Module, combine, partition
+from zuko_tpu.core import combine, partition
 from zuko_tpu.distributions import BoxUniform, Normal, NormalizingFlow
 from zuko_tpu.flows import MAF, GeneralCouplingTransform, MaskedAutoregressiveTransform
 from zuko_tpu.lazy import (

@@ -21,8 +21,6 @@ import time
 
 sys.path.insert(0, ".")
 
-import numpy as np
-
 p = argparse.ArgumentParser()
 p.add_argument("--epochs", type=int, default=30)
 p.add_argument("--skip-reference", action="store_true")

@@ -34,7 +34,6 @@ from jax.scipy import special as jsp
 from typing import Tuple
 
 from .core import Module
-from .utils import broadcast
 
 __all__ = [
     "Distribution",

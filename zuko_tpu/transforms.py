@@ -34,7 +34,7 @@ from jax.scipy import special as jsp
 from typing import Any, Callable, Sequence, Tuple
 
 from .core import Module
-from .utils import bisection, broadcast, gauss_legendre, odeint
+from .utils import broadcast, gauss_legendre, odeint
 
 __all__ = [
     "Transform",
