@@ -365,6 +365,13 @@ _UMNN_CHUNK = 8
 _UMNN_COARSE_N = 8
 _GL_NODES_C, _GL_WEIGHTS_C = np.polynomial.legendre.leggauss(_UMNN_COARSE_N)
 
+# Newton-phase value rule: GL-16 agrees with GL-32 to quadrature error
+# (<1e-7 on the smooth softclipped-exp integrand), far below the solver's
+# ~1e-5 parity contract, at half the dominant per-step cost. A/B:
+# tools/tpu_validate_r38.py.
+_UMNN_NEWTON_N = 16
+_GL_NODES_N, _GL_WEIGHTS_N = np.polynomial.legendre.leggauss(_UMNN_NEWTON_N)
+
 
 def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
                        nodes=None, weights=None):
@@ -417,7 +424,8 @@ def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
     per feature, not another 32-point quadrature. mid (F, TB) ->
     (f(mid), g(mid)); g >= e^-7 > 0 by the softclip."""
     val = _umnn_eval_hoisted(
-        mid, pre1, w1x, mono_w, mono_b, F, _elu, jax.lax.Precision.HIGHEST
+        mid, pre1, w1x, mono_w, mono_b, F, _elu, jax.lax.Precision.HIGHEST,
+        nodes=_GL_NODES_N, weights=_GL_WEIGHTS_N,
     )
     H1 = mono_w[0].shape[0] // F
     wL, bL = mono_w[-1], mono_b[-1]

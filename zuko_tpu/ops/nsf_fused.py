@@ -747,6 +747,36 @@ def _compiler_params():
 
 _LAYER_STEP = {"ar": 3, "ars": 3, "arc": 2, "arm": 2}
 
+# Live-set budget for the batch tile, in f32 elements: the kernel's
+# per-tile intermediates scale with (T*F + hidden) * tb (the hyper
+# output slab h dominates, plus hidden activations and the bf16 split
+# copies). The flagship (T*F=138, h=64) and MINIBOONE/digits-shaped
+# (T*F<=1472, h=64) configs are validated at tb=1024; a D=64 hidden-256
+# config ((1472+768)*1024 = 2.3M) killed the compile service — shrink
+# the tile until the estimate fits (tools/tpu_validate_r38/r39.py).
+_VMEM_TILE_BUDGET = 2_000_000
+
+
+def _density_tb(flat_params, layout):
+    rows_last, rows_hidden = 0, 0
+    idx = 0
+    for entry in layout:
+        if entry[0] != "ar":
+            continue
+        _, n_lin, _ = entry
+        for i in range(n_lin):
+            W = flat_params[idx + 3 * i]
+            if i == n_lin - 1:
+                rows_last = max(rows_last, W.shape[0])
+            else:
+                rows_hidden = max(rows_hidden, W.shape[0])
+        idx += 3 * n_lin
+    live = rows_last + 3 * rows_hidden
+    tb = _TB
+    while tb > 128 and live * tb > _VMEM_TILE_BUDGET:
+        tb //= 2
+    return tb
+
 
 def _pad_features(flat_params, layout, F, C, Fp, T):
     """Insert ``Fp - F`` inert pad features so every (F, TB) slab the
@@ -1231,7 +1261,8 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
             return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
         return out.T.reshape(z.shape)
 
-    pad = (-n) % _TB
+    tb = _density_tb(flat_params, layout)
+    pad = (-n) % tb
     if pad:
         zc = jnp.pad(zc, ((0, pad), (0, 0)))
     m = zc.shape[0]
@@ -1267,8 +1298,8 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
 
     if want_log_prob:
         out_specs = (
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         )
         out_shape = (
             jax.ShapeDtypeStruct((F, m), dtype),
@@ -1276,7 +1307,7 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         )
     else:
         out_specs = pl.BlockSpec(
-            (F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+            (F, tb), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((F, m), dtype)
 
@@ -1286,9 +1317,9 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
             slope=slope, n_params=n_params, want_log_prob=want_log_prob,
             univ=univ, base=base, realF=realF,
         ),
-        grid=(m // _TB,),
+        grid=(m // tb,),
         in_specs=[
-            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=out_specs,
@@ -1392,7 +1423,8 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
         )[0, :].reshape(batch_shape)
 
     n = xf.shape[0]
-    pad = (-n) % _TB
+    tb = _density_tb(flat_params, layout)
+    pad = (-n) % tb
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     m = xf.shape[0]
@@ -1434,13 +1466,13 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
             slope=slope, n_params=n_params, univ=univ, base=base,
             realF=realF,
         ),
-        grid=(m // _TB,),
+        grid=(m // tb,),
         in_specs=[
-            pl.BlockSpec((F + C, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+            (1, tb), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, m), xc.dtype),
         compiler_params=_compiler_params(),
