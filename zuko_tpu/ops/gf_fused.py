@@ -222,9 +222,10 @@ def _dot_rot(R, x):
     )
 
 
-def _gauss_mean_F(x, shift, scale, K):
+def _gauss_mean_F(x, shift, scale, K, want_deriv=True):
     """m(x) = (1-eps) mean_i erf((s_i x + b_i)/sqrt 2) and the un-normalized
-    derivative sum S = sum_i s_i exp(-(s_i x + b_i)^2 / 2), both (F, TB)."""
+    derivative sum S = sum_i s_i exp(-(s_i x + b_i)^2 / 2), both (F, TB).
+    ``want_deriv=False`` skips S (the coarse bisection only compares m)."""
     m = None
     S = None
     for i in range(K):
@@ -232,8 +233,9 @@ def _gauss_mean_F(x, shift, scale, K):
         z = s * x + shift[:, i : i + 1]
         e = _erf(z * _INV_SQRT2)
         m = e if m is None else m + e
-        q = s * jnp.exp(-0.5 * z * z)
-        S = q if S is None else S + q
+        if want_deriv:
+            q = s * jnp.exp(-0.5 * z * z)
+            S = q if S is None else S + q
     return m * ((1.0 - _EPS_GF) / K), S
 
 
@@ -275,7 +277,14 @@ def _gf_math_T(xT, flat_params, layout, F):
 
 
 # bisection count: MonotonicTransform's bound=10/eps=1e-6 bracket plus the
-# newton_bisection safety margin (zuko_tpu/transforms.py MonotonicTransform)
+# newton_bisection safety margin (zuko_tpu/transforms.py MonotonicTransform).
+# A coarse/fine (11-iter + analytic-Newton) variant was A/B'd on hardware
+# and REJECTED (tools/tpu_validate_r40.py): it was ~15% slower AND its
+# clipped Newton steps in the saturated tails produced log q
+# self-consistency outliers of ~10 nats (erf-mixture plateaus leave
+# Newton no slope to work with) — the full even-subdivision bracket is
+# both the fast and the robust solver here, unlike the NAF/UNAF nets
+# whose evaluations are expensive enough for coarse/fine to win.
 _GF_BOUND = 10.0
 _GF_N_ITER = int(math.ceil(math.log2(2 * _GF_BOUND / 1e-6))) + 4
 
@@ -285,14 +294,15 @@ def _gauss_inverse_F(y, shift, scale, K):
     m(x) = erf(y / sqrt 2), and erf is monotone, so comparing m(mid) against
     the erf-space target makes the same accept/reject decisions as the
     reference's f-space bisection (zuko/transforms.py:609-617) without an
-    erfinv per iterate."""
+    erfinv per iterate. The derivative exponentials are skipped per
+    iterate (only the density path needs S)."""
     target = _erf(y * _INV_SQRT2)
 
     # rolled lax loop — a Python unroll bloats the Mosaic program ~30x
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        m, _ = _gauss_mean_F(mid, shift, scale, K)
+        m, _ = _gauss_mean_F(mid, shift, scale, K, want_deriv=False)
         go_right = m < target
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid)
