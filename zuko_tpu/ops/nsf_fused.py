@@ -1393,6 +1393,13 @@ def _fused_fwd(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
     return out, (xc, flat_params)
 
 
+# Backward row-chunk size: the same big-batch observation as the forward
+# guard (smaller XLA programs pipeline ~10% better) and the same safety
+# argument (the backward math was verified clean at 65536, but chunked
+# programs sit squarely in the validated shape class).
+_BWD_CHUNK = 8192
+
+
 def _fused_bwd(layout, F, C, K, bound, slope, univ, base, res, g):
     xc, flat_params = res
 
@@ -1402,6 +1409,34 @@ def _fused_bwd(layout, F, C, K, bound, slope, univ, base, res, g):
         return _full_math_T(
             xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ, base
         )[0, :].reshape(xc.shape[:-1])
+
+    rows = math.prod(xc.shape[:-1]) if xc.ndim > 1 else 1
+    if (
+        rows > _BWD_CHUNK
+        and jax.default_backend() not in ("cpu", "gpu")
+    ):
+        flat_x = xc.reshape(rows, F + C)
+        flat_g = g.reshape(rows)
+        n_chunks = -(-rows // _BWD_CHUNK)
+        pad = n_chunks * _BWD_CHUNK - rows
+        if pad:  # zero cotangent on the pad rows: no gradient contribution
+            flat_x = jnp.concatenate([flat_x, flat_x[:pad]], axis=0)
+            flat_g = jnp.concatenate(
+                [flat_g, jnp.zeros((pad,), flat_g.dtype)], axis=0)
+        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, F + C)
+        gch = flat_g.reshape(n_chunks, _BWD_CHUNK)
+
+        def one(chunk):
+            xcc, gc = chunk
+            _, vjp = jax.vjp(ref_math, xcc, flat_params)
+            return vjp(gc)
+
+        dx_ch, dfp_ch = jax.lax.map(one, (xch, gch))
+        dxc = dx_ch.reshape(n_chunks * _BWD_CHUNK, F + C)
+        dxc = dxc[:rows].reshape(xc.shape)
+        dfp = jax.tree_util.tree_map(
+            lambda a: jnp.sum(a, axis=0), dfp_ch)
+        return (dxc, *dfp)
 
     _, vjp = jax.vjp(ref_math, xc, flat_params)
     dxc, dfp = vjp(g)
