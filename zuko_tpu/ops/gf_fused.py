@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .nsf_fused import (
+    _BWD_CHUNK,
     _TB,
     FusedStructureError,
     _log_ladj,
@@ -392,6 +393,31 @@ def _gf_bwd(layout, F, res, g):
     def ref_math(x, fp):
         xf = x.reshape(-1, F)
         return _gf_math_T(xf.T, list(fp), layout, F)[0, :].reshape(x.shape[:-1])
+
+    # row-chunked backward on TPU (same reasoning and ~15% pipelining win
+    # as the NSF backward, nsf_fused._fused_bwd / tpu_validate_r42)
+    rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
+    if rows > _BWD_CHUNK and jax.default_backend() not in ("cpu", "gpu"):
+        flat_x = x.reshape(rows, F)
+        flat_g = g.reshape(rows)
+        n_chunks = -(-rows // _BWD_CHUNK)
+        pad = n_chunks * _BWD_CHUNK - rows
+        if pad:  # zero cotangent on pad rows: no gradient contribution
+            flat_x = jnp.concatenate([flat_x, flat_x[:pad]], axis=0)
+            flat_g = jnp.concatenate(
+                [flat_g, jnp.zeros((pad,), flat_g.dtype)], axis=0)
+        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, F)
+        gch = flat_g.reshape(n_chunks, _BWD_CHUNK)
+
+        def one(chunk):
+            xcc, gc = chunk
+            _, vjp = jax.vjp(ref_math, xcc, flat_params)
+            return vjp(gc)
+
+        dx_ch, dfp_ch = jax.lax.map(one, (xch, gch))
+        dx = dx_ch.reshape(n_chunks * _BWD_CHUNK, F)[:rows].reshape(x.shape)
+        dfp = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dfp_ch)
+        return (dx, *dfp)
 
     _, vjp = jax.vjp(ref_math, x, flat_params)
     dx, dfp = vjp(g)
