@@ -115,7 +115,12 @@ class FusedDensityFlow(NormalizingFlow):
 class FusedCouplingFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose density runs through the fused
     coupling (NICE/RealNVP) math; sampling keeps the XLA path (coupling
-    inversion is two sweeps — already cheap under XLA)."""
+    inversion is two sweeps — already cheap under XLA), but at HIGHEST
+    matmul precision: coupling ladjs are direct functions of the hyper
+    output (no constraint pipeline to absorb rounding), so a 1-pass
+    inverse solves a ~1e-3-perturbed transform and the reported log q
+    then disagrees with the exact-precision density by the z-mismatch
+    (the NSF r11 lesson, tools/tpu_regression.py)."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -124,6 +129,17 @@ class FusedCouplingFlow(NormalizingFlow):
 
     def log_prob(self, x):
         return fused_nice_log_prob(self._module, x, self._c)
+
+    def sample(self, key, sample_shape=()):
+        with jax.default_matmul_precision("highest"):
+            return super().sample(key, sample_shape)
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        with jax.default_matmul_precision("highest"):
+            x = super().sample(key, sample_shape)
+        return x, self.log_prob(x)
+
+    rsample_and_log_prob = sample_and_log_prob
 
 
 class FusedContinuousFlow(NormalizingFlow):

@@ -1617,8 +1617,13 @@ def _coupling_math_T(xT, flat_params, layout, F, K, bound, slope, cT, univ,
         Fb = len(idx_b)
         x_a = jnp.concatenate([xT[f : f + 1, :] for f in idx_a], axis=0)
         x_b = jnp.concatenate([xT[f : f + 1, :] for f in idx_b], axis=0)
+        # density hypers run f32-exact: this path is jnp (XLA, not Mosaic),
+        # so HIGHEST is available, and coupling ladjs are DIRECT functions
+        # of h (no softmax pipeline to absorb matmul rounding — split3 left
+        # 5.6e-4 median vs the CPU reference, tools/tpu_regression.py)
         h = _mlp_T(x_a, cT, ps,
-                   precision=None if inverse else _DENSITY_HYPER_PREC)
+                   precision=None if inverse
+                   else jax.lax.Precision.HIGHEST)
 
         if inverse:
             out_b = _univ_inverse_F(x_b, h, Fb, K, bound, slope, univ)
