@@ -15,7 +15,7 @@ import pytest
 from zuko_tpu import combine, partition
 from zuko_tpu.core import named_parameters
 from zuko_tpu.distributions import DiagNormal, NormalizingFlow
-from zuko_tpu.flows import MAF, NICE, NSF
+from zuko_tpu.flows import MAF, NAF, NICE, NSF, UNAF
 from zuko_tpu.lazy import Flow, UnconditionalDistribution
 from zuko_tpu.ops.dispatch import (
     FusedAutoregressiveFlow,
@@ -838,3 +838,19 @@ def test_checkpoint_roundtrip_keeps_fused_path(key, dispatch_on, tmp_path):
     assert type(d) is FusedAutoregressiveFlow
     x = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
     assert jnp.allclose(d.log_prob(x), flow(None).log_prob(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("cls", [NAF, UNAF])
+def test_naf_fused_sample_and_log_prob(cls, key, dispatch_on):
+    r"""Fused NAF/UNAF sample_and_log_prob: log q computed analytically at
+    the solved x (monotone-net derivative; FTC integrand point for UMNN)
+    must agree with the flow's density. UMNN tolerance reflects the
+    method difference: the density path differentiates the GL-32
+    quadrature (node-motion terms included), the fused ladj IS the true
+    derivative g(x)."""
+    flow = cls(4, transforms=2, signal=12, key=key)
+    d = flow(None)
+    x, lq = d.sample_and_log_prob(jax.random.PRNGKey(7), (128,))
+    lp = d.log_prob(x)
+    tol = 1e-10 if cls is NAF else 1e-4
+    assert jnp.abs(lq - lp).max() < tol, jnp.abs(lq - lp).max()

@@ -221,6 +221,13 @@ class FusedNeuralSamplingFlow(NormalizingFlow):
     def sample(self, key, sample_shape=()):
         return fused_naf_sample(self._module, key, sample_shape, c=self._c)
 
+    def sample_and_log_prob(self, key, sample_shape=()):
+        # fused log q: forward ladj evaluated analytically at the solved x
+        # (one extra exact net evaluation per layer — no autograd pass)
+        return fused_naf_sample(
+            self._module, key, sample_shape, c=self._c, want_log_prob=True
+        )
+
     def rsample(self, key, sample_shape=()):
         return NormalizingFlow.sample(self, key, sample_shape)
 

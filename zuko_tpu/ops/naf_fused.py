@@ -42,6 +42,8 @@ from .nsf_fused import (
     _dot_split3,
     _extract_mlp_linears,
     _hyper_T,
+    _log1p_ladj,
+    _log_ladj,
     _require_standard_base,
     _use_pallas_fused,
 )
@@ -449,14 +451,15 @@ def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
     return val, jnp.concatenate(gs, axis=0)
 
 
-def _ar_inverse_sweeps_T(y, cT, st, F, S):
+def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
     """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
     ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
     inside each sweep, a fixed-count bisection solves every feature's
     monotone univariate at once (reference per-element solve:
     zuko/transforms.py:609-617) with the net weights resident. For UMNN the
     target is shifted by the per-feature additive constant
-    (reference: zuko/flows/neural.py:106-118)."""
+    (reference: zuko/flows/neural.py:106-118). With ``want_ladj`` also
+    returns the FORWARD ladj slab (F, TB) at the solved x."""
     made = []
     for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
         made += [W, b, M]
@@ -529,22 +532,59 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S):
 
         return jax.lax.fori_loop(0, _N_NEWTON, newton_body, 0.5 * (lo + hi))
 
-    return jax.lax.fori_loop(
+    x = jax.lax.fori_loop(
         0, min(st["passes"], F), sweep_body, jnp.zeros_like(y)
     )
+    if not want_ladj:
+        return x
+
+    # forward ladj at the SOLVED x under its true hyper output: one extra
+    # exact evaluation — the monotone-net derivative g IS the per-feature
+    # Jacobian (for UMNN by the fundamental theorem, the additive constant
+    # has zero derivative). Reference ladj: zuko/transforms.py:623-637
+    # (autograd through the forward), computed here analytically.
+    h = _hyper_T(x, cT, made, precision=jax.lax.Precision.HIGHEST)
+    sig_all = jnp.concatenate(
+        [h[f * T : f * T + S, :] for f in range(F)], axis=0
+    )
+    pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+    _, g = f_vg(x, pre1, w1x, mono_w, mono_b, F)
+    return x, _log_ladj(g)
 
 
-def _naf_sample_math_T(zT, cT, stages, F, S):
+def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False):
     """Whole-flow NAF inversion on a (F, TB) tile: softclip inverses
-    elementwise, AR layers via sweep + bisection."""
+    elementwise, AR layers via sweep + bisection. With ``want_log_prob``
+    also returns ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) —
+    the fused reverse-KL quantity (reference: zuko/distributions.py:129-138;
+    the extractor pins a standard-normal base)."""
+    acc = None
+    if want_log_prob:
+        acc = -0.5 * jnp.sum(zT * zT, axis=0, keepdims=True) \
+            - 0.5 * zT.shape[0] * math.log(2.0 * math.pi)
+
     y = zT
     for kind, st in reversed(stages):
         if kind == "softclip":
             B = st
             # inverse of x / (1 + |x/B|) (reference: zuko/transforms.py:286-316)
-            y = y / (1.0 - jnp.abs(y / B))
+            x = y / (1.0 - jnp.abs(y / B))
+            if want_log_prob:
+                # forward ladj of softclip at x: -2 log1p(|x / B|)
+                acc = acc - 2.0 * jnp.sum(
+                    _log1p_ladj(jnp.abs(x / B)), axis=0, keepdims=True
+                )
+            y = x
         else:
-            y = _ar_inverse_sweeps_T(y, cT, st, F, S)
+            if want_log_prob:
+                x, ladj = _ar_inverse_sweeps_T(y, cT, st, F, S,
+                                               want_ladj=True)
+                acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
+                y = x
+            else:
+                y = _ar_inverse_sweeps_T(y, cT, st, F, S)
+    if want_log_prob:
+        return y, acc
     return y
 
 
@@ -605,21 +645,32 @@ def _rebuild_stages(flat, layout):
     return stages
 
 
-def _naf_kernel_T(*refs, layout, F, C, S, n_params):
+def _naf_kernel_T(*refs, layout, F, C, S, n_params, want_log_prob=False):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
-    out_ref = refs[1 + n_params]
 
     zT = z_ref[:F, :]
     cT = z_ref[F : F + C, :] if C else None
     stages = _rebuild_stages([r[:] for r in param_refs], layout)
-    out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S)
+    if want_log_prob:
+        out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
+        x, lp = _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=True)
+        out_ref[:F, :] = x
+        lp_ref[:, :] = lp
+    else:
+        out_ref = refs[1 + n_params]
+        out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S)
 
 
-def fused_naf_sample(flow, key, sample_shape, c=None):
+def fused_naf_sample(flow, key, sample_shape, c=None,
+                     want_log_prob: bool = False):
     r"""Draw samples from a NAF with one fused kernel per batch tile: every
     autoregressive sweep, every bisection iterate, and every monotone-net
     evaluation runs with the weights pinned in VMEM (jnp fallback off-TPU).
+    With ``want_log_prob`` also returns ``log q(x)`` — the fused reverse-KL
+    quantity, with the forward ladj evaluated analytically at the solved x
+    (the monotone-net derivative; reference gets it by autograd,
+    zuko/transforms.py:623-637).
 
     Sampling only (no gradients) — use ``rsample`` on the flow for the
     differentiable path.
@@ -658,7 +709,11 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
     if not _use_pallas_fused(dtype):
         cT = zc[:, F:].T if C else None
         stages2 = _rebuild_stages(list(flat_params), layout)
-        out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S)
+        out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S,
+                                 want_log_prob=want_log_prob)
+        if want_log_prob:
+            x, lp = out
+            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
         return out.T.reshape(z.shape)
 
     pad = (-n) % tb
@@ -674,20 +729,40 @@ def fused_naf_sample(flow, key, sample_shape, c=None):
         for p in flat_params
     ]
 
+    if want_log_prob:
+        out_specs = (
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((F, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (F, tb), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((F, m), dtype)
+
     out = pl.pallas_call(
         functools.partial(
-            _naf_kernel_T, layout=layout, F=F, C=C, S=S, n_params=n_params
+            _naf_kernel_T, layout=layout, F=F, C=C, S=S, n_params=n_params,
+            want_log_prob=want_log_prob,
         ),
         grid=(m // tb,),
         in_specs=[
             pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (F, tb), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((F, m), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(zc.T, *flat_params)
+
+    if want_log_prob:
+        x, lp = out
+        x = x.T[:n] if pad else x.T
+        lp = lp[0, :n] if pad else lp[0, :]
+        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
 
     out = out.T[:n] if pad else out.T
     return out.reshape(z.shape)
