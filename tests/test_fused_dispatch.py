@@ -854,3 +854,40 @@ def test_naf_fused_sample_and_log_prob(cls, key, dispatch_on):
     lp = d.log_prob(x)
     tol = 1e-10 if cls is NAF else 1e-4
     assert jnp.abs(lq - lp).max() < tol, jnp.abs(lq - lp).max()
+
+
+@pytest.mark.parametrize("cls", [NAF, UNAF])
+def test_naf_fused_density(cls, key, dispatch_on):
+    r"""Fused NAF/UNAF density: forward monotone-net evaluation with
+    analytic ladjs (no jvp) must match the XLA path, values and
+    gradients (NAF exactly; UMNN to the quadrature-derivative method
+    difference)."""
+    flow = cls(4, transforms=2, signal=12, key=key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 4))
+    lp = flow(None).log_prob(x)
+
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(None).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    tol = 1e-10 if cls is NAF else 1e-4
+    assert jnp.abs(lp - lp_ref).max() < tol, jnp.abs(lp - lp_ref).max()
+
+    params, static = partition(flow)
+
+    def loss(p):
+        return -jnp.mean(combine(p, static)(None).log_prob(x))
+
+    g_fused = jax.grad(loss)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref = jax.grad(loss)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    for (n, a), (_, b) in zip(
+        named_parameters(g_fused), named_parameters(g_ref)
+    ):
+        assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())

@@ -36,7 +36,11 @@ from .cnf_fused import (
     fused_cnf_sample,
 )
 from .gf_fused import extract_gf_params, fused_gf_log_prob, fused_gf_sample
-from .naf_fused import extract_naf_params, fused_naf_sample
+from .naf_fused import (
+    extract_naf_params,
+    fused_naf_log_prob,
+    fused_naf_sample,
+)
 from .nsf_fused import (
     FusedStructureError,
     extract_coupling_params,
@@ -210,13 +214,18 @@ class FusedNeuralSamplingFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose (non-differentiable) ``sample`` runs
     through the fused NAF inversion kernel — the reference's single worst
     hot loop, ~25 bisection steps × monotone-net evals per feature per sweep
-    (reference: zuko/transforms.py:609-617). Density and ``rsample`` keep
-    the XLA path."""
+    (reference: zuko/transforms.py:609-617) — and whose density runs the
+    fused forward kernel with ANALYTIC log-Jacobians (the monotone-net
+    derivative / UMNN integrand point) instead of the XLA path's jvp.
+    ``rsample`` keeps the differentiable XLA path."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
         self._module = module
         self._c = c
+
+    def log_prob(self, x):
+        return fused_naf_log_prob(self._module, x, self._c)
 
     def sample(self, key, sample_shape=()):
         return fused_naf_sample(self._module, key, sample_shape, c=self._c)

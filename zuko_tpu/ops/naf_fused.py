@@ -48,7 +48,7 @@ from .nsf_fused import (
     _use_pallas_fused,
 )
 
-__all__ = ["extract_naf_params", "fused_naf_sample"]
+__all__ = ["extract_naf_params", "fused_naf_log_prob", "fused_naf_sample"]
 
 _TB = 1024
 
@@ -552,6 +552,51 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
     return x, _log_ladj(g)
 
 
+def _naf_density_math_T(xT, cT, stages, F, S):
+    """Whole-flow NAF/UNAF density on a (F, TB) tile — the FORWARD
+    direction needs no solver: one monotone-net evaluation per feature
+    per layer gives both the value and, analytically, the ladj (the net
+    derivative; for UMNN the integrand point, by the fundamental
+    theorem). The reference computes the ladj by autograd through the
+    forward (zuko/transforms.py:623-637)."""
+    acc = None
+    y = xT
+    for kind, st in stages:
+        if kind == "softclip":
+            B = st
+            q = jnp.abs(y / B)
+            ladj = -2.0 * jnp.sum(_log1p_ladj(q), axis=0, keepdims=True)
+            y = y / (1.0 + q)
+            acc = ladj if acc is None else acc + ladj
+            continue
+        made = []
+        for W, b, M in zip(st["made_w"], st["made_b"], st["made_m"]):
+            made += [W, b, M]
+        kind2 = st.get("kind", "mnn")
+        T = S if kind2 == "mnn" else S + 1
+        f_vg = _mono_vg_hoisted if kind2 == "mnn" else _umnn_vg_hoisted
+        mono_w, mono_b = st["mono_w"], st["mono_b"]
+
+        h = _hyper_T(y, cT, made, precision=jax.lax.Precision.HIGHEST)
+        sig_all = jnp.concatenate(
+            [h[f * T : f * T + S, :] for f in range(F)], axis=0
+        )
+        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+        val, g = f_vg(y, pre1, w1x, mono_w, mono_b, F)
+        if kind2 == "umnn":
+            consts = jnp.concatenate(
+                [h[f * T + S : f * T + S + 1, :] for f in range(F)], axis=0
+            )
+            val = val + consts
+        y = val
+        ladj = jnp.sum(_log_ladj(g), axis=0, keepdims=True)
+        acc = ladj if acc is None else acc + ladj
+
+    lp = -0.5 * jnp.sum(y * y, axis=0, keepdims=True) \
+        - 0.5 * F * math.log(2.0 * math.pi)
+    return lp if acc is None else lp + acc
+
+
 def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False):
     """Whole-flow NAF inversion on a (F, TB) tile: softclip inverses
     elementwise, AR layers via sweep + bisection. With ``want_log_prob``
@@ -660,6 +705,142 @@ def _naf_kernel_T(*refs, layout, F, C, S, n_params, want_log_prob=False):
     else:
         out_ref = refs[1 + n_params]
         out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S)
+
+
+def _naf_density_kernel_T(*refs, layout, F, C, S, n_params):
+    x_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    out_ref = refs[1 + n_params]
+
+    xT = x_ref[:F, :]
+    cT = x_ref[F : F + C, :] if C else None
+    stages = _rebuild_stages([r[:] for r in param_refs], layout)
+    out_ref[:, :] = _naf_density_math_T(xT, cT, stages, F, S)
+
+
+class _NafCfg:
+    """Hashable static config for the density custom_vjp."""
+
+    def __init__(self, layout, F, C, S):
+        self.layout, self.F, self.C, self.S = layout, F, C, S
+        self._key = (layout, F, C, S)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _NafCfg) and self._key == other._key
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _naf_density_op(cfg, xc, *flat_params):
+    return _naf_density_impl(cfg, xc, *flat_params)
+
+
+def _naf_density_fwd(cfg, xc, *flat_params):
+    return _naf_density_impl(cfg, xc, *flat_params), (xc, flat_params)
+
+
+def _naf_density_bwd(cfg, res, g):
+    xc, flat_params = res
+    F, C, S = cfg.F, cfg.C, cfg.S
+
+    def ref_math(xc, fp):
+        xf = xc.reshape(-1, F + C)
+        cT = xf[:, F:].T if C else None
+        stages = _rebuild_stages(list(fp), cfg.layout)
+        return _naf_density_math_T(
+            xf[:, :F].T, cT, stages, F, S
+        )[0, :].reshape(xc.shape[:-1])
+
+    _, vjp = jax.vjp(ref_math, xc, flat_params)
+    dxc, dfp = vjp(g)
+    return (dxc, *dfp)
+
+
+_naf_density_op.defvjp(_naf_density_fwd, _naf_density_bwd)
+
+
+def _naf_density_impl(cfg, xc, *flat_params):
+    layout, F, C, S = cfg.layout, cfg.F, cfg.C, cfg.S
+    batch_shape = xc.shape[:-1]
+    xf = xc.reshape(-1, F + C)
+
+    if not _use_pallas_fused(xc.dtype):
+        cT = xf[:, F:].T if C else None
+        stages = _rebuild_stages(list(flat_params), layout)
+        return _naf_density_math_T(
+            xf[:, :F].T, cT, stages, F, S
+        )[0, :].reshape(batch_shape)
+
+    tb = _TB
+    while tb > 128 and F * tb > 8 * _TB:
+        tb //= 2
+    if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
+        tb = min(tb, 512)
+
+    n = xf.shape[0]
+    pad = (-n) % tb
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(
+            p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for p in flat_params
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _naf_density_kernel_T, layout=layout, F=F, C=C, S=S,
+            n_params=n_params,
+        ),
+        grid=(m // tb,),
+        in_specs=[
+            pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tb), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, m), xc.dtype),
+    )(xf.T, *flat_params)
+
+    out = out[0, :]
+    if pad:
+        out = out[:n]
+    return out.reshape(batch_shape)
+
+
+def fused_naf_log_prob(flow, x, c=None):
+    r"""``flow(c).log_prob(x)`` for a NAF/UNAF with the whole forward pass
+    fused per batch tile: per-feature monotone-net evaluations with
+    ANALYTIC log-Jacobians (the net derivative / the UMNN integrand point)
+    instead of the XLA path's jvp. Differentiable via a custom VJP whose
+    backward runs the identical jnp math."""
+    stages, cfg = extract_naf_params(flow)
+    F, S = cfg["features"], cfg["signal"]
+    flat_params, layout = _stage_layout(stages, F, S)
+
+    x = jnp.asarray(x)
+    if x.shape[-1] != F:
+        raise FusedStructureError(
+            f"x has {x.shape[-1]} features, flow has {F}"
+        )
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        xb = jnp.broadcast_shapes(x.shape[:-1], c.shape[:-1])
+        x = jnp.broadcast_to(x, xb + (F,))
+        c = jnp.broadcast_to(c, xb + (C,)).astype(x.dtype)
+        xc = jnp.concatenate([x, c], axis=-1)
+    else:
+        C = 0
+        xc = x
+
+    return _naf_density_op(_NafCfg(layout, F, C, S), xc, *flat_params)
 
 
 def fused_naf_sample(flow, key, sample_shape, c=None,
