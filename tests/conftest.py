@@ -23,12 +23,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: compile times dominate on this host, and the
-# cache makes repeated suite runs cheap. (Safe only for locally-compiled CPU
+# Persistent compilation cache: DISABLED for the battery. A cross-test cache
+# interaction segfaulted deserialization (jax compilation_cache.py:238,
+# deterministic at the same test position, fresh cache dir included) once the
+# round-2 kernel programs landed — and round 1 already saw silently-wrong
+# numerics from cache misuse. Stability beats the few saved minutes; compile
+# times within one run are unaffected (in-process jit cache).
+# (Safe-usage notes kept for reference; re-enable only with a fresh dir and
+# a green full battery.)
 # executables — the platform is forced to cpu above.)
-jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_jax_cache")
+# jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 

@@ -391,8 +391,7 @@ def test_unaf_fused_sampling_matches_xla(key, dispatch_on):
 @pytest.mark.parametrize("cls", ["SOSPF", "BPF"])
 def test_polynomial_fused_density(cls, key, dispatch_on):
     r"""SOSPF/BPF densities dispatch through the fused AR kernel
-    (density-only: the polynomial inverses are iterative solves, so sampling
-    keeps the XLA path). Reference univariates: zuko/transforms.py:927-963
+    and sample through the fused iterative inverse. Reference univariates: zuko/transforms.py:927-963
     (SOSP) and :780-831 (bounded Bernstein), recipes
     zuko/flows/polynomial.py:32-117."""
     import os
@@ -419,11 +418,11 @@ def test_polynomial_fused_density(cls, key, dispatch_on):
     assert lp.shape == lp_ref.shape == (64,)
     assert jnp.allclose(lp, lp_ref, atol=1e-8), jnp.abs(lp - lp_ref).max()
 
-    # sampling keeps the XLA path (bit-identical) and fused sampling rejects
+    # sampling now runs the fused iterative inverse (coarse bisection +
+    # free-derivative Newton) — solver-tolerance parity with the XLA
+    # newton_bisection path
     s = d.sample(ks, (8,))
-    assert jnp.allclose(s, s_ref, atol=0.0)
-    with pytest.raises(FusedStructureError):
-        fused_nsf_sample(flow, ks, (8,))
+    assert jnp.allclose(s, s_ref, atol=1e-5), jnp.abs(s - s_ref).max()
 
     # gradients through the dispatched density equal the XLA path
     params, static = partition(flow)
@@ -891,3 +890,30 @@ def test_naf_fused_density(cls, key, dispatch_on):
         named_parameters(g_fused), named_parameters(g_ref)
     ):
         assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())
+
+
+@pytest.mark.parametrize("cls_name", ["SOSPF", "BPF"])
+def test_polynomial_fused_sampling(cls_name, key, dispatch_on):
+    r"""Fused polynomial (SOSPF/BPF) sampling: coarse bisection + Newton
+    with the free analytic derivative (the forward's own log f') must
+    match the XLA newton_bisection path to solver tolerance, and the
+    fused log q must match the fused density."""
+    import zuko_tpu.flows as zf
+
+    cls = getattr(zf, cls_name)
+    flow = cls(4, transforms=2, key=key)
+    d = flow(None)
+    ks = jax.random.PRNGKey(7)
+    x = d.sample(ks, (128,))
+
+    import os
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        x_ref = flow(None).sample(ks, (128,))
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.abs(x - x_ref).max() < 1e-5, jnp.abs(x - x_ref).max()
+
+    xs, lq = d.sample_and_log_prob(ks, (128,))
+    assert jnp.abs(lq - d.log_prob(xs)).max() < 1e-10

@@ -102,10 +102,11 @@ class FusedAutoregressiveFlow(NormalizingFlow):
 
 
 class FusedDensityFlow(NormalizingFlow):
-    r"""A :class:`NormalizingFlow` whose density runs through the fused
-    whole-flow AR kernel but whose sampling keeps the XLA path — the
-    polynomial families (SOSPF/BPF), whose univariate inverses are iterative
-    solves the density kernel does not carry."""
+    r"""A :class:`NormalizingFlow` for the polynomial families (SOSPF/BPF):
+    density through the fused whole-flow AR kernel, sampling through the
+    fused iterative inverse (coarse bisection + free-derivative Newton —
+    the forward already returns log f'). ``rsample`` keeps the
+    differentiable XLA path."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -114,6 +115,20 @@ class FusedDensityFlow(NormalizingFlow):
 
     def log_prob(self, x):
         return fused_nsf_log_prob(self._module, x, self._c)
+
+    def sample(self, key, sample_shape=()):
+        return fused_nsf_sample(self._module, key, sample_shape, c=self._c)
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        return fused_nsf_sample(
+            self._module, key, sample_shape, c=self._c, want_log_prob=True
+        )
+
+    def rsample(self, key, sample_shape=()):
+        return NormalizingFlow.sample(self, key, sample_shape)
+
+    def rsample_and_log_prob(self, key, sample_shape=()):
+        return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
 class FusedCouplingFlow(NormalizingFlow):

@@ -669,17 +669,46 @@ def _univ_forward_F(x, h, F, K, bound, slope, univ):
     return _affine_F(x, h, F, slope, inverse=False)
 
 
+def _poly_inverse_F(y, h, F, K, bound, slope, univ):
+    """Iterative inverse for the polynomial univariates (SOSP/Bernstein):
+    coarse bisection on the exact forward, then Newton polish whose
+    derivative is FREE — the forward already returns ``log f'`` (the
+    NAF-solver recipe; reference solves per element with
+    ``newton_bisection``, zuko_tpu/transforms.py MonotonicTransform).
+    Out-of-range targets peg at ±bound, the reference's own bracket
+    behavior."""
+
+    def fwd(x):
+        return _univ_forward_F(x, h, F, K, bound, slope, univ)
+
+    n_coarse = int(math.ceil(math.log2(2.0 * bound / 1e-3)))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        fm, _ = fwd(mid)
+        go_right = fm < y
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+    lo = jnp.full_like(y, -bound)
+    hi = jnp.full_like(y, bound)
+    lo, hi = jax.lax.fori_loop(0, n_coarse, body, (lo, hi))
+
+    def newton(_, xn):
+        fv, ladj = fwd(xn)
+        step = (fv - y) * jnp.exp(-ladj)
+        return jnp.clip(xn - step, -bound, bound)
+
+    return jax.lax.fori_loop(0, 4, newton, 0.5 * (lo + hi))
+
+
 def _univ_inverse_F(y, h, F, K, bound, slope, univ):
     if univ == "rqs":
         return _spline_inverse_F(y, h, F, K, bound, slope)
     if univ == "crqs":
         return _circular_wrap(_spline_inverse_F(y, h, F, K, bound, slope), bound)
     if univ in ("sosp", "bernstein"):
-        # iterative inverses — density-only in the fused family; sampling
-        # falls back to the XLA newton_bisection path
-        raise FusedStructureError(
-            f"fused sampling does not support the {univ!r} univariate"
-        )
+        return _poly_inverse_F(y, h, F, K, bound, slope, univ)
     return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
@@ -1109,7 +1138,12 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
         # the base-log-prob term then disagrees with the density kernel by
         # ~1e-3 median (z-mismatch x |z|). Plain sampling keeps the 1-pass
         # sweeps: the rounding only perturbs draws statistically.
-        prec = _DENSITY_HYPER_PREC if want_log_prob else None
+        # Polynomial univariates always solve at HIGHEST — their ladj is
+        # the log of a squared polynomial of h (the density-path rule).
+        if univ in ("sosp", "bernstein"):
+            prec = jax.lax.Precision.HIGHEST
+        else:
+            prec = _DENSITY_HYPER_PREC if want_log_prob else None
         if tag == "ar":
             hyper = functools.partial(_hyper_T, precision=prec)
         else:
@@ -1216,11 +1250,6 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     """
     flat_params, layout, cfg = _flatten_flow(flow)
     K, univ = cfg["bins"], cfg["univ"]
-    if univ in ("sosp", "bernstein"):
-        raise FusedStructureError(
-            f"fused sampling does not support the {univ!r} univariate"
-            " (density-only); use the flow's XLA sampling path"
-        )
     bound, slope = cfg["bound"], cfg["slope"]
     base = cfg["base"]
     F = flat_params[0].shape[1]
@@ -1277,10 +1306,12 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         zc = _pad_feature_cols(zc, F, Fp)
         realF, F = F, Fp
 
-    if _PREMASK_SAMPLE:  # the solver sweeps otherwise redo M*W per iterate
+    if _PREMASK_SAMPLE and univ not in ("sosp", "bernstein"):
+        # the solver sweeps otherwise redo M*W per iterate.
         # reverse-KL solves run split3 (see _sample_math_T) — hoist the
         # bf16 hi/lo weight split out of the grid too ("cat", the r10
-        # density winner); plain sampling keeps dtype-preserving premask
+        # density winner); plain sampling keeps dtype-preserving premask.
+        # Polynomial univs keep the "ar" form (their sweeps run HIGHEST).
         mode = (
             "cat"
             if want_log_prob and _DENSITY_HYPER_PREC == "split3"
