@@ -9,6 +9,8 @@ Interpretation guide (PERF.md has the full contracts):
 - spline sampling: p99 ~1e-3 (1-pass solver sweeps); NCSF may flip rare
   circular-seam branches (dev == 2*pi exactly)
 - NAF/UNAF sampling: ~1e-5 vs the XLA-highest reference
+- SOSPF/BPF sampling: solver tolerance (~5e-6); SOSPF log q carries rare
+  bracket-pegged far-tail outliers
 - GF: quantile contract (saturated tails peg at +-bound on both paths)
 """
 
@@ -83,8 +85,8 @@ row("NSF", NSF(5, transforms=2, key=key))
 row("MAF", MAF(5, transforms=2, key=key))
 row("NCSF", NCSF(5, transforms=2, key=key), xscale=0.5)
 row("NICE", NICE(5, transforms=2, key=key))
-row("SOSPF", SOSPF(5, transforms=2, key=key), sample=False, logq=False)
-row("BPF", BPF(5, transforms=2, key=key), sample=False, logq=False)
+row("SOSPF", SOSPF(5, transforms=2, key=key))
+row("BPF", BPF(5, transforms=2, key=key))
 
 gf = GF(5, transforms=2, key=key)
 pg, sg = partition(gf)
