@@ -380,3 +380,25 @@ def test_fused_kernel_interpret_large_d(key):
         nf._use_pallas_fused = orig_gate
 
     assert jnp.abs(lp_k - lp_ref).max() < 1e-4, jnp.abs(lp_k - lp_ref).max()
+
+
+def test_bernstein_fused_inverse_extrapolation(key):
+    # targets beyond f(+-bound): the Bernstein transform linearly
+    # extrapolates there and the fused inverse must use the closed form
+    # (reference: zuko/transforms.py:640-777), not peg at the bracket
+    from zuko_tpu.flows import BPF
+    from zuko_tpu.ops import nsf_fused as nf
+
+    f = BPF(3, transforms=1, key=key)
+    fp, layout, cfg = nf._flatten_flow(f)
+    per = nf._split_layers(list(fp), layout)
+    _, ps, _ = [e for e in per if e[0] == "ar"][0]
+    h = nf._hyper_T(jnp.zeros((3, 8)), None, ps,
+                    precision=jax.lax.Precision.HIGHEST)
+    y = jnp.asarray([[30.0, -25.0, 40.0]]).T * jnp.ones((1, 8))
+    x = nf._poly_inverse_F(y, h, 3, cfg["bins"], cfg["bound"],
+                           cfg["slope"], "bernstein")
+    assert jnp.abs(x).max() > cfg["bound"]  # actually extrapolated
+    yy, _ = nf._univ_forward_F(x, h, 3, cfg["bins"], cfg["bound"],
+                               cfg["slope"], "bernstein")
+    assert jnp.abs(yy - y).max() < 1e-8

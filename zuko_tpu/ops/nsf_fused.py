@@ -699,7 +699,19 @@ def _poly_inverse_F(y, h, F, K, bound, slope, univ):
         step = (fv - y) * jnp.exp(-ladj)
         return jnp.clip(xn - step, -bound, bound)
 
-    return jax.lax.fori_loop(0, 4, newton, 0.5 * (lo + hi))
+    x = jax.lax.fori_loop(0, 4, newton, 0.5 * (lo + hi))
+
+    if univ == "bernstein":
+        # the Bernstein transform linearly EXTRAPOLATES outside [-B, B]
+        # with matching offset/slope, and the reference inverts that
+        # region in closed form (zuko/transforms.py:640-777) — match it
+        # instead of pegging at the bracket edge
+        ones = jnp.ones_like(y)
+        f_hi, ladj_hi = fwd(bound * ones)
+        f_lo, ladj_lo = fwd(-bound * ones)
+        x = jnp.where(y > f_hi, bound + (y - f_hi) * jnp.exp(-ladj_hi), x)
+        x = jnp.where(y < f_lo, -bound + (y - f_lo) * jnp.exp(-ladj_lo), x)
+    return x
 
 
 def _univ_inverse_F(y, h, F, K, bound, slope, univ):
