@@ -917,3 +917,23 @@ def test_polynomial_fused_sampling(cls_name, key, dispatch_on):
 
     xs, lq = d.sample_and_log_prob(ks, (128,))
     assert jnp.abs(lq - d.log_prob(xs)).max() < 1e-10
+
+
+def test_naf_fused_density_conditional(key, dispatch_on):
+    r"""Conditional NAF/UNAF fused density (context concatenated into the
+    MADE input, reference: zuko/flows/autoregressive.py:207-215)."""
+    for cls in (NAF, UNAF):
+        flow = cls(4, 3, transforms=2, signal=12, key=key)
+        c = jax.random.normal(jax.random.PRNGKey(5), (32, 3))
+        x = jax.random.normal(jax.random.PRNGKey(6), (32, 4))
+        lp = flow(c).log_prob(x)
+
+        import os
+
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+        try:
+            lp_ref = flow(c).log_prob(x)
+        finally:
+            os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+        tol = 1e-10 if cls is NAF else 1e-4
+        assert jnp.abs(lp - lp_ref).max() < tol
