@@ -32,7 +32,7 @@ def test_uci_digits_example(capsys):
 def test_serving_example(capsys):
     _run("examples/serving.py", ["--epochs", "1", "--score-rows", "4096"])
     out = capsys.readouterr().out
-    assert "round-trip exact" in out
+    assert "f32 round-trip" in out
 
 
 def test_vae_example(capsys):

@@ -82,6 +82,19 @@ def row(name, fl, B=4096, sample=True, logq=True, xscale=1.0):
 
 key = jax.random.PRNGKey(0)
 row("NSF", NSF(5, transforms=2, key=key))
+
+# args-form density (params as jit ARGUMENTS — the production calling
+# convention): must match the closure form; XLA's excess-precision
+# elision once zeroed the presplit low part here (r48)
+_f = NSF(5, transforms=2, key=key)
+_p, _s = partition(_f)
+_x = jax.random.normal(kx, (4096, 5))
+from zuko_tpu.ops.nsf_fused import fused_nsf_log_prob as _fnlp
+_la = np.asarray(jax.jit(
+    lambda p, v: _fnlp(combine(p, _s), v))(_p, _x))
+_lc = np.asarray(jax.jit(lambda v: _fnlp(_f, v))(_x))
+_d = np.abs(_la - _lc)
+print(f"NSF-args: vs closure max {_d.max():.1e} (expect ~0)", flush=True)
 row("MAF", MAF(5, transforms=2, key=key))
 row("NCSF", NCSF(5, transforms=2, key=key), xscale=0.5)
 row("NICE", NICE(5, transforms=2, key=key))

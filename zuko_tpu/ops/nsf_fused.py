@@ -914,6 +914,13 @@ def _presplit_params(flat_params, layout, mode):
                 kparams += [Wm, b]
                 continue
             Wh = Wm.astype(jnp.bfloat16)
+            # barrier: XLA's --xla_allow_excess_precision (set on this
+            # TPU stack) may ELIDE the f32->bf16->f32 round-trip when the
+            # params are runtime jit arguments, making Wl == 0 and
+            # silently degrading split3 to 1-pass accuracy (~2e-3 median
+            # — caught by the serving path's args-form deviating 70x from
+            # the closure form vs CPU truth, tools/tpu_validate_r48.py).
+            Wh = jax.lax.optimization_barrier(Wh)
             Wl = (Wm - Wh.astype(Wm.dtype)).astype(jnp.bfloat16)
             if tag == "ars":
                 kparams += [Wh, Wl, b]
