@@ -724,12 +724,19 @@ def _univ_inverse_F(y, h, F, K, bound, slope, univ):
     return _affine_F(y, h, F, slope, inverse=True)[0]
 
 
-def _dot_split3(A, x):
+def _dot_split3(A, x, barrier=False):
     """f32-faithful matmul in 3 explicit bf16 MXU passes: split both
     operands into bf16 hi + bf16 lo residual and drop only the lo*lo term
     (~2^-16 relative). Mosaic rejects ``Precision.HIGH`` (its 3-pass
     equivalent), so the split is spelled out; outside f32 it falls back to
-    an exact dot (the f64 test mode must stay f64)."""
+    an exact dot (the f64 test mode must stay f64).
+
+    ``barrier=True`` pins the hi parts with ``optimization_barrier`` —
+    REQUIRED in XLA-compiled contexts (the custom-VJP backward, the
+    non-Pallas fallback): XLA's allow-excess-precision mode otherwise
+    elides the f32->bf16->f32 round-trip and zeroes the residuals (the
+    r48 bug). Mosaic does not lower the barrier (and does not elide), so
+    in-kernel callers keep barrier=False."""
     if A.dtype != jnp.float32 or x.dtype != jnp.float32:
         return jnp.dot(
             A, x,
@@ -737,8 +744,11 @@ def _dot_split3(A, x):
             precision=jax.lax.Precision.HIGHEST,
         )
     Ah = A.astype(jnp.bfloat16)
-    Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
     xh = x.astype(jnp.bfloat16)
+    if barrier:
+        Ah = jax.lax.optimization_barrier(Ah)
+        xh = jax.lax.optimization_barrier(xh)
+    Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(a, b):
@@ -965,7 +975,7 @@ def _hyper_pre_T(xT, cT, ps, tag, precision=None):
     return h
 
 
-def _hyper_T(xT, cT, ps, precision=None):
+def _hyper_T(xT, cT, ps, precision=None, barrier=False):
     """Masked hyper-MLP in transposed layout: concat(x, c) -> phi (T*F, TB).
     (reference conditioning: zuko/flows/autoregressive.py:207-215).
 
@@ -978,7 +988,7 @@ def _hyper_T(xT, cT, ps, precision=None):
     for i in range(n):
         W, b, M = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
         if precision == "split3":
-            h = _dot_split3(M * W, h) + b[:, None]
+            h = _dot_split3(M * W, h, barrier=barrier) + b[:, None]
             if i < n - 1:
                 h = jnp.maximum(h, 0.0)
             continue
@@ -1050,7 +1060,7 @@ def _base_log_prob_T(zT, F, base, realF=None):
 
 
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
-                 univ="rqs", base=("normal",), realF=None):
+                 univ="rqs", base=("normal",), realF=None, barrier=False):
     """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
     # Density hyper matmuls run 3-pass bf16 (`_dot_split3`): the single
     # bf16 pass costs ~2e-3 median on the returned log-densities (measured
@@ -1070,7 +1080,8 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
         else:
             tag, ps, _ = entry
             if tag == "ar":
-                h = _hyper_T(xT, cT, ps, precision=precision)
+                h = _hyper_T(xT, cT, ps, precision=precision,
+                             barrier=barrier)
             else:
                 h = _hyper_pre_T(xT, cT, ps, tag)
             xT, ladj = _univ_forward_F(xT, h, F, K, bound, slope, univ)
@@ -1457,7 +1468,8 @@ def _fused_bwd(layout, F, C, K, bound, slope, univ, base, res, g):
         xf = xc.reshape(-1, F + C)
         cT = xf[:, F:].T if C else None
         return _full_math_T(
-            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ, base
+            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ,
+            base, barrier=True,
         )[0, :].reshape(xc.shape[:-1])
 
     rows = math.prod(xc.shape[:-1]) if xc.ndim > 1 else 1
@@ -1504,7 +1516,7 @@ def _fused_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
         cT = xf[:, F:].T if C else None
         return _full_math_T(
             xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
-            univ, base,
+            univ, base, barrier=True,
         )[0, :].reshape(batch_shape)
 
     n = xf.shape[0]
