@@ -767,20 +767,26 @@ class NormalizingFlow(Distribution):
             chunks = flat.reshape(
                 (n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:]
             )
-            if self._chunkable(self._log_prob_impl, chunks):
+            if self._chunkable(self._log_prob_impl, chunks, x):
                 out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
                 return out[:rows].reshape(batch)
         return self._log_prob_impl(x)
 
     @staticmethod
-    def _chunkable(fn, chunks):
+    def _chunkable(fn, chunks, full):
         """Whether ``fn`` traces on one chunk — a transform whose captured
         context carries the FULL batch (conditional flows through the
         regular path) cannot be row-chunked from outside; fall back to the
-        monolithic program for it."""
+        monolithic program for it. The MONOLITHIC trace must succeed too:
+        a captured context whose batch happens to equal the chunk size
+        would broadcast against every chunk (pairing the same context rows
+        with all of them) — the unchunked program raises a broadcast error
+        there, and chunking must not convert that error into silently
+        wrong numbers."""
         try:
             jax.eval_shape(fn, jax.ShapeDtypeStruct(
                 chunks.shape[1:], chunks.dtype))
+            jax.eval_shape(fn, jax.ShapeDtypeStruct(full.shape, full.dtype))
             return True
         except Exception:
             return False
@@ -822,7 +828,7 @@ class NormalizingFlow(Distribution):
         if pad:  # repeat leading rows (valid inputs, sliced off below)
             flat = jnp.concatenate([flat, flat[:pad]], axis=0)
         chunks = flat.reshape((n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:])
-        if not self._chunkable(fn, chunks):
+        if not self._chunkable(fn, chunks, z):
             return fn(z)
         out = jax.lax.map(fn, chunks)
 

@@ -39,6 +39,7 @@ except ImportError:  # pragma: no cover
 
 from .nsf_fused import (
     FusedStructureError,
+    _BWD_CHUNK,
     _dot_split3,
     _extract_mlp_linears,
     _hyper_T,
@@ -239,7 +240,7 @@ def _bake_abs(mono_w, kind):
     return [jnp.abs(W) for W in mono_w] if kind == "mnn" else list(mono_w)
 
 
-def _dot_hi(W, u, prec=jax.lax.Precision.HIGHEST):
+def _dot_hi(W, u, prec=jax.lax.Precision.HIGHEST, barrier=False):
     # Near-exact matmuls wherever the solve needs them — the default single
     # bf16 MXU pass shifts solved roots by ~1e-2 (measured on v5e). HIGH
     # (3-pass) is NOT lowerable by Mosaic ("Unsupported dot precision:
@@ -248,8 +249,12 @@ def _dot_hi(W, u, prec=jax.lax.Precision.HIGHEST):
     # shows it matches the 6-pass solve to ~1e-5 at 15-25% more throughput.
     # The coarse bisection phase passes prec=None (single fast pass): its
     # ~1e-2 noise floor is exactly what the Newton polish mops up.
+    # ``barrier=True`` is REQUIRED in XLA-compiled contexts (custom-VJP
+    # backward, the non-Pallas fallback): allow-excess-precision otherwise
+    # elides the bf16 round-trip and zeroes the split residuals (the r48
+    # class of bug, see nsf_fused._dot_split3). Mosaic callers keep False.
     if prec is jax.lax.Precision.HIGHEST:
-        return _dot_split3(W, u)
+        return _dot_split3(W, u, barrier=barrier)
     return jnp.dot(
         W, u,
         preferred_element_type=jnp.promote_types(W.dtype, u.dtype),
@@ -279,7 +284,7 @@ def _two_way_elu_rows_vg(z):
     return v, d
 
 
-def _hoist_first_layer(sig_all, mono_w, mono_b, F, S):
+def _hoist_first_layer(sig_all, mono_w, mono_b, F, S, barrier=False):
     """The first monotone-net layer's SIGNAL contribution is constant across
     every bisection iterate of a sweep — hoist it: per feature,
     ``pre1_f = W1_f[:, 1:] @ sig_f + b1_f`` runs ONCE per sweep instead of
@@ -288,14 +293,16 @@ def _hoist_first_layer(sig_all, mono_w, mono_b, F, S):
     W1, b1 = mono_w[0], mono_b[0]
     H1 = W1.shape[0] // F
     pre = [
-        _dot_hi(W1[f * H1 : (f + 1) * H1, 1:], sig_all[f * S : (f + 1) * S, :])
+        _dot_hi(W1[f * H1 : (f + 1) * H1, 1:], sig_all[f * S : (f + 1) * S, :],
+                barrier=barrier)
         + b1[f * H1 : (f + 1) * H1, :]
         for f in range(F)
     ]
     return jnp.concatenate(pre, axis=0), W1[:, :1]
 
 
-def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
+def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
+                       barrier=False):
     """All features' monotone nets, first layer hoisted: per solver step and
     feature, the work is one rank-1 broadcast (the x column), one (H, H)
     matmul per middle layer, and a VPU reduction for the 1-row output layer —
@@ -312,7 +319,7 @@ def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
         for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
             Ho = W.shape[0] // F
             u = act(
-                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec)
+                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec, barrier=barrier)
                 + b[f * Ho : (f + 1) * Ho, :]
             )
         outs.append(
@@ -322,7 +329,7 @@ def _mono_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec):
     return jnp.concatenate(outs, axis=0)  # (F, TB)
 
 
-def _mono_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
+def _mono_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F, barrier=False):
     """Monotone-net value AND x-derivative (forward mode through the same
     hoisted evaluation; dz1/dx is the x column) at HIGHEST precision — the
     Newton-polish evaluation. mid (F, TB) -> (f(mid), f'(mid)), both (F, TB).
@@ -341,8 +348,8 @@ def _mono_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
         for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
             Ho = W.shape[0] // F
             Wf = W[f * Ho : (f + 1) * Ho, :]
-            z = _dot_hi(Wf, u) + b[f * Ho : (f + 1) * Ho, :]
-            dz = _dot_hi(Wf, du)
+            z = _dot_hi(Wf, u, barrier=barrier) + b[f * Ho : (f + 1) * Ho, :]
+            dz = _dot_hi(Wf, du, barrier=barrier)
             u, dact = _two_way_elu_rows_vg(z)
             du = dact * dz
         wf = wL[f : f + 1, :].T
@@ -376,7 +383,7 @@ _GL_NODES_N, _GL_WEIGHTS_N = np.polynomial.legendre.leggauss(_UMNN_NEWTON_N)
 
 
 def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
-                       nodes=None, weights=None):
+                       nodes=None, weights=None, barrier=False):
     """All features × the quadrature points (lane-batched in chunks),
     integrand nets evaluated per feature with the hoisted first layer
     (reference integrand: zuko/flows/neural.py:100-104, quadrature:
@@ -403,7 +410,8 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
             for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
                 Ho = W.shape[0] // F
                 u = act(
-                    _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec)
+                    _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, prec,
+                            barrier=barrier)
                     + b[f * Ho : (f + 1) * Ho, :]
                 )
             du = (
@@ -420,14 +428,14 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
     return 0.5 * mid * jnp.concatenate(outs, axis=0)
 
 
-def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
+def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F, barrier=False):
     """UMNN integral value AND derivative at HIGHEST precision: the
     fundamental theorem gives f'(x) = g(x) — ONE extra integrand-net point
     per feature, not another 32-point quadrature. mid (F, TB) ->
     (f(mid), g(mid)); g >= e^-7 > 0 by the softclip."""
     val = _umnn_eval_hoisted(
         mid, pre1, w1x, mono_w, mono_b, F, _elu, jax.lax.Precision.HIGHEST,
-        nodes=_GL_NODES_N, weights=_GL_WEIGHTS_N,
+        nodes=_GL_NODES_N, weights=_GL_WEIGHTS_N, barrier=barrier,
     )
     H1 = mono_w[0].shape[0] // F
     wL, bL = mono_w[-1], mono_b[-1]
@@ -440,7 +448,7 @@ def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
         for W, b in zip(mono_w[1:-1], mono_b[1:-1]):
             Ho = W.shape[0] // F
             u = _elu(
-                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u)
+                _dot_hi(W[f * Ho : (f + 1) * Ho, :], u, barrier=barrier)
                 + b[f * Ho : (f + 1) * Ho, :]
             )
         du = (
@@ -451,7 +459,7 @@ def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F):
     return val, jnp.concatenate(gs, axis=0)
 
 
-def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
+def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
     """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
     ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
     inside each sweep, a fixed-count bisection solves every feature's
@@ -467,14 +475,18 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
     kind = st.get("kind", "mnn")
     T = S if kind == "mnn" else S + 1
     if kind == "mnn":
-        f_eval = _mono_eval_hoisted
+        f_eval = functools.partial(_mono_eval_hoisted, barrier=barrier)
     else:
         # coarse bisection runs the cheap low-order quadrature (see
         # _UMNN_COARSE_N note); Newton re-evaluates with the full rule
         f_eval = functools.partial(
-            _umnn_eval_hoisted, nodes=_GL_NODES_C, weights=_GL_WEIGHTS_C
+            _umnn_eval_hoisted, nodes=_GL_NODES_C, weights=_GL_WEIGHTS_C,
+            barrier=barrier,
         )
-    f_vg = _mono_vg_hoisted if kind == "mnn" else _umnn_vg_hoisted
+    f_vg = functools.partial(
+        _mono_vg_hoisted if kind == "mnn" else _umnn_vg_hoisted,
+        barrier=barrier,
+    )
     act = _two_way_elu_rows if kind == "mnn" else _elu
     mono_w, mono_b = st["mono_w"], st["mono_b"]  # |W| pre-baked for MNN
 
@@ -507,7 +519,8 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
         else:
             target = y
 
-        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S,
+                                       barrier=barrier)
 
         def bisect_body(_, carry):
             lo, hi = carry
@@ -547,12 +560,13 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False):
     sig_all = jnp.concatenate(
         [h[f * T : f * T + S, :] for f in range(F)], axis=0
     )
-    pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+    pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S,
+                                   barrier=barrier)
     _, g = f_vg(x, pre1, w1x, mono_w, mono_b, F)
     return x, _log_ladj(g)
 
 
-def _naf_density_math_T(xT, cT, stages, F, S):
+def _naf_density_math_T(xT, cT, stages, F, S, barrier=False):
     """Whole-flow NAF/UNAF density on a (F, TB) tile — the FORWARD
     direction needs no solver: one monotone-net evaluation per feature
     per layer gives both the value and, analytically, the ladj (the net
@@ -574,14 +588,18 @@ def _naf_density_math_T(xT, cT, stages, F, S):
             made += [W, b, M]
         kind2 = st.get("kind", "mnn")
         T = S if kind2 == "mnn" else S + 1
-        f_vg = _mono_vg_hoisted if kind2 == "mnn" else _umnn_vg_hoisted
+        f_vg = functools.partial(
+            _mono_vg_hoisted if kind2 == "mnn" else _umnn_vg_hoisted,
+            barrier=barrier,
+        )
         mono_w, mono_b = st["mono_w"], st["mono_b"]
 
         h = _hyper_T(y, cT, made, precision=jax.lax.Precision.HIGHEST)
         sig_all = jnp.concatenate(
             [h[f * T : f * T + S, :] for f in range(F)], axis=0
         )
-        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S)
+        pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S,
+                                       barrier=barrier)
         val, g = f_vg(y, pre1, w1x, mono_w, mono_b, F)
         if kind2 == "umnn":
             consts = jnp.concatenate(
@@ -597,7 +615,8 @@ def _naf_density_math_T(xT, cT, stages, F, S):
     return lp if acc is None else lp + acc
 
 
-def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False):
+def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False,
+                       barrier=False):
     """Whole-flow NAF inversion on a (F, TB) tile: softclip inverses
     elementwise, AR layers via sweep + bisection. With ``want_log_prob``
     also returns ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) —
@@ -623,11 +642,12 @@ def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False):
         else:
             if want_log_prob:
                 x, ladj = _ar_inverse_sweeps_T(y, cT, st, F, S,
-                                               want_ladj=True)
+                                               want_ladj=True,
+                                               barrier=barrier)
                 acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
                 y = x
             else:
-                y = _ar_inverse_sweeps_T(y, cT, st, F, S)
+                y = _ar_inverse_sweeps_T(y, cT, st, F, S, barrier=barrier)
     if want_log_prob:
         return y, acc
     return y
@@ -749,9 +769,38 @@ def _naf_density_bwd(cfg, res, g):
         xf = xc.reshape(-1, F + C)
         cT = xf[:, F:].T if C else None
         stages = _rebuild_stages(list(fp), cfg.layout)
+        # barrier=True: this backward is XLA-compiled, where
+        # allow-excess-precision would elide the split3 round-trips
         return _naf_density_math_T(
-            xf[:, :F].T, cT, stages, F, S
+            xf[:, :F].T, cT, stages, F, S, barrier=True
         )[0, :].reshape(xc.shape[:-1])
+
+    # Row-chunk big batches like nsf_fused._fused_bwd: stay inside the
+    # shape class validated against the XLA:TPU big-batch miscompile
+    # (and smaller programs pipeline better).
+    rows = math.prod(xc.shape[:-1]) if xc.ndim > 1 else 1
+    if rows > _BWD_CHUNK and jax.default_backend() not in ("cpu", "gpu"):
+        flat_x = xc.reshape(rows, F + C)
+        flat_g = g.reshape(rows)
+        n_chunks = -(-rows // _BWD_CHUNK)
+        pad = n_chunks * _BWD_CHUNK - rows
+        if pad:  # zero cotangent on the pad rows: no gradient contribution
+            flat_x = jnp.concatenate([flat_x, flat_x[:pad]], axis=0)
+            flat_g = jnp.concatenate(
+                [flat_g, jnp.zeros((pad,), flat_g.dtype)], axis=0)
+        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, F + C)
+        gch = flat_g.reshape(n_chunks, _BWD_CHUNK)
+
+        def one(chunk):
+            xcc, gc = chunk
+            _, vjp = jax.vjp(ref_math, xcc, flat_params)
+            return vjp(gc)
+
+        dx_ch, dfp_ch = jax.lax.map(one, (xch, gch))
+        dxc = dx_ch.reshape(n_chunks * _BWD_CHUNK, F + C)
+        dxc = dxc[:rows].reshape(xc.shape)
+        dfp = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dfp_ch)
+        return (dxc, *dfp)
 
     _, vjp = jax.vjp(ref_math, xc, flat_params)
     dxc, dfp = vjp(g)
@@ -770,7 +819,7 @@ def _naf_density_impl(cfg, xc, *flat_params):
         cT = xf[:, F:].T if C else None
         stages = _rebuild_stages(list(flat_params), layout)
         return _naf_density_math_T(
-            xf[:, :F].T, cT, stages, F, S
+            xf[:, :F].T, cT, stages, F, S, barrier=True
         )[0, :].reshape(batch_shape)
 
     tb = _TB
@@ -891,7 +940,7 @@ def fused_naf_sample(flow, key, sample_shape, c=None,
         cT = zc[:, F:].T if C else None
         stages2 = _rebuild_stages(list(flat_params), layout)
         out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S,
-                                 want_log_prob=want_log_prob)
+                                 want_log_prob=want_log_prob, barrier=True)
         if want_log_prob:
             x, lp = out
             return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])

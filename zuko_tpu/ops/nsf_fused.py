@@ -142,16 +142,19 @@ def _extract_mlp_linears(hyper, linear_cls):
     from ..nn import Activation
 
     def _is_relu(fn):
-        # identity OR name/module match: checkpoint round-trips serialize
-        # jax.nn.relu BY VALUE (it does not pickle by reference), so a
-        # loaded flow's activation is a fresh object — an identity-only
+        # identity OR name + EXACT jax module match: checkpoint round-trips
+        # serialize jax.nn.relu BY VALUE (it does not pickle by reference),
+        # so a loaded flow's activation is a fresh object — an identity-only
         # check silently dropped served models off the fused fast path
-        # (caught by examples/serving.py)
+        # (caught by examples/serving.py). The module set is closed: any
+        # callable merely NAMED "relu" from a path containing "jax" must
+        # not silently select the ReLU kernel epilogue.
         if fn is jax.nn.relu:
             return True
         return (
             getattr(fn, "__name__", "") == "relu"
-            and "jax" in (getattr(fn, "__module__", "") or "")
+            and getattr(fn, "__module__", None)
+            in ("jax.nn", "jax._src.nn.functions")
         )
 
     lins = []
@@ -952,9 +955,12 @@ def _hyper_pre_T(xT, cT, ps, tag, precision=None):
         if tag == "arm" and precision == "split3":
             W, b = ps[2 * i], ps[2 * i + 1]
             h = _dot_split3(W, h) + b[:, None]
-        elif tag == "arm":  # pre-masked, single bf16 MXU pass
+        elif tag == "arm":  # pre-masked; single bf16 MXU pass unless a
+            # lax.Precision is requested (honor it — silently downgrading
+            # an "exact" request to 1-pass is the z-mismatch hazard)
             W, b = ps[2 * i], ps[2 * i + 1]
-            h = jnp.dot(W, h, preferred_element_type=jnp.float32) + b[:, None]
+            h = jnp.dot(W, h, preferred_element_type=jnp.float32,
+                        precision=precision) + b[:, None]
         elif tag == "ars":  # pre-split, 3 passes (= `_dot_split3`)
             Wh, Wl, b = ps[3 * i], ps[3 * i + 1], ps[3 * i + 2]
             hh = h.astype(jnp.bfloat16)
@@ -1336,7 +1342,17 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         zc = _pad_feature_cols(zc, F, Fp)
         realF, F = F, Fp
 
-    if _PREMASK_SAMPLE and univ not in ("sosp", "bernstein"):
+    if (
+        _PREMASK_SAMPLE
+        and univ not in ("sosp", "bernstein")
+        # ZUKO_TPU_DENSITY_PREC=exact + want_log_prob: keep the "ar" form
+        # so the solver sweeps run the requested lax.Precision through
+        # `_hyper_T` instead of the pre-masked single-pass path — a 1-pass
+        # solve would leave a z-mismatch vs the 6-pass density no final
+        # evaluation can fix (the r10/r11 precision rule).
+        and not (want_log_prob
+                 and isinstance(_DENSITY_HYPER_PREC, jax.lax.Precision))
+    ):
         # the solver sweeps otherwise redo M*W per iterate.
         # reverse-KL solves run split3 (see _sample_math_T) — hoist the
         # bf16 hi/lo weight split out of the grid too ("cat", the r10
