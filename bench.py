@@ -1,12 +1,15 @@
-r"""Benchmark: NSF log_prob throughput per chip vs the PyTorch reference.
+r"""Benchmark: NSF log_prob + sampling throughput per chip vs the reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 The primary metric is NSF density-evaluation throughput (log_prob evals/s on
 one chip, UCI-POWER-shaped inputs: D=6, 3 transforms, hidden 64x64, 8 bins).
 ``vs_baseline`` is the speedup over the reference implementation
 (probabilists/zuko on torch-CPU, the only hardware the reference supports
-here), measured in-process on the same host.
+here), measured in-process on the same host. ``extra`` carries the sampling
+tier on the same flow: fused ``sample`` and ``sample_and_log_prob``
+(the reverse-KL quantity, reference: zuko/distributions.py:129-138)
+samples/s, each with its own torch-CPU comparison.
 """
 
 import json
@@ -74,7 +77,43 @@ def bench_ours():
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = max(best, BATCH * REPEATS * n_iters / dt)
-    return best
+
+    # sampling tier: fused sample / sample_and_log_prob through the public
+    # API (same dispatch as log_prob), keys folded in-loop so every draw set
+    # is distinct, loop amortized inside one jit call
+    def make_sampling_loop(want_log_prob):
+        @jax.jit
+        def loop(params, key):
+            def body(carry, i):
+                model = combine(params, static)
+                k = jax.random.fold_in(key, i)
+                if want_log_prob:
+                    xs, lp = model(None).sample_and_log_prob(k, (BATCH,))
+                    return carry + jnp.sum(lp) + jnp.sum(xs[:, 0]), None
+                xs = model(None).sample(k, (BATCH,))
+                return carry + jnp.sum(xs[:, 0]), None
+
+            out, _ = lax.scan(body, 0.0, jnp.arange(REPEATS))
+            return out
+
+        return loop
+
+    extra = {}
+    key = jax.random.PRNGKey(2)
+    for name, want in (("sample", False), ("sample_and_log_prob", True)):
+        loop = make_sampling_loop(want)
+        loop(params, key).block_until_ready()
+        rate = 0.0
+        for _ in range(2):
+            n_iters = 5
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                out = loop(params, key)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            rate = max(rate, BATCH * REPEATS * n_iters / dt)
+        extra[name] = rate
+    return best, extra
 
 
 def bench_reference():
@@ -99,21 +138,44 @@ def bench_reference():
             for _ in range(n_iters):
                 flow(None).log_prob(x)
             dt = time.perf_counter() - t0
-        return BATCH * n_iters / dt
+            density = BATCH * n_iters / dt
+
+            # the sampling tier: torch draws fewer rows per call — the AR
+            # inverse is `features` sequential hyper sweeps (reference:
+            # zuko/transforms.py:994-1000) and a 65536-row batch takes
+            # minutes on CPU
+            sb = 8192
+            extra = {}
+            d = flow(None)
+            d.sample((sb,))  # warmup
+            t0 = time.perf_counter()
+            d.sample((sb,))
+            extra["sample"] = sb / (time.perf_counter() - t0)
+            d.rsample_and_log_prob((sb,))  # warmup
+            t0 = time.perf_counter()
+            d.rsample_and_log_prob((sb,))
+            extra["sample_and_log_prob"] = sb / (time.perf_counter() - t0)
+        return density, extra
     except Exception as e:  # pragma: no cover
         print(f"# reference bench failed: {e}", file=sys.stderr)
-        return None
+        return None, {}
 
 
 def main():
-    ours = bench_ours()
-    ref = bench_reference()
+    ours, ours_extra = bench_ours()
+    ref, ref_extra = bench_reference()
     vs = (ours / ref) if ref else None
+    extra = {}
+    for name, rate in ours_extra.items():
+        extra[f"{name}_per_s"] = round(rate, 1)
+        if ref_extra.get(name):
+            extra[f"{name}_vs_baseline"] = round(rate / ref_extra[name], 2)
     print(json.dumps({
         "metric": "nsf_log_prob_evals_per_s_per_chip",
         "value": round(ours, 1),
         "unit": "evals/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "extra": extra,
     }))
 
 

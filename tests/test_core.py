@@ -94,3 +94,35 @@ def test_repr():
     m = make()
     r = repr(m)
     assert "Outer" in r and "Inner" in r and "mask" in r
+
+
+def test_partial_over_array_is_dynamic():
+    """A functools.partial closing over an array must ride the DYNAMIC side
+    of the pytree: were it static, a partial built over a traced context
+    (AutoregressiveTransform.meta in a conditional flow) would hide a tracer
+    in the static aux and leak it across the next jit boundary."""
+    import functools
+
+    class Holder(Module):
+        def __init__(self, fn):
+            self.fn = fn
+
+    def f(c, x):
+        return c + x
+
+    # static partial: no array content -> aux side, zero leaves
+    m_static = Holder(functools.partial(f, 2.0))
+    assert len(jax.tree_util.tree_leaves(m_static)) == 0
+
+    # array-closing partial: dynamic leaf, round-trips through flatten
+    m_dyn = Holder(functools.partial(f, jnp.ones(3)))
+    leaves, treedef = jax.tree_util.tree_flatten(
+        m_dyn, is_leaf=lambda v: isinstance(v, functools.partial)
+    )
+    assert len(leaves) == 1 and isinstance(leaves[0], functools.partial)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert jnp.allclose(m2.fn(jnp.zeros(3)), 1.0)
+
+    # and a jit boundary rejects it loudly instead of leaking a tracer
+    with pytest.raises(TypeError):
+        jax.jit(lambda m: 0.0)(m_dyn)

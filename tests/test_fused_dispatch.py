@@ -937,3 +937,157 @@ def test_naf_fused_density_conditional(key, dispatch_on):
             os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
         tol = 1e-10 if cls is NAF else 1e-4
         assert jnp.abs(lp - lp_ref).max() < tol
+
+
+# --------------------------------------------------------- IFT rsample tier
+
+
+def _cast_params(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        params,
+    )
+
+
+def _rkl_loss_pair(flow, c, k, n=64):
+    """(fused/IFT loss fn, XLA scan-inverse loss fn) over the params of
+    ``flow`` for a reverse-KL-shaped objective."""
+    params, static = partition(flow)
+
+    def loss_ift(p):
+        d = combine(p, static)(c)  # dispatched: IFT custom-VJP rsample
+        x, lq = d.rsample_and_log_prob(k, (n,))
+        return jnp.mean(lq) + jnp.mean(jnp.sum(x**2, -1))
+
+    def loss_xla(p):
+        d = combine(p, static)(c)
+        d2 = NormalizingFlow(d.transform, d.base)  # plain scan inverse
+        x, lq = d2.rsample_and_log_prob(k, (n,))
+        return jnp.mean(lq) + jnp.mean(jnp.sum(x**2, -1))
+
+    return params, loss_ift, loss_xla
+
+
+@pytest.mark.parametrize("case", ["NSF", "NSF-cond", "MAF", "NCSF"])
+def test_ift_rsample_gradients_match_xla_f64(case, key, dispatch_on):
+    r"""The IFT custom-VJP reverse-KL gradients equal differentiating the
+    XLA scan inverse (reference semantics: zuko/distributions.py:129-138)
+    — exactly, in f64: the triangular-transpose solve is exact after
+    ``passes`` iterations, like the forward fixed point."""
+    from zuko_tpu.flows import NCSF
+
+    kf, kc, kk = jax.random.split(key, 3)
+    c = None
+    if case == "NSF":
+        flow = NSF(5, 0, transforms=3, key=kf)
+    elif case == "NSF-cond":
+        flow = NSF(5, 3, transforms=3, key=kf)
+        c = jax.random.normal(kc, (3,), dtype=jnp.float64)
+    elif case == "MAF":
+        flow = MAF(5, 0, transforms=3, key=kf)
+    else:
+        flow = NCSF(4, 0, transforms=2, key=kf)
+
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, c, kk)
+    params = _cast_params(params, jnp.float64)
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_ift)(params)
+    assert jnp.abs(l1 - l2) < 1e-9
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.allclose(a, b, atol=1e-9), (n, jnp.abs(a - b).max())
+
+
+@pytest.mark.parametrize("cls_name", ["SOSPF", "BPF"])
+def test_ift_rsample_gradients_polynomial(cls_name, key, dispatch_on):
+    r"""SOSPF/BPF rsample gradients via IFT match the XLA path to solver
+    tolerance (their fused inverse is coarse bisection + Newton at
+    eps ~1e-6; the IFT Jacobians are evaluated at the solved point)."""
+    from zuko_tpu import flows
+
+    kf, kk = jax.random.split(key)
+    flow = getattr(flows, cls_name)(4, 0, transforms=2, key=kf)
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, None, kk)
+    params = _cast_params(params, jnp.float64)
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_ift)(params)
+    assert jnp.abs(l1 - l2) < 1e-5
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())
+
+
+def test_ift_rsample_values_match_sample(key, dispatch_on):
+    r"""rsample (IFT path) draws the same values as the non-differentiable
+    fused sample for the same key, and its log q equals the fused
+    sample_and_log_prob."""
+    kf, kk = jax.random.split(key)
+    flow = NSF(5, 0, transforms=3, key=kf)
+    d = flow(None)
+    assert isinstance(d, FusedAutoregressiveFlow)
+    x1 = d.sample(kk, (32,))
+    x2 = d.rsample(kk, (32,))
+    assert jnp.allclose(x1, x2, atol=1e-6)
+    x3, lq3 = d.sample_and_log_prob(kk, (32,))
+    x4, lq4 = d.rsample_and_log_prob(kk, (32,))
+    assert jnp.allclose(x3, x4, atol=1e-6)
+    assert jnp.allclose(lq3, lq4, atol=1e-6)
+
+
+def test_ift_rsample_gradients_f32(key, dispatch_on):
+    r"""f32 gradient regression through the dispatch (the silent-zero-grad
+    hazard class: bit-twiddle primitives without custom_jvp showed only in
+    f32). Grad must be finite, non-zero, and close to the XLA path."""
+    kf, kk = jax.random.split(key)
+    flow = NSF(4, 0, transforms=2, hidden_features=(16, 16), key=kf)
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, None, kk, n=32)
+    params = _cast_params(params, jnp.float32)
+
+    g1 = jax.grad(loss_xla)(params)
+    g2 = jax.grad(loss_ift)(params)
+    total = 0.0
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.all(jnp.isfinite(b)), n
+        assert jnp.allclose(a, b, atol=5e-5), (n, jnp.abs(a - b).max())
+        total += float(jnp.sum(jnp.abs(b)))
+    assert total > 1e-3  # gradients actually flow
+
+
+def test_ift_env_escape_hatch(key, monkeypatch, dispatch_on):
+    r"""ZUKO_TPU_IFT=0 falls back to the XLA scan-inverse rsample."""
+    monkeypatch.setenv("ZUKO_TPU_IFT", "0")
+    kf, kk = jax.random.split(key)
+    flow = NSF(4, 0, transforms=2, key=kf)
+    d = flow(None)
+    x, lq = d.rsample_and_log_prob(kk, (8,))
+    d2 = NormalizingFlow(d.transform, d.base)
+    x2, lq2 = d2.rsample_and_log_prob(kk, (8,))
+    assert jnp.allclose(x, x2, atol=1e-6)
+    assert jnp.allclose(lq, lq2, atol=1e-5)
+
+
+def test_reverse_kl_step_through_ift(key, dispatch_on):
+    r"""The VI train step (make_reverse_kl_step) runs through the IFT path
+    and optimizes: loss decreases on a tractable ring energy
+    (reference: docs/tutorials/reverse_kl.ipynb)."""
+    from zuko_tpu.parallel.train import make_reverse_kl_step
+
+    kf, kk = jax.random.split(key)
+    flow = NSF(2, 0, transforms=3, hidden_features=(32, 32), key=kf)
+    params, static = partition(flow)
+    params = _cast_params(params, jnp.float32)
+
+    def log_energy(x):
+        r = jnp.linalg.norm(x, axis=-1)
+        return -((r - 2.0) ** 2) / 0.1
+
+    init_fn, step_fn = make_reverse_kl_step(static, log_energy, n_samples=256)
+    state = init_fn(params)
+    losses = []
+    for i in range(30):
+        state, loss = step_fn(state, jax.random.fold_in(kk, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.5

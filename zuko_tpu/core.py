@@ -16,6 +16,8 @@ filtered-transform helpers (so optimizers only touch trainable leaves).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 
@@ -52,7 +54,21 @@ def _is_static(v: Any) -> bool:
         return all(_is_static(u) for u in v.values())
     if isinstance(v, (set, frozenset)):
         return all(_is_static(u) for u in v)
-    if callable(v):  # plain functions / partials / constructors
+    if isinstance(v, functools.partial):
+        # A partial is only static when everything it closes over is: a
+        # partial over a traced array (e.g. AutoregressiveTransform.meta
+        # built by a conditional flow, transforms.py) must ride the DYNAMIC
+        # side, or the tracer would hide in the pytree's static aux and leak
+        # the first time the built transform crosses a jit boundary. As a
+        # dynamic leaf it round-trips through flatten/unflatten, and a jit
+        # boundary rejects it loudly (leaves must be arrays) instead of
+        # silently capturing a stale tracer.
+        return (
+            _is_static(v.func)
+            and all(_is_static(a) for a in v.args)
+            and all(_is_static(a) for a in v.keywords.values())
+        )
+    if callable(v):  # plain functions / constructors
         return True
     return False
 

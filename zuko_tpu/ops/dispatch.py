@@ -19,8 +19,11 @@ Dispatch policy (``ZUKO_TPU_FUSED_DISPATCH``):
 * ``"0"``: never dispatch.
 
 The differentiable sampling path (``rsample`` / ``rsample_and_log_prob``,
-the reverse-KL workhorse — reference: zuko/distributions.py:129-138) stays on
-XLA: the fused sampler is a forward-only kernel.
+the reverse-KL workhorse — reference: zuko/distributions.py:129-138) runs the
+fused kernels too, via an implicit-function-theorem custom VJP
+(:mod:`zuko_tpu.ops.ift`): the fused solve forward, one transposed-triangular
+solve per layer backward — no differentiation through the scan inverse.
+``ZUKO_TPU_IFT=0`` falls back to the XLA scan-inverse gradients.
 """
 
 from __future__ import annotations
@@ -72,11 +75,18 @@ def fused_dispatch_enabled() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def _ift_enabled() -> bool:
+    """Whether the differentiable sampling path uses the IFT custom VJP
+    (default) or falls back to differentiating the XLA scan inverse."""
+    return os.environ.get("ZUKO_TPU_IFT", "1") != "0"
+
+
 class FusedAutoregressiveFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose density and sampling run through the
     fused whole-flow kernels (NSF/MAF structure). ``log_prob`` is
     differentiable (custom VJP over the identical jnp math); ``rsample`` and
-    ``rsample_and_log_prob`` keep the XLA path for gradients."""
+    ``rsample_and_log_prob`` run the fused solve with IFT gradients
+    (:mod:`zuko_tpu.ops.ift`)."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -95,9 +105,19 @@ class FusedAutoregressiveFlow(NormalizingFlow):
         )
 
     def rsample(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_nsf_rsample
+
+            return fused_nsf_rsample(self._module, key, sample_shape, c=self._c)
         return NormalizingFlow.sample(self, key, sample_shape)
 
     def rsample_and_log_prob(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_nsf_rsample
+
+            return fused_nsf_rsample(
+                self._module, key, sample_shape, c=self._c, want_log_prob=True
+            )
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
@@ -105,8 +125,8 @@ class FusedDensityFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` for the polynomial families (SOSPF/BPF):
     density through the fused whole-flow AR kernel, sampling through the
     fused iterative inverse (coarse bisection + free-derivative Newton —
-    the forward already returns log f'). ``rsample`` keeps the
-    differentiable XLA path."""
+    the forward already returns log f'). ``rsample`` runs the same solve
+    with IFT gradients (exact at the solved point to solver tolerance)."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -125,9 +145,19 @@ class FusedDensityFlow(NormalizingFlow):
         )
 
     def rsample(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_nsf_rsample
+
+            return fused_nsf_rsample(self._module, key, sample_shape, c=self._c)
         return NormalizingFlow.sample(self, key, sample_shape)
 
     def rsample_and_log_prob(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_nsf_rsample
+
+            return fused_nsf_rsample(
+                self._module, key, sample_shape, c=self._c, want_log_prob=True
+            )
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 

@@ -1272,21 +1272,15 @@ def _use_pallas_fused(dtype):
     )
 
 
-def fused_nsf_sample(flow, key, sample_shape, c=None,
-                     want_log_prob: bool = False):
-    r"""Draw samples from an NSF with one fused Pallas kernel: base draws and
-    every autoregressive fixed-point sweep of every layer run per batch tile
-    with the weights pinned in VMEM (jnp fallback off-TPU). Supports a
-    conditioning context ``c`` and, with ``want_log_prob``, also returns
-    ``log q(x)`` — the fused reverse-KL path. The spline ``bound``/``slope``
-    are taken from the flow's own univariate config.
-
-    Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
-    for the differentiable path.
-    """
+def _prep_sample(flow, key, sample_shape, c=None):
+    """Shared sampling preamble: extract/flatten the flow, draw base samples
+    matching the base's dtype, and build the flat ``(n, F+C)`` input. Returns
+    ``(flat_params, layout, statics, z_shape, zc, F, C, dtype)`` where
+    ``statics = (K, univ, bound, slope, base)`` are hashable (custom-vjp
+    nondiff args)."""
     flat_params, layout, cfg = _flatten_flow(flow)
     K, univ = cfg["bins"], cfg["univ"]
-    bound, slope = cfg["bound"], cfg["slope"]
+    bound, slope = float(cfg["bound"]), float(cfg["slope"])
     base = cfg["base"]
     F = flat_params[0].shape[1]
     if c is not None:
@@ -1305,7 +1299,6 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     else:
         z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
     zf = z.reshape(-1, F)
-    n = zf.shape[0]
 
     if c is not None:
         C = c.shape[-1]
@@ -1314,6 +1307,47 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
     else:
         C = 0
         zc = zf
+    return (
+        flat_params, layout, (K, univ, bound, slope, base), z.shape, zc, F,
+        C, dtype,
+    )
+
+
+def fused_nsf_sample(flow, key, sample_shape, c=None,
+                     want_log_prob: bool = False):
+    r"""Draw samples from an NSF with one fused Pallas kernel: base draws and
+    every autoregressive fixed-point sweep of every layer run per batch tile
+    with the weights pinned in VMEM (jnp fallback off-TPU). Supports a
+    conditioning context ``c`` and, with ``want_log_prob``, also returns
+    ``log q(x)`` — the fused reverse-KL path. The spline ``bound``/``slope``
+    are taken from the flow's own univariate config.
+
+    Sampling only (no gradients) — use ``rsample_and_log_prob`` on the flow
+    for the differentiable path (:mod:`zuko_tpu.ops.ift`).
+    """
+    flat_params, layout, statics, z_shape, zc, F, C, dtype = _prep_sample(
+        flow, key, sample_shape, c
+    )
+    K, univ, bound, slope, base = statics
+    out = _sample_core(
+        layout, F, C, K, bound, slope, univ, base, want_log_prob, zc,
+        list(flat_params),
+    )
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(z_shape), lp.reshape(z_shape[:-1])
+    return out.reshape(z_shape)
+
+
+def _sample_core(layout, F, C, K, bound, slope, univ, base, want_log_prob,
+                 zc, flat_params):
+    """Flat sampling core: ``zc (n, F+C)`` base draws (+context) -> samples
+    ``x (n, F)`` (and ``log q (n,)`` with ``want_log_prob``), through the
+    Pallas kernel on TPU or the identical jnp math elsewhere. Shared by the
+    non-differentiable :func:`fused_nsf_sample` and the custom-vjp forward in
+    :mod:`zuko_tpu.ops.ift`."""
+    dtype = zc.dtype
+    n = zc.shape[0]
 
     if not _use_pallas_fused(dtype):
         cT = zc[:, F:].T if C else None
@@ -1323,8 +1357,8 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
         )
         if want_log_prob:
             x, lp = out
-            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
-        return out.T.reshape(z.shape)
+            return x.T, lp[0, :]
+        return out.T
 
     tb = _density_tb(flat_params, layout)
     pad = (-n) % tb
@@ -1410,12 +1444,11 @@ def fused_nsf_sample(flow, key, sample_shape, c=None,
             x = x[:realF]
         x = x.T[:n] if pad else x.T
         lp = lp[0, :n] if pad else lp[0, :]
-        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+        return x, lp
 
     if realF is not None:
         out = out[:realF]
-    out = out.T[:n] if pad else out.T
-    return out.reshape(z.shape)
+    return out.T[:n] if pad else out.T
 
 
 def fused_nsf_sample_and_log_prob(flow, key, sample_shape, c=None, **kwargs):
