@@ -112,23 +112,61 @@ def replicate(mesh: Mesh, tree: Any):
     return jax.tree_util.tree_map(place, tree)
 
 
-def tensor_parallel_spec(module: Any) -> dict:
-    """Propose PartitionSpecs for a module tree: stacked Linear weights shard
-    their stack dimension over ``model``; hyper-MLP hidden layers shard
-    alternately out/in (Megatron-style column/row split); everything else is
-    replicated. Returns ``{dotted_name: PartitionSpec}``."""
+def tensor_parallel_spec(module: Any, model: Optional[int] = None) -> dict:
+    """Propose PartitionSpecs for a module tree:
+
+    * **stacked** Linear weights (3-D, the NAF/UNAF per-feature nets) shard
+      their stack dimension over ``model``;
+    * **hyper-MLP hidden layers** shard alternately out/in (Megatron-style
+      column/row split, wide-conditioner tensor parallelism): within each
+      sequential net, hidden layer 0 column-splits its output rows
+      (``P("model", None)``, bias and MADE mask along), hidden layer 1
+      row-splits its input columns (``P(None, "model")``, XLA inserts the
+      partial-sum reduce at its output), alternating; the final output layer
+      stays replicated so downstream transform math sees full parameters.
+
+    Everything else is replicated. Pass ``model`` (the mesh's model-axis
+    size) to skip layers whose sharded dimension does not divide evenly.
+    Returns ``{dotted_name: PartitionSpec}``."""
     specs = {}
     from ..core import named_modules
+    from ..nn import _Sequential
+
+    def divides(dim):
+        return model is None or dim % model == 0
 
     for mname, m in named_modules(module):
-        if not isinstance(m, (Linear, MaskedLinear)):
-            continue
-        w = m.weight
         prefix = f"{mname}." if mname else ""
-        if w.ndim == 3:  # stacked operators: shard the stack dim
+        if isinstance(m, (Linear, MaskedLinear)) and m.weight.ndim == 3:
+            # stacked operators: shard the stack dim
             specs[f"{prefix}weight"] = P("model", None, None)
             if m.bias is not None:
                 specs[f"{prefix}bias"] = P("model", None)
+            continue
+        if not isinstance(m, _Sequential):
+            continue
+        linears = [
+            (i, layer)
+            for i, layer in enumerate(m.layers)
+            if isinstance(layer, (Linear, MaskedLinear))
+            and layer.weight.ndim == 2
+        ]
+        if len(linears) < 2:
+            continue
+        col = True  # column-split first, then row-split, alternating
+        for i, lin in linears[:-1]:  # final layer replicated
+            p = f"{prefix}layers.{i}."
+            if col and divides(lin.weight.shape[0]):
+                specs[p + "weight"] = P("model", None)
+                if lin.bias is not None:
+                    specs[p + "bias"] = P("model")
+                if isinstance(lin, MaskedLinear):
+                    specs[p + "mask"] = P("model", None)
+            elif not col and divides(lin.weight.shape[1]):
+                specs[p + "weight"] = P(None, "model")
+                if isinstance(lin, MaskedLinear):
+                    specs[p + "mask"] = P(None, "model")
+            col = not col
     return specs
 
 
@@ -139,19 +177,64 @@ def tensor_parallel_spec(module: Any) -> dict:
 _SHARDED_FN_CACHE: dict = {}
 
 
-def _sharded_log_prob_fn(mesh: Mesh, static, has_c: bool):
+def _fused_density_for(flow, c=None):
+    """Pick the fused whole-flow density matching ``flow``'s structure —
+    the same dispatch order as :func:`zuko_tpu.ops.dispatch.maybe_fused_flow`
+    (NSF/NCSF/MAF/SOSPF/BPF, NICE/RealNVP coupling, GF, CNF, NAF/UNAF).
+    Returns a ``density(flow, x, c)`` callable; raises FusedStructureError
+    when nothing matches."""
+    from ..ops.cnf_fused import extract_cnf_params, fused_cnf_log_prob
+    from ..ops.gf_fused import extract_gf_params, fused_gf_log_prob
+    from ..ops.naf_fused import extract_naf_params, fused_naf_log_prob
+    from ..ops.nsf_fused import (
+        FusedStructureError,
+        extract_coupling_params,
+        extract_nsf_params,
+        fused_nice_log_prob,
+        fused_nsf_log_prob,
+    )
+
+    try:
+        extract_nsf_params(flow)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda f, x, c: fused_nsf_log_prob(f, x, c)
+    try:
+        extract_coupling_params(flow)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda f, x, c: fused_nice_log_prob(f, x, c)
+    try:
+        extract_gf_params(flow, c)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda f, x, c: fused_gf_log_prob(f, x, c)
+    try:
+        extract_cnf_params(flow, flow.transform(c), c)
+    except FusedStructureError:
+        pass
+    else:
+        return lambda f, x, c: fused_cnf_log_prob(f, f.transform(c), x, c)
+    extract_naf_params(flow)
+    return lambda f, x, c: fused_naf_log_prob(f, x, c)
+
+
+def _sharded_log_prob_fn(mesh: Mesh, static, has_c: bool, density):
     """Build the jitted shard_map density program. Parameters ride in as
     jit ARGUMENTS, so repeated serving calls with a cached program hit
     the compiled executable instead of retracing a fresh closure every
     call (the original per-call lambda made every invocation pay a full
     trace — the serving example read 0.03M rows/s where the kernel does
-    ~9M)."""
+    ~9M). ``density`` is the structure-matched fused kernel from
+    :func:`_fused_density_for`."""
     from ..core import combine
-    from ..ops.nsf_fused import fused_nsf_log_prob
 
     if not has_c:
         def fn(params, xs):
-            return fused_nsf_log_prob(combine(params, static), xs)
+            return density(combine(params, static), xs, None)
 
         return jax.jit(jax.shard_map(
             fn,
@@ -162,7 +245,7 @@ def _sharded_log_prob_fn(mesh: Mesh, static, has_c: bool):
         ))
 
     def fnc(params, xs, cs):
-        return fused_nsf_log_prob(combine(params, static), xs, cs)
+        return density(combine(params, static), xs, cs)
 
     return jax.jit(jax.shard_map(
         fnc,
@@ -174,12 +257,13 @@ def _sharded_log_prob_fn(mesh: Mesh, static, has_c: bool):
 
 
 def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
-    """Data-parallel fused NSF density: wraps the fused kernel in
-    ``shard_map`` over the ``data`` axis (a bare ``pallas_call`` under ``jit``
+    """Data-parallel fused density for ANY fused-kernel family: the flow's
+    structure picks the kernel (exactly like single-chip dispatch,
+    :func:`_fused_density_for`) and ``shard_map`` over the ``data`` axis runs
+    it independently per chip (a bare ``pallas_call`` under ``jit``
     constrains partitioning; ``shard_map`` makes the per-device shapes
-    explicit so the kernel runs independently per chip). Parameters are
-    replicated jit arguments and the compiled program is cached per
-    (mesh, structure)."""
+    explicit). Parameters are replicated jit arguments and the compiled
+    program is cached per (mesh, structure)."""
     import weakref
 
     from ..core import partition
@@ -190,7 +274,9 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     if ent is not None and ent[0]() is mesh and ent[1]() is flow:
         fn = ent[2]
     else:
-        fn = _sharded_log_prob_fn(mesh, static, c is not None)
+        fn = _sharded_log_prob_fn(
+            mesh, static, c is not None, _fused_density_for(flow, c)
+        )
         if len(_SHARDED_FN_CACHE) >= 64:
             _SHARDED_FN_CACHE.pop(next(iter(_SHARDED_FN_CACHE)))
         _SHARDED_FN_CACHE[key] = (
@@ -204,8 +290,8 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
 def _fused_sampler_for(flow, c, want_log_prob):
     """Pick the fused whole-flow sampler matching ``flow``'s structure:
     NSF/NCSF/MAF sweeps, GF bisection, CNF backward integration, or NAF/UNAF
-    monotone-net bisection (no fused log q for the latter). Raises
-    FusedStructureError when nothing matches."""
+    monotone-net bisection (log q via the analytic forward ladj at the
+    solved point). Raises FusedStructureError when nothing matches."""
     from ..ops.cnf_fused import extract_cnf_params, fused_cnf_sample
     from ..ops.gf_fused import extract_gf_params, fused_gf_sample
     from ..ops.naf_fused import extract_naf_params, fused_naf_sample
@@ -240,13 +326,10 @@ def _fused_sampler_for(flow, c, want_log_prob):
         return lambda k, shape: fused_cnf_sample(
             flow, transform, k, shape, c=c, want_log_prob=want_log_prob
         )
-    if want_log_prob:
-        raise FusedStructureError(
-            "no fused sample_and_log_prob for this structure (NAF/UNAF"
-            " sampling kernels are sample-only)"
-        )
     extract_naf_params(flow)
-    return lambda k, shape: fused_naf_sample(flow, k, shape, c=c)
+    return lambda k, shape: fused_naf_sample(
+        flow, k, shape, c=c, want_log_prob=want_log_prob
+    )
 
 
 def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,

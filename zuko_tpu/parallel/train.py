@@ -78,23 +78,57 @@ def make_reverse_kl_step(
     n_samples: int = 256,
     optimizer=None,
     lr: float = 1e-3,
+    mesh=None,
 ):
     r"""Build ``init_fn, step_fn`` for reverse-KL variational inference:
     ``loss = E_q[log q(x)] - E_q[log energy(x)]`` using the fused
     ``rsample_and_log_prob`` (reference: zuko/distributions.py:129-138 and
     docs/tutorials/reverse_kl.ipynb cell 9). The step is jitted and **donates
-    the incoming state**. The sample axis is the sharded axis; feed
-    per-device key batches for pod-scale sampling.
+    the incoming state**.
+
+    With ``mesh``, the **sample axis shards over the mesh's ``data`` axis**:
+    each device derives its own key with ``fold_in`` on its axis index and
+    draws ``n_samples // data`` samples locally (sampling is embarrassingly
+    parallel), the loss mean is a ``pmean`` over the axis, and the psum over
+    parameter gradients appears at the ``shard_map`` transpose — the same
+    collective placement as data-parallel MLE. The global draw set is
+    deterministic for a given key and mesh shape.
     """
     optimizer = optimizer or _default_optimizer(lr)
 
     def init_fn(params) -> TrainState:
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
-    def loss_fn(params, key):
-        flow = combine(params, static)
-        x, log_q = flow(None).rsample_and_log_prob(key, (n_samples,))
-        return jnp.mean(log_q) - jnp.mean(log_energy(x))
+    if mesh is None:
+        def loss_fn(params, key):
+            flow = combine(params, static)
+            x, log_q = flow(None).rsample_and_log_prob(key, (n_samples,))
+            return jnp.mean(log_q) - jnp.mean(log_energy(x))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        assert n_samples % n_dev == 0, (
+            f"n_samples {n_samples} must divide the data axis ({n_dev})"
+        )
+        local_n = n_samples // n_dev
+
+        def _local_loss(params, key):
+            idx = jax.lax.axis_index("data")
+            flow = combine(params, static)
+            x, log_q = flow(None).rsample_and_log_prob(
+                jax.random.fold_in(key, idx), (local_n,)
+            )
+            local = jnp.mean(log_q) - jnp.mean(log_energy(x))
+            return jax.lax.pmean(local, "data")
+
+        loss_fn = jax.shard_map(
+            _local_loss,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
 
     @partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, key):
