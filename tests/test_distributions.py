@@ -189,10 +189,12 @@ def test_chunked_rows_paths(key):
         del os.environ["ZUKO_TPU_FUSED_DISPATCH"]
 
 
-def test_chunked_rows_conditional_fallback(key):
+def test_chunked_rows_conditional_rebuild(key):
     # conditional flows capture a full-batch context inside the transform:
-    # row-chunking from outside cannot see it, so the guard must detect the
-    # broadcast failure (eval_shape) and fall back to the monolithic path
+    # row-chunking from outside cannot see it, so the guard REBUILDS the
+    # transform per (x, c) row-chunk from the lazy module attached by
+    # Flow.forward (the round-2 conditional big-batch hole) — density,
+    # sampling, and sample_and_log_prob must all equal the monolithic path
     from zuko_tpu.distributions import NormalizingFlow
     from zuko_tpu.flows import NSF
 
@@ -204,14 +206,33 @@ def test_chunked_rows_conditional_fallback(key):
     os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
     try:
         d = flow(c)
+        assert d._rebuild is not None
         lp_mono = d.log_prob(x)
+        ks = jax.random.PRNGKey(7)
+        s_mono = d.sample(ks, ())
+        _, lq_mono = d.sample_and_log_prob(ks, ())
         NormalizingFlow._FORCE_CHUNK = True
-        NormalizingFlow._XLA_SAFE_ROWS = 1000
+        NormalizingFlow._XLA_SAFE_ROWS = 1000  # multiple chunks + pad
         try:
-            lp_ch = d.log_prob(x)  # must NOT raise; falls back
+            lp_ch = d.log_prob(x)
+            s_ch = d.sample(ks, ())
+            _, lq_ch = d.sample_and_log_prob(ks, ())
         finally:
             NormalizingFlow._FORCE_CHUNK = False
             NormalizingFlow._XLA_SAFE_ROWS = 8192
         assert jnp.allclose(lp_ch, lp_mono, atol=1e-12)
+        assert jnp.allclose(s_ch, s_mono, atol=1e-12)
+        assert jnp.allclose(lq_ch, lq_mono, atol=1e-12)
+
+        # a sample axis ON TOP of the context batch also chunks (the context
+        # broadcasts against the leading draw axis)
+        NormalizingFlow._FORCE_CHUNK = True
+        NormalizingFlow._XLA_SAFE_ROWS = 1000
+        try:
+            s2 = d.sample(ks, (3,))
+        finally:
+            NormalizingFlow._FORCE_CHUNK = False
+            NormalizingFlow._XLA_SAFE_ROWS = 8192
+        assert jnp.allclose(s2, d.sample(ks, (3,)), atol=1e-12)
     finally:
         del os.environ["ZUKO_TPU_FUSED_DISPATCH"]

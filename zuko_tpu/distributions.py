@@ -745,32 +745,91 @@ class NormalizingFlow(Distribution):
     # fallback/regular path only.
     _XLA_SAFE_ROWS = 8192
     _FORCE_CHUNK = False  # test hook: exercise the chunked paths on CPU
+    # Set by lazy.Flow.forward for conditional flows: (lazy module, context,
+    # build key). Lets the chunk guard REBUILD the transform per row-chunk —
+    # a transform whose captured context carries the full batch cannot be
+    # chunked from outside, but chunking x and c together *before* building
+    # can (the round-2 conditional big-batch hole, PERF.md).
+    _rebuild = None
+
+    def _chunk_guard_active(self):
+        return self._FORCE_CHUNK or jax.default_backend() not in ("cpu", "gpu")
 
     def log_prob(self, x):
         x = jnp.asarray(x)
         k = len(self.event_shape)
         batch = x.shape[: x.ndim - k]
         rows = math.prod(batch) if batch else 1
-        if (
-            rows > self._XLA_SAFE_ROWS
-            and self.batch_shape == ()
-            and (
-                self._FORCE_CHUNK
-                or jax.default_backend() not in ("cpu", "gpu")
-            )
-        ):
-            flat = x.reshape((rows,) + x.shape[x.ndim - k :])
-            n_chunks = -(-rows // self._XLA_SAFE_ROWS)
-            pad = n_chunks * self._XLA_SAFE_ROWS - rows
-            if pad:  # repeat leading rows (valid inputs, sliced off below)
-                flat = jnp.concatenate([flat, flat[:pad]], axis=0)
-            chunks = flat.reshape(
-                (n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:]
-            )
-            if self._chunkable(self._log_prob_impl, chunks, x):
-                out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
-                return out[:rows].reshape(batch)
+        if rows > self._XLA_SAFE_ROWS and self._chunk_guard_active():
+            if self.batch_shape == ():
+                flat = x.reshape((rows,) + x.shape[x.ndim - k :])
+                n_chunks = -(-rows // self._XLA_SAFE_ROWS)
+                pad = n_chunks * self._XLA_SAFE_ROWS - rows
+                if pad:  # repeat leading rows (valid, sliced off below)
+                    flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+                chunks = flat.reshape(
+                    (n_chunks, self._XLA_SAFE_ROWS) + flat.shape[1:]
+                )
+                if self._chunkable(self._log_prob_impl, chunks, x):
+                    out = jax.lax.map(self._log_prob_impl, chunks).reshape(-1)
+                    return out[:rows].reshape(batch)
+            elif self._rebuild is not None:
+                out = self._rebuilt_chunked("log_prob", x, k, batch, rows)
+                if out is not None:
+                    return out
         return self._log_prob_impl(x)
+
+    def _rebuilt_chunked(self, method, arr, k, batch, rows):
+        """Conditional big-batch guard: chunk ``arr`` and the context
+        TOGETHER, rebuild the transform per chunk from the lazy module, and
+        ``lax.map`` the chunks — the same mitigation as the unconditional
+        guard (the XLA:TPU miscompile is batch-size-triggered), made
+        possible because the module + context are available here. Returns
+        None when the context does not broadcast to ``arr``'s batch (the
+        caller then runs the monolithic program, matching its semantics)."""
+        module, c, key = self._rebuild
+        try:
+            cb = jnp.broadcast_to(c, batch + c.shape[-1:])
+        except Exception:
+            return None
+        flat = arr.reshape((rows,) + arr.shape[arr.ndim - k :])
+        flat_c = cb.reshape((rows, c.shape[-1]))
+        n_chunks = -(-rows // self._XLA_SAFE_ROWS)
+        pad = n_chunks * self._XLA_SAFE_ROWS - rows
+        if pad:  # repeat leading rows (valid inputs, sliced off below)
+            flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+            flat_c = jnp.concatenate([flat_c, flat_c[:pad]], axis=0)
+        shape = (n_chunks, self._XLA_SAFE_ROWS)
+        chunks = (
+            flat.reshape(shape + flat.shape[1:]),
+            flat_c.reshape(shape + flat_c.shape[1:]),
+        )
+
+        def one(chunk):
+            ac, cc = chunk
+            d = NormalizingFlow(
+                module.transform(cc, key=key),
+                module.base(cc).expand(cc.shape[:-1]),
+            )
+            if method == "log_prob":
+                return d._log_prob_impl(ac)
+            if method == "inverse":
+                return d.transform.inverse(ac)
+            return d.transform.inverse_and_ladj(ac)
+
+        try:
+            jax.eval_shape(one, jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), chunks
+            ))
+        except Exception:
+            return None
+        out = jax.lax.map(one, chunks)
+
+        def unchunk(a):
+            a = a.reshape((n_chunks * self._XLA_SAFE_ROWS,) + a.shape[2:])
+            return a[:rows].reshape(batch + a.shape[1:])
+
+        return jax.tree_util.tree_map(unchunk, out)
 
     @staticmethod
     def _chunkable(fn, chunks, full):
@@ -797,14 +856,33 @@ class NormalizingFlow(Distribution):
 
     def sample(self, key, sample_shape: Shape = ()):
         z = self.base.sample(key, sample_shape)
+        out = self._maybe_rebuilt_inverse("inverse", z)
+        if out is not None:
+            return out
         return self._chunked_rows(self.transform.inverse, z)
 
     def sample_and_log_prob(self, key, sample_shape: Shape = ()):
         z = self.base.sample(key, sample_shape)
-        x, ladj = self._chunked_rows(self.transform.inverse_and_ladj, z)
+        out = self._maybe_rebuilt_inverse("inverse_and_ladj", z)
+        if out is not None:
+            x, ladj = out
+        else:
+            x, ladj = self._chunked_rows(self.transform.inverse_and_ladj, z)
         return x, self.base.log_prob(z) - ladj
 
     rsample_and_log_prob = sample_and_log_prob
+
+    def _maybe_rebuilt_inverse(self, method, z):
+        """Conditional big-batch guard for the inverse direction (the
+        miscompile hits it too — r28: NaN samples at (16384, 43))."""
+        if self._rebuild is None or self.batch_shape == ():
+            return None
+        k = len(self.base.event_shape)
+        batch = z.shape[: z.ndim - k]
+        rows = math.prod(batch) if batch else 1
+        if rows <= self._XLA_SAFE_ROWS or not self._chunk_guard_active():
+            return None
+        return self._rebuilt_chunked(method, z, k, batch, rows)
 
     def _chunked_rows(self, fn, z):
         """Apply ``fn`` over row chunks of ``z`` on TPU — the inverse

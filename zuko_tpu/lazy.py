@@ -149,7 +149,14 @@ class Flow(LazyDistribution):
             fused = maybe_fused_flow(self, transform, base, c)
             if fused is not None:
                 return fused
-        return NormalizingFlow(transform, base)
+        flow = NormalizingFlow(transform, base)
+        if c is not None:
+            # conditional big-batch guard: the chunk machinery can rebuild
+            # the transform per (x, c) row-chunk (distributions.py
+            # _rebuilt_chunked) — a context captured inside the built
+            # transform cannot be chunked from outside
+            flow._rebuild = (self, jnp.asarray(c), key)
+        return flow
 
 
 def Unconditional(f: Callable, *args, **kwargs):
