@@ -519,6 +519,72 @@ def _spline_forward_F(x, h, F, K, bound, slope):
     return jnp.where(mask, y, x), jnp.where(mask, _log_ladj(jac), 0.0)
 
 
+def _spline_forward_fused_F(x, h, F, K, bound, slope):
+    """`_spline_forward_F` with the searchsorted/bin-select FUSED into the
+    constraint pass (the round-2 roofline lever, PERF.md): one running sweep
+    over the K bins simultaneously accumulates the knot cumsums, tests bin
+    membership against the running knot, and multiply-accumulates the
+    selected bin parameters — no materialized (K+1)-slab knot lists, no
+    separate k/eq-mask pipeline, and the bin WIDTHS come straight from the
+    softmax outputs (dx_j = 2B·w_j) instead of knot differences. Same math
+    as `_spline_forward_F` up to summation order (validated against f64
+    truth, not bit-equality). Gated by ``ZUKO_TPU_FUSED_BINSEL``."""
+    log_s = math.log(slope)
+
+    ws = [h[t * F : (t + 1) * F, :] for t in range(K)]
+    hs = [h[(K + t) * F : (K + t + 1) * F, :] for t in range(K)]
+    rds = [h[(2 * K + t) * F : (2 * K + t + 1) * F, :] for t in range(K - 1)]
+
+    ws = [w / (1 + jnp.abs(2 * w / log_s)) for w in ws]
+    hs = [v / (1 + jnp.abs(2 * v / log_s)) for v in hs]
+    rds = [d / (1 + jnp.abs(d / log_s)) for d in rds]
+
+    ws = _softmax_slabs(ws)
+    hs = _softmax_slabs(hs)
+    one = jnp.ones_like(ws[0])
+    dds = [one] + [jnp.exp(d) for d in rds] + [one]
+
+    two_b = 2.0 * bound
+    xj = jnp.full_like(ws[0], -bound)
+    yj = jnp.full_like(ws[0], -bound)
+    zero = jnp.zeros_like(ws[0])
+    x0 = zero
+    y0 = zero
+    dx = one  # pad value keeps the out-of-domain arithmetic finite
+    dy = one
+    d0 = zero
+    d1 = zero
+    for j in range(K):
+        wj = two_b * ws[j]
+        hj = two_b * hs[j]
+        xn = xj + wj
+        # membership matches `_bin_select_F`'s k = sum(knots < x) - 1 == j
+        m = (xj < x) & ~(xn < x)
+        x0 = jnp.where(m, xj, x0)
+        y0 = jnp.where(m, yj, y0)
+        dx = jnp.where(m, wj, dx)
+        dy = jnp.where(m, hj, dy)
+        d0 = jnp.where(m, dds[j], d0)
+        d1 = jnp.where(m, dds[j + 1], d1)
+        xj = xn
+        yj = yj + hj
+    # in-domain iff x lands in some bin: x > -B and x <= x_K
+    neg_b = jnp.full_like(x, -bound)
+    mask = (neg_b < x) & ~(xj < x)
+
+    s = dy / dx
+    z = jnp.where(mask, (x - x0) / dx, 0.0)
+    z1 = z * (1 - z)
+    denom = s + (d0 + d1 - 2 * s) * z1
+    y = y0 + dy * (s * z**2 + d0 * z1) / denom
+    jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+
+    return jnp.where(mask, y, x), jnp.where(mask, _log_ladj(jac), 0.0)
+
+
+_FUSED_BINSEL = os.environ.get("ZUKO_TPU_FUSED_BINSEL", "0") == "1"
+
+
 def _spline_inverse_F(y, h, F, K, bound, slope):
     """Analytic quadratic-root spline inverse on (F, TB) slabs
     (reference: zuko/transforms.py:534-548)."""
@@ -661,9 +727,15 @@ def _bernstein_forward_F(x, h, F, M, bound):
 def _univ_forward_F(x, h, F, K, bound, slope, univ):
     """(F, TB) batch of univariate forwards + ladj."""
     if univ == "rqs":
+        if _FUSED_BINSEL:
+            return _spline_forward_fused_F(x, h, F, K, bound, slope)
         return _spline_forward_F(x, h, F, K, bound, slope)
     if univ == "crqs":
         # spline(shift(x)) (reference: zuko/flows/spline.py:65-72)
+        if _FUSED_BINSEL:
+            return _spline_forward_fused_F(
+                _circular_wrap(x, bound), h, F, K, bound, slope
+            )
         return _spline_forward_F(_circular_wrap(x, bound), h, F, K, bound, slope)
     if univ == "sosp":
         return _sosp_forward_F(x, h, F, K, bound, slope)
