@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,16 @@ import jax.numpy as jnp
 from . import nsf_fused as nf
 
 __all__ = ["fused_nsf_rsample", "fused_nsf_rsample_and_log_prob"]
+
+# Precision of the triangular-solve ITERATIONS (sweep 3). The solve is a
+# linear system solved exactly by nilpotency, so running its J^T
+# applications at the single-bf16-pass speed perturbs the solved operator
+# by ~1e-3 relative — below the measured f32 gradient noise floor vs CPU
+# f64 truth (3.3e-3, tools/tpu_validate_r49.py) — while the march, the
+# density backward, and the parameter pullbacks stay at the split3
+# accuracy default. "fast" = 1-pass iterations, "match" = the density
+# precision everywhere. Default pending the hardware A/B (r54).
+_ITER_PREC = os.environ.get("ZUKO_TPU_IFT_ITER", "match")
 
 
 def fused_nsf_rsample(flow, key, sample_shape, c=None,
@@ -176,9 +187,20 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
     """The IFT backward on flat rows: cotangents ``xbar (n, F)`` (and
     ``lbar (n,)`` for the fused log q) -> ``(dzc (n, F+C), dflat_params)``.
 
-    Walks the layers in the FORWARD (x -> z) direction, carrying the
-    cotangent ``v`` through one transposed-triangular solve per layer and
-    pulling back ``-u`` onto each layer's parameters."""
+    Three sweeps sharing ONE x-linearization per layer (the round-3 r52
+    restructuring — a wholesale ``jax.vjp`` of the density re-linearized the
+    whole flow and paid a second W-shaped pullback per layer):
+
+    1. **march**: x_l = T_l(x_{l-1}) with `jax.vjp`, storing each layer's
+       pullback, elementwise ladj, and input;
+    2. **density backward** (only with ``lbar``): the log-q cotangent
+       g_l = d(lbar·logq)/dx_l runs x_L -> x_0 through the SAME pullbacks
+       with ladj-cotangent ``lbar`` (logq = base(x_L) + sum_l s_l);
+    3. **IFT forward**: v = xbar + g_0 chains through one
+       transposed-triangular solve per layer (nilpotent iteration, exact
+       after ``passes``), and each layer takes a single merged parameter
+       pullback with cotangents (g_l - u_l, lbar·1) — the density's
+       parameter gradient and -(dT/dphi)^T u in one call."""
     xT = x.T                                    # (F, n) solved samples
     cT = zc[:, F:].T if C else None
     # mirror the density path's precision rule (`_full_math_T`)
@@ -189,41 +211,15 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
 
     dfp = [jnp.zeros_like(p) for p in flat_params]
     gcT = jnp.zeros_like(cT) if C else None
-    v = xbar.T                                  # (F, n)
+    per_layer = nf._split_layers(list(flat_params), layout)
 
-    if lbar is not None:
-        # log q cotangent: log q = l(x(phi,z), phi) with l the density —
-        # fold dl/dphi in directly and push lbar * dl/dx into the chain.
-        if C:
-            def density(xT_, fp_, cT_):
-                return nf._full_math_T(
-                    xT_, list(fp_), layout, F, K, bound, slope, cT_, univ,
-                    base, barrier=True,
-                )
-
-            _, pull = jax.vjp(density, xT, tuple(flat_params), cT)
-            gx, gfp, gcd = pull(lbar[None, :])
-            gcT = gcT + gcd
-        else:
-            def density(xT_, fp_):
-                return nf._full_math_T(
-                    xT_, list(fp_), layout, F, K, bound, slope, None, univ,
-                    base, barrier=True,
-                )
-
-            _, pull = jax.vjp(density, xT, tuple(flat_params))
-            gx, gfp = pull(lbar[None, :])
-        v = v + gx
-        dfp = [a + b for a, b in zip(dfp, gfp)]
-
-    idx = 0
+    # ---- sweep 1: march + linearize -----------------------------------
+    recs = []
     xcur = xT
-    for entry in nf._split_layers(list(flat_params), layout):
+    for entry in per_layer:
         if entry[0] == "softclip":
-            # diagonal layer: y = x / (1 + |x/B|), d = (1 + |x/B|)^-2
-            B = entry[1]
-            q = jnp.abs(xcur / B)
-            v = v * (1.0 + q) ** 2
+            recs.append(("softclip", entry[1], xcur, None, None))
+            q = jnp.abs(xcur / entry[1])
             xcur = xcur / (1.0 + q)
             continue
         tag, ps, passes = entry
@@ -249,13 +245,61 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
             (ynext, ladj), pull_x = jax.vjp(
                 lambda xx: layer_f(xx, ps), xcur
             )
+        pull_it = pull_x
+        if _ITER_PREC == "fast" and prec == "split3":
+            # a second, single-bf16-pass linearization drives ONLY the
+            # triangular-solve iterations (see _ITER_PREC note above)
+            def layer_fast(xT_, ps_=ps):
+                h = nf._hyper_T(xT_, cT, list(ps_), precision=None)
+                return nf._univ_forward_F(xT_, h, F, K, bound, slope, univ)
+
+            _, pull_it = jax.vjp(layer_fast, xcur)
+        recs.append(("ar", (ps, passes, layer_f, xcur), pull_x, ladj, pull_it))
+        xcur = ynext
+
+    # ---- sweep 2: density backward for g_l = d(lbar logq)/dx_l --------
+    # g_out[i] is the cotangent at layer i's OUTPUT (already lbar-scaled)
+    g_out = [None] * len(recs)
+    g0 = None
+    if lbar is not None:
+        lrow = lbar[None, :]                    # (1, n)
+        if base[0] == "normal":
+            g = -xcur * lrow                    # d base.logpdf / dx_L
+        else:  # box: piecewise-constant density, zero gradient a.e.
+            g = jnp.zeros_like(xcur)
+        for i in reversed(range(len(recs))):
+            g_out[i] = g
+            kind = recs[i][0]
+            if kind == "softclip":
+                B, xin = recs[i][1], recs[i][2]
+                q = jnp.abs(xin / B)
+                # dy/dx = (1+q)^-2 ; d ladj/dx = -2 sign(x)/(B (1+q))
+                g = g / (1.0 + q) ** 2 \
+                    - 2.0 * jnp.sign(xin) / (B * (1.0 + q)) * lrow
+            else:
+                pull_x = recs[i][2]
+                (g,) = pull_x((g, jnp.broadcast_to(lrow, recs[i][3].shape)))
+        g0 = g
+
+    # ---- sweep 3: triangular solves + merged parameter pullbacks ------
+    v = xbar.T if g0 is None else xbar.T + g0   # (F, n)
+    idx = 0
+    for i, rec in enumerate(recs):
+        if rec[0] == "softclip":
+            B, xin = rec[1], rec[2]
+            q = jnp.abs(xin / B)
+            v = v * (1.0 + q) ** 2              # J diagonal: u = v / d
+            continue
+        (ps, passes, layer_f, xin), pull_x, ladj, pull_it = (
+            rec[1], rec[2], rec[3], rec[4],
+        )
 
         # J diag: the univariate derivative (positive — monotone increasing)
         d = jnp.exp(ladj)
         zero_l = jnp.zeros_like(ladj)
 
         def it(_, u):
-            (ju,) = pull_x((u, zero_l))
+            (ju,) = pull_it((u, zero_l))
             return (v - ju + d * u) / d
 
         # u0 = v/d is the first iteration (from u=0); `passes` total are
@@ -268,22 +312,27 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
             for _ in range(n_it - 1):
                 u = it(0, u)
 
-        # parameter (and context) pullback: -(dT_l/dphi)^T u
+        # merged parameter (and context) pullback:
+        # phibar_l = (dT_l/dphi)^T (g_l - u_l) + lbar * ds_l/dphi
+        ycot = g_out[i] - u if g_out[i] is not None else -u
+        lcot = (
+            jnp.broadcast_to(lbar[None, :], ladj.shape)
+            if lbar is not None else zero_l
+        )
         if C:
             _, pull_p = jax.vjp(
-                lambda ps_, cc: layer_f(xcur, ps_, cc)[0], ps, cT
+                lambda ps_, cc: layer_f(xin, ps_, cc), ps, cT
             )
-            gps, gcc = pull_p(u)
-            gcT = gcT - gcc
+            gps, gcc = pull_p((ycot, lcot))
+            gcT = gcT + gcc
         else:
-            _, pull_p = jax.vjp(lambda ps_: layer_f(xcur, ps_)[0], ps)
-            (gps,) = pull_p(u)
+            _, pull_p = jax.vjp(lambda ps_: layer_f(xin, ps_), ps)
+            (gps,) = pull_p((ycot, lcot))
         for j, g in enumerate(gps):
-            dfp[idx + j] = dfp[idx + j] - g
+            dfp[idx + j] = dfp[idx + j] + g
 
         idx += len(ps)
         v = u
-        xcur = ynext
 
     dz = v.T                                    # zbar = J^{-T} xbar
     dzc = jnp.concatenate([dz, gcT.T], axis=-1) if C else dz
