@@ -402,3 +402,37 @@ def test_bernstein_fused_inverse_extrapolation(key):
     yy, _ = nf._univ_forward_F(x, h, 3, cfg["bins"], cfg["bound"],
                                cfg["slope"], "bernstein")
     assert jnp.abs(yy - y).max() < 1e-8
+
+
+@pytest.mark.parametrize("slope_exp", [0, 2])
+def test_spline_fused_binsel_matches_materialized(key, slope_exp):
+    # The running-sweep bin-select form (the default since r55,
+    # ZUKO_TPU_FUSED_BINSEL) computes the same spline as the
+    # materialized-knot form — in f64, across in-domain points, bin
+    # boundaries (exact running knots), and out-of-domain passthrough
+    from zuko_tpu.ops import nsf_fused as nf
+
+    F, K, TB, bound = 5, 8, 64, 5.0
+    slope = 10.0 ** (-slope_exp) if slope_exp else 1e-4  # spline slopes knob
+    kh, kx = jax.random.split(key)
+    h = jax.random.normal(kh, (3 * K - 1, F, TB)).reshape(
+        (3 * K - 1) * F, TB
+    ).astype(jnp.float64)
+    x = jnp.concatenate([
+        jax.random.uniform(kx, (F, TB - 16), minval=-bound, maxval=bound),
+        jax.random.normal(kx, (F, 8)) * 3 * bound,  # out of domain
+        jnp.zeros((F, 4)),
+        jnp.full((F, 4), -bound),  # domain edge
+    ], axis=1).astype(jnp.float64)
+
+    y1, l1 = nf._spline_forward_F(x, h, F, K, bound, slope)
+    y2, l2 = nf._spline_forward_fused_F(x, h, F, K, bound, slope)
+    assert jnp.abs(y1 - y2).max() < 1e-12, jnp.abs(y1 - y2).max()
+    assert jnp.abs(l1 - l2).max() < 1e-11, jnp.abs(l1 - l2).max()
+
+    # gradients agree too (the IFT backward linearizes through this form)
+    g1 = jax.grad(lambda v: nf._spline_forward_F(
+        v, h, F, K, bound, slope)[1].sum())(x)
+    g2 = jax.grad(lambda v: nf._spline_forward_fused_F(
+        v, h, F, K, bound, slope)[1].sum())(x)
+    assert jnp.abs(g1 - g2).max() < 1e-9, jnp.abs(g1 - g2).max()

@@ -67,6 +67,10 @@ def _n_bisect(bound, eps):
 # throughput for no measurable accuracy gain.
 _COARSE_XTOL = 2e-2
 _N_NEWTON = 3
+# UMNN gets one extra polish step: its r50-winning config drops the coarse
+# quadrature to GL-4 (noisier bracket), and the 4th exact Newton step
+# restores the eps past 1e-6 at a fraction of the quadrature it saves.
+_N_NEWTON_UMNN = 4
 
 
 def _extract_stacked_net(net, linear_cls, act_ok, in_features, label):
@@ -368,18 +372,25 @@ _UMNN_CHUNK = 8
 
 # The COARSE bisection only brackets the root to _COARSE_XTOL (2e-2) — a
 # low-order rule is plenty for that (the integrand is smooth: a softclipped
-# exp of an MLP), and the Newton polish re-evaluates with the full 32-point
-# rule, so the solved root matches the XLA path's quadrature exactly. One
-# 8-point chunk instead of four cuts the dominant UNAF cost ~4x.
-_UMNN_COARSE_N = 8
+# exp of an MLP), and the Newton polish re-evaluates with the full rule.
+# GL-4 for the bracket is the r50-winning sweep point (tools/
+# tpu_validate_r50.py: 296.8K samples/s vs 191.7K at 8c/16n/3N), paired
+# with a 4th Newton step (_N_NEWTON_UMNN) to absorb the noisier bracket.
+_UMNN_COARSE_N = 4
 _GL_NODES_C, _GL_WEIGHTS_C = np.polynomial.legendre.leggauss(_UMNN_COARSE_N)
 
-# Newton-phase value rule: GL-16 agrees with GL-32 to quadrature error
-# (<1e-7 on the smooth softclipped-exp integrand), far below the solver's
-# ~1e-5 parity contract, at half the dominant per-step cost. A/B:
-# tools/tpu_validate_r38.py.
-_UMNN_NEWTON_N = 16
+# Newton-phase SOLVE rule: the first polish steps only need to contract
+# toward the root, so they run GL-8 (r50 sweep); the FINAL step evaluates
+# the FINE rule, so the solved root converges quadratically onto the
+# GL-16 root — which the r38 A/B pinned to <1e-7 of GL-32 on the smooth
+# softclipped-exp integrand. Without the fine last step the GL-8 root
+# carries the GL-8-vs-GL-32 quadrature gap (~2e-5) straight into the
+# sample parity contract. The fused DENSITY integral also runs the fine
+# rule (the `_umnn_vg_hoisted` default).
+_UMNN_NEWTON_N = 8
 _GL_NODES_N, _GL_WEIGHTS_N = np.polynomial.legendre.leggauss(_UMNN_NEWTON_N)
+_UMNN_FINE_N = 16
+_GL_NODES_F, _GL_WEIGHTS_F = np.polynomial.legendre.leggauss(_UMNN_FINE_N)
 
 
 def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
@@ -428,14 +439,19 @@ def _umnn_eval_hoisted(mid, pre1, w1x, mono_w, mono_b, F, act, prec,
     return 0.5 * mid * jnp.concatenate(outs, axis=0)
 
 
-def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F, barrier=False):
+def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F, barrier=False,
+                     nodes=None, weights=None):
     """UMNN integral value AND derivative at HIGHEST precision: the
     fundamental theorem gives f'(x) = g(x) — ONE extra integrand-net point
     per feature, not another 32-point quadrature. mid (F, TB) ->
-    (f(mid), g(mid)); g >= e^-7 > 0 by the softclip."""
+    (f(mid), g(mid)); g >= e^-7 > 0 by the softclip. Defaults to the FINE
+    quadrature rule; the solver passes the cheaper solve rule for its
+    non-final Newton steps."""
     val = _umnn_eval_hoisted(
         mid, pre1, w1x, mono_w, mono_b, F, _elu, jax.lax.Precision.HIGHEST,
-        nodes=_GL_NODES_N, weights=_GL_WEIGHTS_N, barrier=barrier,
+        nodes=_GL_NODES_F if nodes is None else nodes,
+        weights=_GL_WEIGHTS_F if weights is None else weights,
+        barrier=barrier,
     )
     H1 = mono_w[0].shape[0] // F
     wL, bL = mono_w[-1], mono_b[-1]
@@ -487,6 +503,12 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
         _mono_vg_hoisted if kind == "mnn" else _umnn_vg_hoisted,
         barrier=barrier,
     )
+    # non-final Newton steps for UMNN run the cheaper SOLVE rule; the
+    # final step (f_vg above, fine-rule default) lands on the GL-16 root
+    f_vg_solve = f_vg if kind == "mnn" else functools.partial(
+        _umnn_vg_hoisted, barrier=barrier,
+        nodes=_GL_NODES_N, weights=_GL_WEIGHTS_N,
+    )
     act = _two_way_elu_rows if kind == "mnn" else _elu
     mono_w, mono_b = st["mono_w"], st["mono_b"]  # |W| pre-baked for MNN
 
@@ -535,15 +557,22 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
         hi = jnp.full_like(y, bound)
         lo, hi = jax.lax.fori_loop(0, n_coarse, bisect_body, (lo, hi))
 
-        def newton_body(_, xn):
-            fv, df = f_vg(xn, pre1, w1x, mono_w, mono_b, F)
+        def newton_step(xn, vg):
+            fv, df = vg(xn, pre1, w1x, mono_w, mono_b, F)
             step = (fv - target) / jnp.maximum(df, 1e-12)
             # clamp to the solve domain, NOT the coarse bracket: in flat
             # regions the noisy coarse bracket can exclude the true root,
             # and Newton's exact evaluations are what correct it
             return jnp.clip(xn - step, -bound, bound)
 
-        return jax.lax.fori_loop(0, _N_NEWTON, newton_body, 0.5 * (lo + hi))
+        n_newton = _N_NEWTON_UMNN if kind == "umnn" else _N_NEWTON
+        xn = jax.lax.fori_loop(
+            0, n_newton - 1,
+            lambda _, v: newton_step(v, f_vg_solve), 0.5 * (lo + hi),
+        )
+        # final step at the fine rule: quadratic convergence plants the
+        # root on the fine-quadrature forward (see _UMNN_NEWTON_N note)
+        return newton_step(xn, f_vg)
 
     x = jax.lax.fori_loop(
         0, min(st["passes"], F), sweep_body, jnp.zeros_like(y)

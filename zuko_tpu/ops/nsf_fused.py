@@ -582,7 +582,10 @@ def _spline_forward_fused_F(x, h, F, K, bound, slope):
     return jnp.where(mask, y, x), jnp.where(mask, _log_ladj(jac), 0.0)
 
 
-_FUSED_BINSEL = os.environ.get("ZUKO_TPU_FUSED_BINSEL", "0") == "1"
+# Default ON since the r50/r55 hardware A/Bs: ~+5% flagship density at
+# identical accuracy vs f64 truth (max 1.040e-4 vs 1.059e-4); "0" restores
+# the materialized-knot form.
+_FUSED_BINSEL = os.environ.get("ZUKO_TPU_FUSED_BINSEL", "1") == "1"
 
 
 def _spline_inverse_F(y, h, F, K, bound, slope):
