@@ -214,11 +214,21 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
     per_layer = nf._split_layers(list(flat_params), layout)
 
     # ---- sweep 1: march + linearize -----------------------------------
+    # Each AR layer splits as y = S(x, h), h = H(x): S is the univariate
+    # map, DIAGONAL in x at fixed h (y_f depends on x_f and on h rows
+    # [t*F + f] only), H is the masked hyper-net. The march stores the two
+    # pullbacks separately AND materializes S's whole h-sensitivity in ONE
+    # extra pullback — pull_s((1, 0)) returns (d, G) with d the univariate
+    # derivative diagonal and G[t*F+f] = dy_f/dh_{t,f}, because every h
+    # entry feeds exactly one output feature. The triangular-solve
+    # iterations then apply J^T u = d*u + H'(x)^T (G * tile(u)) with NO
+    # per-iteration spline vjp chain — elementwise + the hyper backward
+    # only (the r57 lever: the spline vjp dominated each iteration).
     recs = []
     xcur = xT
     for entry in per_layer:
         if entry[0] == "softclip":
-            recs.append(("softclip", entry[1], xcur, None, None))
+            recs.append(("softclip", entry[1], xcur))
             q = jnp.abs(xcur / entry[1])
             xcur = xcur / (1.0 + q)
             continue
@@ -232,8 +242,11 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
                 )
                 return nf._univ_forward_F(xT_, h, F, K, bound, slope, univ)
 
-            (ynext, ladj), pull_x = jax.vjp(
-                lambda xx: layer_f(xx, ps, cT), xcur
+            h, pull_h = jax.vjp(
+                lambda xx: nf._hyper_T(
+                    xx, cT, list(ps), precision=prec, barrier=True
+                ),
+                xcur,
             )
         else:
             def layer_f(xT_, ps_):
@@ -242,19 +255,32 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
                 )
                 return nf._univ_forward_F(xT_, h, F, K, bound, slope, univ)
 
-            (ynext, ladj), pull_x = jax.vjp(
-                lambda xx: layer_f(xx, ps), xcur
+            h, pull_h = jax.vjp(
+                lambda xx: nf._hyper_T(
+                    xx, None, list(ps), precision=prec, barrier=True
+                ),
+                xcur,
             )
-        pull_it = pull_x
-        if _ITER_PREC == "fast" and prec == "split3":
-            # a second, single-bf16-pass linearization drives ONLY the
-            # triangular-solve iterations (see _ITER_PREC note above)
-            def layer_fast(xT_, ps_=ps):
-                h = nf._hyper_T(xT_, cT, list(ps_), precision=None)
-                return nf._univ_forward_F(xT_, h, F, K, bound, slope, univ)
+        (ynext, ladj), pull_s = jax.vjp(
+            lambda xx, hh: nf._univ_forward_F(
+                xx, hh, F, K, bound, slope, univ
+            ),
+            xcur, h,
+        )
+        d_vec, G = pull_s((jnp.ones_like(ynext), jnp.zeros_like(ladj)))
 
-            _, pull_it = jax.vjp(layer_fast, xcur)
-        recs.append(("ar", (ps, passes, layer_f, xcur), pull_x, ladj, pull_it))
+        pull_h_it = pull_h
+        if _ITER_PREC == "fast" and prec == "split3":
+            # a single-bf16-pass hyper linearization drives ONLY the
+            # triangular-solve iterations (see _ITER_PREC note above)
+            _, pull_h_it = jax.vjp(
+                lambda xx: nf._hyper_T(xx, cT, list(ps), precision=None),
+                xcur,
+            )
+        recs.append((
+            "ar", (ps, passes, layer_f, xcur), pull_h, pull_s, ladj,
+            d_vec, G, pull_h_it,
+        ))
         xcur = ynext
 
     # ---- sweep 2: density backward for g_l = d(lbar logq)/dx_l --------
@@ -277,8 +303,10 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
                 g = g / (1.0 + q) ** 2 \
                     - 2.0 * jnp.sign(xin) / (B * (1.0 + q)) * lrow
             else:
-                pull_x = recs[i][2]
-                (g,) = pull_x((g, jnp.broadcast_to(lrow, recs[i][3].shape)))
+                pull_h, pull_s, ladj = recs[i][2], recs[i][3], recs[i][4]
+                gxs, gh = pull_s((g, jnp.broadcast_to(lrow, ladj.shape)))
+                (gxh,) = pull_h(gh)
+                g = gxs + gxh
         g0 = g
 
     # ---- sweep 3: triangular solves + merged parameter pullbacks ------
@@ -290,17 +318,21 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
             q = jnp.abs(xin / B)
             v = v * (1.0 + q) ** 2              # J diagonal: u = v / d
             continue
-        (ps, passes, layer_f, xin), pull_x, ladj, pull_it = (
-            rec[1], rec[2], rec[3], rec[4],
+        (ps, passes, layer_f, xin), ladj, d, G, pull_h_it = (
+            rec[1], rec[4], rec[5], rec[6], rec[7],
         )
-
-        # J diag: the univariate derivative (positive — monotone increasing)
-        d = jnp.exp(ladj)
+        # d is the autodiff diagonal (== exp(ladj) to roundoff); using it
+        # for BOTH the division and the J^T application keeps the
+        # nilpotent-iteration algebra exactly consistent
+        T_rows = G.shape[0] // F
         zero_l = jnp.zeros_like(ladj)
 
         def it(_, u):
-            (ju,) = pull_it((u, zero_l))
-            return (v - ju + d * u) / d
+            # J^T u = d*u + H'(x)^T (G * tile(u)): the strictly-triangular
+            # part rides the hyper backward only (see the sweep-1 note)
+            gh = G * jnp.concatenate([u] * T_rows, axis=0)
+            (ju_lower,) = pull_h_it(gh)
+            return (v - ju_lower) / d
 
         # u0 = v/d is the first iteration (from u=0); `passes` total are
         # exact by nilpotency of the strictly triangular part

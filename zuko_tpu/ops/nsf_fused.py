@@ -588,6 +588,97 @@ def _spline_forward_fused_F(x, h, F, K, bound, slope):
 _FUSED_BINSEL = os.environ.get("ZUKO_TPU_FUSED_BINSEL", "1") == "1"
 
 
+def _tree_reduce_rows(block, k, F, op):
+    """Reduce a packed (k*F, TB) block over its k row-groups with a
+    pairwise tree of BIG-slab ops: log2(k) applications on half-blocks
+    instead of k-1 applications on (F, TB) slabs (the r56 dissection put
+    the flagship's remaining headroom in slab-op issue overhead, not
+    transcendentals)."""
+    while k > 1:
+        if k % 2:
+            head = op(block[:F, :], block[(k - 1) * F :, :])
+            block = jnp.concatenate([head, block[F : (k - 1) * F, :]], axis=0)
+            k -= 1
+        half = k // 2
+        block = op(block[: half * F, :], block[half * F :, :])
+        k = half
+    return block
+
+
+def _softmax_block(block, K, F):
+    """Numerically-stable softmax over the K row-groups of a packed
+    (K*F, TB) block: one exp over the whole block, tree max/sum."""
+    m = _tree_reduce_rows(block, K, F, jnp.maximum)        # (F, TB)
+    mt = jnp.concatenate([m] * K, axis=0)
+    e = jnp.exp(block - mt)
+    tot = _tree_reduce_rows(e, K, F, lambda a, b: a + b)
+    inv = 1.0 / tot
+    return e * jnp.concatenate([inv] * K, axis=0)
+
+
+def _spline_forward_packed_F(x, h, F, K, bound, slope):
+    """`_spline_forward_fused_F` with the constraint pass PACKED: the
+    softclip, softmax, and derivative exp run as single chains over the
+    whole (K*F, TB) / ((K-1)*F, TB) blocks instead of 23 per-slab chains —
+    same math to summation order, ~8x fewer op issues on the constraint
+    tier. The running K-bin membership sweep is unchanged."""
+    log_s = math.log(slope)
+    KF = K * F
+
+    whb = h[: 2 * KF, :]
+    whb = whb / (1.0 + jnp.abs(whb * (2.0 / log_s)))
+    db = h[2 * KF :, :]
+    db = db / (1.0 + jnp.abs(db * (1.0 / log_s)))
+
+    wsb = _softmax_block(whb[:KF, :], K, F)
+    hsb = _softmax_block(whb[KF:, :], K, F)
+    ddsb = jnp.exp(db)                                     # ((K-1)F, TB)
+
+    one = jnp.ones_like(x)
+    two_b = 2.0 * bound
+    xj = jnp.full_like(x, -bound)
+    yj = jnp.full_like(x, -bound)
+    zero = jnp.zeros_like(x)
+    x0, y0, d0, d1 = zero, zero, zero, zero
+    dx = one  # pad value keeps the out-of-domain arithmetic finite
+    dy = one
+    for j in range(K):
+        wj = two_b * wsb[j * F : (j + 1) * F, :]
+        hj = two_b * hsb[j * F : (j + 1) * F, :]
+        dj = one if j == 0 else ddsb[(j - 1) * F : j * F, :]
+        djn = one if j == K - 1 else ddsb[j * F : (j + 1) * F, :]
+        xn = xj + wj
+        # membership matches `_bin_select_F`'s k = sum(knots < x) - 1 == j
+        m = (xj < x) & ~(xn < x)
+        x0 = jnp.where(m, xj, x0)
+        y0 = jnp.where(m, yj, y0)
+        dx = jnp.where(m, wj, dx)
+        dy = jnp.where(m, hj, dy)
+        d0 = jnp.where(m, dj, d0)
+        d1 = jnp.where(m, djn, d1)
+        xj = xn
+        yj = yj + hj
+    neg_b = jnp.full_like(x, -bound)
+    mask = (neg_b < x) & ~(xj < x)
+
+    s = dy / dx
+    z = jnp.where(mask, (x - x0) / dx, 0.0)
+    z1 = z * (1 - z)
+    denom = s + (d0 + d1 - 2 * s) * z1
+    y = y0 + dy * (s * z**2 + d0 * z1) / denom
+    jac = s**2 * (2 * s * z1 + d0 * (1 - z) ** 2 + d1 * z**2) / denom**2
+
+    return jnp.where(mask, y, x), jnp.where(mask, _log_ladj(jac), 0.0)
+
+
+# packed constraint tier (r56 lever): routes the binsel spline through
+# `_spline_forward_packed_F`. Default ON since the r57 hardware A/B: a
+# consistent ~1% on density (85.0M vs 84.1M), sample+logq (22.7 vs 22.3M),
+# and the VI step (4.36 vs 4.08M) at the same accuracy vs f64 truth
+# (max 1.067e-4 / median 1.505e-5 vs 1.040e-4 / 1.596e-5).
+_BINSEL_PACKED = os.environ.get("ZUKO_TPU_BINSEL_PACKED", "1") == "1"
+
+
 def _spline_inverse_F(y, h, F, K, bound, slope):
     """Analytic quadratic-root spline inverse on (F, TB) slabs
     (reference: zuko/transforms.py:534-548)."""
@@ -731,14 +822,20 @@ def _univ_forward_F(x, h, F, K, bound, slope, univ):
     """(F, TB) batch of univariate forwards + ladj."""
     if univ == "rqs":
         if _FUSED_BINSEL:
-            return _spline_forward_fused_F(x, h, F, K, bound, slope)
+            fwd = (
+                _spline_forward_packed_F if _BINSEL_PACKED
+                else _spline_forward_fused_F
+            )
+            return fwd(x, h, F, K, bound, slope)
         return _spline_forward_F(x, h, F, K, bound, slope)
     if univ == "crqs":
         # spline(shift(x)) (reference: zuko/flows/spline.py:65-72)
         if _FUSED_BINSEL:
-            return _spline_forward_fused_F(
-                _circular_wrap(x, bound), h, F, K, bound, slope
+            fwd = (
+                _spline_forward_packed_F if _BINSEL_PACKED
+                else _spline_forward_fused_F
             )
+            return fwd(_circular_wrap(x, bound), h, F, K, bound, slope)
         return _spline_forward_F(_circular_wrap(x, bound), h, F, K, bound, slope)
     if univ == "sosp":
         return _sosp_forward_F(x, h, F, K, bound, slope)
