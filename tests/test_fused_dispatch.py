@@ -1091,3 +1091,98 @@ def test_reverse_kl_step_through_ift(key, dispatch_on):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.5
+
+
+@pytest.mark.parametrize("case", ["NAF", "UNAF", "NAF-cond"])
+def test_ift_rsample_gradients_neural(case, key, dispatch_on):
+    r"""NAF/UNAF rsample gradients via the IFT tier match differentiating
+    the XLA scan inverse to solver tolerance (the fused bisection+Newton
+    root carries eps ~1e-6; UNAF additionally the GL-16-vs-GL-32
+    quadrature gap). Reference semantics: zuko/distributions.py:121-138."""
+    from zuko_tpu.flows import NAF, UNAF
+
+    kf, kc, kk = jax.random.split(key, 3)
+    c = None
+    tol = 1e-6
+    if case == "NAF":
+        flow = NAF(4, 0, transforms=2, key=kf)
+    elif case == "UNAF":
+        flow = UNAF(4, 0, transforms=2, signal=8, key=kf)
+        tol = 5e-4
+    else:
+        flow = NAF(4, 2, transforms=2, key=kf)
+        c = jax.random.normal(kc, (2,), dtype=jnp.float64) * 0.3
+
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, c, kk)
+    params = _cast_params(params, jnp.float64)
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_ift)(params)
+    assert jnp.abs(l1 - l2) < tol
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.allclose(a, b, atol=tol), (n, jnp.abs(a - b).max())
+
+
+def test_ift_rsample_values_match_sample_naf(key, dispatch_on):
+    r"""The NAF IFT rsample draws the same values as the non-differentiable
+    fused sample for the same key; its log q equals the fused
+    sample_and_log_prob."""
+    from zuko_tpu.flows import NAF
+    from zuko_tpu.ops.dispatch import FusedNeuralSamplingFlow
+
+    kf, kk = jax.random.split(key)
+    flow = NAF(3, 0, transforms=2, key=kf)
+    d = flow(None)
+    assert isinstance(d, FusedNeuralSamplingFlow)
+    x1 = d.sample(kk, (16,))
+    x2 = d.rsample(kk, (16,))
+    assert jnp.allclose(x1, x2, atol=1e-6)
+    x3, lq3 = d.sample_and_log_prob(kk, (16,))
+    x4, lq4 = d.rsample_and_log_prob(kk, (16,))
+    assert jnp.allclose(x3, x4, atol=1e-6)
+    assert jnp.allclose(lq3, lq4, atol=1e-6)
+
+
+def test_ift_pegged_solve_rows_contribute_zero(key, dispatch_on):
+    r"""Unreachable tail targets peg the NAF bisection at the +-bound
+    bracket edge, where T(x) != z and the IFT premise fails — the XLA
+    path there returns near-garbage gradients that can dominate the whole
+    batch (r59: 2 pegged rows carried 92% of a 16384-row gradient). The
+    IFT backward must zero those rows' cotangents (`ift._SOLVE_ATOL`) and
+    leave the valid rows matching the XLA path."""
+    from zuko_tpu.flows import NAF
+    from zuko_tpu.ops import ift, naf_fused as nafm
+
+    kf, kz = jax.random.split(key)
+    flow = NAF(3, 0, transforms=2, key=kf)
+    stages, cfg = nafm.extract_naf_params(flow)
+    F, S = cfg["features"], cfg["signal"]
+    fp, layout = nafm._stage_layout(stages, F, S)
+
+    z = jax.random.normal(kz, (8, 3), dtype=jnp.float64)
+    z = z.at[3, 1].set(200.0)  # unreachable: pegs the feature-1 solve
+
+    x, _ = ift._naf_ift_op(layout, F, 0, S, True, z, *fp)
+    assert jnp.abs(x[3]).max() >= 10.0 - 1e-6  # pegged at the solve bound
+
+    def f(zz):
+        xs, lq = ift._naf_ift_op(layout, F, 0, S, True, zz, *fp)
+        return jnp.sum(lq) + jnp.sum(xs**2)
+
+    g = jax.grad(f)(z)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert jnp.abs(g[3]).max() == 0.0  # pegged row: zero cotangent
+
+    # valid rows still match differentiating the XLA inverse
+    d = NormalizingFlow(flow(None).transform, flow(None).base)
+
+    def f_xla(zz):
+        xs, ladj = d.transform.inverse_and_ladj(zz)
+        lq = d.base.log_prob(zz) - ladj
+        return jnp.sum(lq) + jnp.sum(xs**2)
+
+    g_xla = jax.grad(f_xla)(z)
+    mask = jnp.arange(8) != 3
+    assert jnp.allclose(g[mask], g_xla[mask], atol=1e-6), (
+        jnp.abs(g[mask] - g_xla[mask]).max()
+    )

@@ -262,7 +262,9 @@ class FusedNeuralSamplingFlow(NormalizingFlow):
     (reference: zuko/transforms.py:609-617) — and whose density runs the
     fused forward kernel with ANALYTIC log-Jacobians (the monotone-net
     derivative / UMNN integrand point) instead of the XLA path's jvp.
-    ``rsample`` keeps the differentiable XLA path."""
+    ``rsample``/``rsample_and_log_prob`` run the fused solve with IFT
+    gradients (:mod:`zuko_tpu.ops.ift`), exact at the solved point to
+    solver tolerance."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -283,7 +285,22 @@ class FusedNeuralSamplingFlow(NormalizingFlow):
         )
 
     def rsample(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_naf_rsample
+
+            return fused_naf_rsample(self._module, key, sample_shape,
+                                     c=self._c)
         return NormalizingFlow.sample(self, key, sample_shape)
+
+    def rsample_and_log_prob(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_naf_rsample
+
+            return fused_naf_rsample(
+                self._module, key, sample_shape, c=self._c,
+                want_log_prob=True,
+            )
+        return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
 def maybe_fused_flow(module, transform, base, c):

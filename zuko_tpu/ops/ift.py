@@ -44,7 +44,11 @@ is fed to the same triangular-solve chain.
 
 Covers every family :func:`zuko_tpu.ops.nsf_fused.extract_nsf_params`
 accepts: NSF/NCSF (rqs/crqs), MAF (affine), SOSPF/BPF (sosp/bernstein,
-including their softclip interleaves).
+including their softclip interleaves) — plus, via the NAF/UNAF tier at the
+bottom of this module, every structure
+:func:`zuko_tpu.ops.naf_fused.extract_naf_params` accepts (monotone-net
+and UMNN stages; their solved roots carry the solver eps, so gradients
+match the XLA path to solver tolerance rather than f64-exactly).
 """
 
 from __future__ import annotations
@@ -58,7 +62,12 @@ import jax.numpy as jnp
 
 from . import nsf_fused as nf
 
-__all__ = ["fused_nsf_rsample", "fused_nsf_rsample_and_log_prob"]
+__all__ = [
+    "fused_naf_rsample",
+    "fused_naf_rsample_and_log_prob",
+    "fused_nsf_rsample",
+    "fused_nsf_rsample_and_log_prob",
+]
 
 # Precision of the triangular-solve ITERATIONS (sweep 3). The solve is a
 # linear system solved exactly by nilpotency, so running its J^T
@@ -69,6 +78,36 @@ __all__ = ["fused_nsf_rsample", "fused_nsf_rsample_and_log_prob"]
 # accuracy default. "fast" = 1-pass iterations, "match" = the density
 # precision everywhere. Default pending the hardware A/B (r54).
 _ITER_PREC = os.environ.get("ZUKO_TPU_IFT_ITER", "match")
+
+# Solve-consistency gate for the IFT backward. The implicit function
+# theorem needs T(x) = z at the solved point; iterative inverses (NAF's
+# bisection+Newton, the polynomial coarse+Newton) PEG at the +-bound
+# bracket edge for unreachable tail targets (~1e-4 of standard-normal
+# draws at 16K batches), where the forward march wanders off the solve
+# orbit and the triangular algebra amplifies into O(1) garbage gradients
+# (r59: 2 pegged rows drove the worst-leaf error from 3e-3 to 3.7e-1).
+# Rows whose reconstruction misses z by more than this tolerance get ZERO
+# cotangent — a clipped solve has no meaningful pathwise gradient there
+# (the analytic-inverse families, rqs/crqs/affine, never trip this: their
+# out-of-domain branch is an exact identity).
+_SOLVE_ATOL = 1e-2
+
+
+def _solve_consistency_mask(zhat, zT, xbar, lbar, atol=_SOLVE_ATOL):
+    """Zero the cotangents of rows where the marched forward ``zhat``
+    misses the base draw ``zT`` (pegged/failed solves). Returns masked
+    ``(xbar_T, lbar_row)`` in transposed layout: (F, n) and (1, n)|None.
+
+    ``atol`` must sit above the march's own reconstruction noise: 1e-2
+    for the f32-exact precisions; callers on the 1-pass bf16 march
+    (ZUKO_TPU_DENSITY_PREC=fast) pass 1e-1 so bf16 noise cannot zero
+    valid rows."""
+    ok = (
+        jnp.max(jnp.abs(zhat - zT), axis=0, keepdims=True) < atol
+    ).astype(zhat.dtype)                        # (1, n)
+    xbar_T = xbar.T * ok
+    lrow = lbar[None, :] * ok if lbar is not None else None
+    return xbar_T, lrow
 
 
 def fused_nsf_rsample(flow, key, sample_shape, c=None,
@@ -120,8 +159,13 @@ def _ift_fwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, zc,
     return out, (zc, x, flat_params)
 
 
-def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
-             cot):
+def _row_chunked_bwd(math_fn, want_log_prob, res, cot):
+    """Shared backward driver: unpack cotangents and row-chunk the math on
+    TPU (the same shape-class caution as the density backward,
+    `nsf_fused._fused_bwd`, against the documented big-batch XLA:TPU
+    miscompile — and smaller programs pipeline better).
+
+    ``math_fn(zc, x, xbar, lbar, flat_params) -> (dzc, dfp_tuple)``."""
     zc, x, flat_params = res
     if want_log_prob:
         xbar, lbar = cot
@@ -130,9 +174,6 @@ def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
 
     rows = zc.shape[0]
     if rows > nf._BWD_CHUNK and jax.default_backend() not in ("cpu", "gpu"):
-        # Row-chunk the backward on TPU: the same shape-class caution as the
-        # density backward (`nsf_fused._fused_bwd`) against the documented
-        # big-batch XLA:TPU miscompile, and smaller programs pipeline better.
         n_chunks = -(-rows // nf._BWD_CHUNK)
         pad = n_chunks * nf._BWD_CHUNK - rows
 
@@ -156,10 +197,7 @@ def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
 
         def one(ch):
             zcc, xc, xb, lb = ch
-            return _ift_bwd_math(
-                layout, F, C, K, bound, slope, univ, base, zcc, xc, xb, lb,
-                flat_params,
-            )
+            return math_fn(zcc, xc, xb, lb, flat_params)
 
         if lbar is None:
             dzc_ch, dfp_ch = jax.lax.map(
@@ -172,11 +210,18 @@ def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
         dfp = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dfp_ch)
         return (dzc, *dfp)
 
-    dzc, dfp = _ift_bwd_math(
-        layout, F, C, K, bound, slope, univ, base, zc, x, xbar, lbar,
-        flat_params,
-    )
+    dzc, dfp = math_fn(zc, x, xbar, lbar, flat_params)
     return (dzc, *dfp)
+
+
+def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
+             cot):
+    return _row_chunked_bwd(
+        functools.partial(
+            _ift_bwd_math, layout, F, C, K, bound, slope, univ, base
+        ),
+        want_log_prob, res, cot,
+    )
 
 
 _ift_op.defvjp(_ift_fwd, _ift_bwd)
@@ -283,12 +328,18 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
         ))
         xcur = ynext
 
+    # Pegged/failed solves contribute zero (see _SOLVE_ATOL); xcur after
+    # the march is the reconstruction T(x)
+    xbarT, lrow = _solve_consistency_mask(
+        xcur, zc[:, :F].T, xbar, lbar,
+        atol=1e-1 if prec is None else _SOLVE_ATOL,
+    )
+
     # ---- sweep 2: density backward for g_l = d(lbar logq)/dx_l --------
     # g_out[i] is the cotangent at layer i's OUTPUT (already lbar-scaled)
     g_out = [None] * len(recs)
     g0 = None
     if lbar is not None:
-        lrow = lbar[None, :]                    # (1, n)
         if base[0] == "normal":
             g = -xcur * lrow                    # d base.logpdf / dx_L
         else:  # box: piecewise-constant density, zero gradient a.e.
@@ -310,7 +361,7 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
         g0 = g
 
     # ---- sweep 3: triangular solves + merged parameter pullbacks ------
-    v = xbar.T if g0 is None else xbar.T + g0   # (F, n)
+    v = xbarT if g0 is None else xbarT + g0     # (F, n)
     idx = 0
     for i, rec in enumerate(recs):
         if rec[0] == "softclip":
@@ -348,7 +399,7 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
         # phibar_l = (dT_l/dphi)^T (g_l - u_l) + lbar * ds_l/dphi
         ycot = g_out[i] - u if g_out[i] is not None else -u
         lcot = (
-            jnp.broadcast_to(lbar[None, :], ladj.shape)
+            jnp.broadcast_to(lrow, ladj.shape)
             if lbar is not None else zero_l
         )
         if C:
@@ -364,6 +415,223 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
             dfp[idx + j] = dfp[idx + j] + g
 
         idx += len(ps)
+        v = u
+
+    dz = v.T                                    # zbar = J^{-T} xbar
+    dzc = jnp.concatenate([dz, gcT.T], axis=-1) if C else dz
+    return dzc, tuple(dfp)
+
+
+# ------------------------------------------------------- NAF / UNAF tier
+#
+# Same implicit-function-theorem backward over naf_fused's stage structure:
+# each AR stage is y = S(x, h), h = H(x) with S the per-feature monotone
+# net (MNN) or its quadrature integral (UMNN) — S is diagonal in x at
+# fixed h, and h rows [f*T : (f+1)*T] feed exactly feature f (FEATURE-major,
+# unlike nsf_fused's param-major layout — hence jnp.repeat, not tile, for
+# the G application). The forward runs the fused bisection+Newton kernel;
+# the solved root carries the solver eps (~1e-6), so gradients match the
+# XLA path to solver tolerance rather than f64-exactly (reference
+# semantics: zuko/distributions.py:121-138 over zuko/transforms.py:609-637).
+
+
+def fused_naf_rsample(flow, key, sample_shape, c=None,
+                      want_log_prob: bool = False):
+    r"""Differentiable fused NAF/UNAF sampling: the fused solve forward
+    (`naf_fused.fused_naf_sample` kernel), an IFT custom VJP backward with
+    per-stage transposed-triangular solves and materialized monotone-net
+    sensitivities (see `_ift_bwd_math`'s G note)."""
+    from . import naf_fused as nafm
+
+    flat_params, layout, z_shape, zc, F, C, S, dtype = nafm._prep_naf_sample(
+        flow, key, sample_shape, c
+    )
+    out = _naf_ift_op(layout, F, C, S, want_log_prob, zc, *flat_params)
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(z_shape), lp.reshape(z_shape[:-1])
+    return out.reshape(z_shape)
+
+
+def fused_naf_rsample_and_log_prob(flow, key, sample_shape, c=None):
+    return fused_naf_rsample(flow, key, sample_shape, c=c,
+                             want_log_prob=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _naf_ift_op(layout, F, C, S, want_log_prob, zc, *flat_params):
+    from . import naf_fused as nafm
+
+    return nafm._naf_sample_core(
+        layout, F, C, S, want_log_prob, zc, list(flat_params)
+    )
+
+
+def _naf_ift_fwd(layout, F, C, S, want_log_prob, zc, *flat_params):
+    from . import naf_fused as nafm
+
+    out = nafm._naf_sample_core(
+        layout, F, C, S, want_log_prob, zc, list(flat_params)
+    )
+    x = out[0] if want_log_prob else out
+    return out, (zc, x, flat_params)
+
+
+def _naf_ift_bwd(layout, F, C, S, want_log_prob, res, cot):
+    return _row_chunked_bwd(
+        functools.partial(_naf_ift_bwd_math, layout, F, C, S),
+        want_log_prob, res, cot,
+    )
+
+
+_naf_ift_op.defvjp(_naf_ift_fwd, _naf_ift_bwd)
+
+
+def _naf_ift_bwd_math(layout, F, C, S, zc, x, xbar, lbar, flat_params):
+    """The IFT backward over NAF stages — the three-sweep structure of
+    `_ift_bwd_math` on naf_fused's (made, mono) stage params."""
+    from . import naf_fused as nafm
+
+    xT = x.T                                    # (F, n) solved samples
+    cT = zc[:, F:].T if C else None
+    HI = jax.lax.Precision.HIGHEST              # the NAF solver/density rule
+
+    dfp = [jnp.zeros_like(p) for p in flat_params]
+    gcT = jnp.zeros_like(cT) if C else None
+
+    def make_s(d, mono_w, mono_b):
+        kind2 = d.get("kind", "mnn")
+        T = S if kind2 == "mnn" else S + 1
+
+        def s_f(xx, hh):
+            sig_all = jnp.concatenate(
+                [hh[f * T : f * T + S, :] for f in range(F)], axis=0
+            )
+            pre1, w1x = nafm._hoist_first_layer(
+                sig_all, mono_w, mono_b, F, S, barrier=True
+            )
+            f_vg = (
+                nafm._mono_vg_hoisted if kind2 == "mnn"
+                else nafm._umnn_vg_hoisted
+            )
+            val, g = f_vg(xx, pre1, w1x, mono_w, mono_b, F, barrier=True)
+            if kind2 == "umnn":
+                consts = jnp.concatenate(
+                    [hh[f * T + S : f * T + S + 1, :] for f in range(F)],
+                    axis=0,
+                )
+                val = val + consts
+            return val, nf._log_ladj(g)
+
+        return s_f, T
+
+    # ---- sweep 1: march + linearize -----------------------------------
+    recs = []
+    xcur = xT
+    idx = 0
+    for kind, v in layout:
+        if kind == "softclip":
+            recs.append(("softclip", v, xcur))
+            q = jnp.abs(xcur / v)
+            xcur = xcur / (1.0 + q)
+            continue
+        d = dict(v)
+        nmade, L = d["n_made"], len(d["mono_dims"])
+        count = 3 * nmade + 2 * L
+        ps = tuple(flat_params[idx : idx + count])
+        made = list(ps[: 3 * nmade])
+        mono_w = list(ps[3 * nmade : 3 * nmade + L])
+        mono_b = list(ps[3 * nmade + L :])
+        s_f, T = make_s(d, mono_w, mono_b)
+
+        h, pull_h = jax.vjp(
+            lambda xx: nafm._hyper_T(xx, cT, made, precision=HI), xcur
+        )
+        (ynext, ladj), pull_s = jax.vjp(s_f, xcur, h)
+        d_vec, G = pull_s((jnp.ones_like(ynext), jnp.zeros_like(ladj)))
+
+        recs.append((
+            "ar", (ps, d, idx, count, xcur), pull_h, pull_s, ladj,
+            d_vec, G, T,
+        ))
+        idx += count
+        xcur = ynext
+
+    # Pegged/failed solves contribute zero (see _SOLVE_ATOL); xcur after
+    # the march is the reconstruction T(x)
+    xbarT, lrow = _solve_consistency_mask(xcur, zc[:, :F].T, xbar, lbar)
+
+    # ---- sweep 2: density backward for g_l = d(lbar logq)/dx_l --------
+    g_out = [None] * len(recs)
+    g0 = None
+    if lbar is not None:
+        g = -xcur * lrow                        # standard-normal base (pinned)
+        for i in reversed(range(len(recs))):
+            g_out[i] = g
+            if recs[i][0] == "softclip":
+                B, xin = recs[i][1], recs[i][2]
+                q = jnp.abs(xin / B)
+                g = g / (1.0 + q) ** 2 \
+                    - 2.0 * jnp.sign(xin) / (B * (1.0 + q)) * lrow
+            else:
+                pull_h, pull_s, ladj = recs[i][2], recs[i][3], recs[i][4]
+                gxs, gh = pull_s((g, jnp.broadcast_to(lrow, ladj.shape)))
+                (gxh,) = pull_h(gh)
+                g = gxs + gxh
+        g0 = g
+
+    # ---- sweep 3: triangular solves + merged parameter pullbacks ------
+    v = xbarT if g0 is None else xbarT + g0     # (F, n)
+    for i, rec in enumerate(recs):
+        if rec[0] == "softclip":
+            B, xin = rec[1], rec[2]
+            q = jnp.abs(xin / B)
+            v = v * (1.0 + q) ** 2              # J diagonal: u = v / d
+            continue
+        (ps, d, idx0, count, xin), pull_h = rec[1], rec[2]
+        ladj, d_vec, G, T = rec[4], rec[5], rec[6], rec[7]
+        zero_l = jnp.zeros_like(ladj)
+
+        def it(_, u):
+            gh = G * jnp.repeat(u, T, axis=0)   # feature-major h layout
+            (ju_lower,) = pull_h(gh)
+            return (v - ju_lower) / d_vec
+
+        u = v / d_vec
+        n_it = min(int(d["passes"]), F)
+        if n_it - 1 > 6:  # roll long solves (the program-size rule)
+            u = jax.lax.fori_loop(0, n_it - 1, it, u)
+        else:
+            for _ in range(n_it - 1):
+                u = it(0, u)
+
+        # merged parameter (and context) pullback
+        ycot = g_out[i] - u if g_out[i] is not None else -u
+        lcot = (
+            jnp.broadcast_to(lrow, ladj.shape)
+            if lbar is not None else zero_l
+        )
+        nmade, L = d["n_made"], len(d["mono_dims"])
+
+        def layer_ps(ps_, cc):
+            made_ = list(ps_[: 3 * nmade])
+            s2, _ = make_s(
+                d, list(ps_[3 * nmade : 3 * nmade + L]),
+                list(ps_[3 * nmade + L :]),
+            )
+            hh = nafm._hyper_T(xin, cc, made_, precision=HI)
+            return s2(xin, hh)
+
+        if C:
+            _, pull_p = jax.vjp(layer_ps, ps, cT)
+            gps, gcc = pull_p((ycot, lcot))
+            gcT = gcT + gcc
+        else:
+            _, pull_p = jax.vjp(lambda ps_: layer_ps(ps_, None), ps)
+            (gps,) = pull_p((ycot, lcot))
+        for j, g in enumerate(gps):
+            dfp[idx0 + j] = dfp[idx0 + j] + g
+
         v = u
 
     dz = v.T                                    # zbar = J^{-T} xbar

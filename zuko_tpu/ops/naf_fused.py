@@ -932,11 +932,50 @@ def fused_naf_sample(flow, key, sample_shape, c=None,
     zuko/transforms.py:623-637).
 
     Sampling only (no gradients) — use ``rsample`` on the flow for the
-    differentiable path.
+    differentiable path (:mod:`zuko_tpu.ops.ift`).
     """
+    flat_params, layout, z_shape, zc, F, C, S, dtype = _prep_naf_sample(
+        flow, key, sample_shape, c
+    )
+    out = _naf_sample_core(
+        layout, F, C, S, want_log_prob, zc, list(flat_params)
+    )
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(z_shape), lp.reshape(z_shape[:-1])
+    return out.reshape(z_shape)
+
+
+def _prep_naf_sample(flow, key, sample_shape, c):
+    """Shared sampling prep: extract + flatten params, draw base z, build
+    the flat ``zc = [z | c]`` rows."""
     stages, cfg = extract_naf_params(flow)
     F, S = cfg["features"], cfg["signal"]
-    flat_params, layout = _stage_layout(stages, cfg["features"], cfg["signal"])
+    flat_params, layout = _stage_layout(stages, F, S)
+
+    try:
+        dtype = jnp.asarray(flow.base.args[0]).dtype
+    except (AttributeError, IndexError):  # pragma: no cover
+        dtype = flat_params[0].dtype
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    zf = z.reshape(-1, F)
+
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
+        zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
+    else:
+        C = 0
+        zc = zf
+    return flat_params, layout, z.shape, zc, F, C, S, dtype
+
+
+def _naf_sample_core(layout, F, C, S, want_log_prob, zc, flat_params):
+    """Flat-row sampling core: ``zc (n, F+C)`` -> ``x (n, F)`` (and
+    ``log q (n,)``) through the fused kernel (jnp fallback off-TPU)."""
+    dtype = zc.dtype
+    n = zc.shape[0]
     # Scoped-VMEM stack budget: the per-tile live set scales with F * tb
     # (per-feature monotone-net slabs) — F=21 at tb=1024 hit the 16MB
     # stack limit at compile (17.6M, r31). Shrink the tile until F * tb
@@ -948,23 +987,6 @@ def fused_naf_sample(flow, key, sample_shape, c=None,
     if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
         tb = min(tb, 512)
 
-    try:
-        dtype = jnp.asarray(flow.base.args[0]).dtype
-    except (AttributeError, IndexError):  # pragma: no cover
-        dtype = flat_params[0].dtype
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
-    zf = z.reshape(-1, F)
-    n = zf.shape[0]
-
-    if c is not None:
-        c = jnp.asarray(c)
-        C = c.shape[-1]
-        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
-        zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
-    else:
-        C = 0
-        zc = zf
-
     if not _use_pallas_fused(dtype):
         cT = zc[:, F:].T if C else None
         stages2 = _rebuild_stages(list(flat_params), layout)
@@ -972,8 +994,8 @@ def fused_naf_sample(flow, key, sample_shape, c=None,
                                  want_log_prob=want_log_prob, barrier=True)
         if want_log_prob:
             x, lp = out
-            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
-        return out.T.reshape(z.shape)
+            return x.T, lp[0, :]
+        return out.T
 
     pad = (-n) % tb
     if pad:
@@ -1021,7 +1043,6 @@ def fused_naf_sample(flow, key, sample_shape, c=None,
         x, lp = out
         x = x.T[:n] if pad else x.T
         lp = lp[0, :n] if pad else lp[0, :]
-        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+        return x, lp
 
-    out = out.T[:n] if pad else out.T
-    return out.reshape(z.shape)
+    return out.T[:n] if pad else out.T
