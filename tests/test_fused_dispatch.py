@@ -557,14 +557,10 @@ def test_gf_fused_sampling(key, dispatch_on):
     es = jnp.abs(lq - fused_gf_log_prob(flow, x2))
     assert jnp.median(es) < 1e-4, jnp.median(es)
 
-    # rsample keeps the XLA path bit-identical (reparameterized gradients)
+    # rsample runs the SAME fused solve as sample (IFT gradients) —
+    # bit-identical values for the same key
     r = d.rsample(ks, (16,))
-    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
-    try:
-        r_ref = flow(None).rsample(ks, (16,))
-    finally:
-        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
-    assert jnp.allclose(r, r_ref, atol=0.0)
+    assert jnp.allclose(r, d.sample(ks, (16,)), atol=0.0)
 
 
 def test_gf_fused_structure_rejection(key, dispatch_on):
@@ -1186,3 +1182,40 @@ def test_ift_pegged_solve_rows_contribute_zero(key, dispatch_on):
     assert jnp.allclose(g[mask], g_xla[mask], atol=1e-6), (
         jnp.abs(g[mask] - g_xla[mask]).max()
     )
+
+
+def test_ift_rsample_gradients_gf(key, dispatch_on):
+    r"""GF rsample gradients via the IFT tier (diagonal solves +
+    orthogonal-rotation transposes) match the XLA path on a
+    well-conditioned flow. At a RANDOM init the erf-mixture has plateaus
+    where the fused and XLA roots differ by the solver contract (~3e-4)
+    and the gradient field varies exponentially — BOTH paths' gradients
+    are ill-conditioned there (the documented GF init-fragility), so the
+    parity check uses damped parameters; a finite-difference probe
+    validates the IFT backward at its own root regardless."""
+    from zuko_tpu.flows import GF
+    from zuko_tpu.ops.dispatch import FusedGaussianizationFlow
+
+    kf, kk = jax.random.split(key)
+    flow = GF(4, 0, transforms=2, key=kf)
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, None, kk)
+    params = jax.tree_util.tree_map(
+        lambda a: (a * 0.2).astype(jnp.float64)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        params,
+    )
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_ift)(params)
+    assert jnp.abs(l1 - l2) < 1e-3
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        rel = jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12)
+        assert rel < 1e-3, (n, rel)
+
+    # rsample values == the non-differentiable fused sample, same key
+    d = flow(None)
+    assert isinstance(d, FusedGaussianizationFlow)
+    x1 = d.sample(kk, (16,))
+    x2 = d.rsample(kk, (16,))
+    assert jnp.allclose(x1, x2, atol=1e-6)

@@ -229,8 +229,9 @@ class FusedGaussianizationFlow(NormalizingFlow):
     r"""A :class:`NormalizingFlow` whose density AND sampling run through the
     fused GF kernels (:mod:`zuko_tpu.ops.gf_fused`): analytic gaussianization
     log-Jacobians, rotation matmuls and per-feature bisection inverses per
-    batch tile. ``rsample`` keeps the XLA path for reparameterized
-    gradients."""
+    batch tile. ``rsample``/``rsample_and_log_prob`` run the fused solve
+    with IFT gradients (:mod:`zuko_tpu.ops.ift`: diagonal solves +
+    orthogonal-rotation transposes — no iteration)."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -249,9 +250,21 @@ class FusedGaussianizationFlow(NormalizingFlow):
         )
 
     def rsample(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_gf_rsample
+
+            return fused_gf_rsample(self._module, key, sample_shape,
+                                    c=self._c)
         return NormalizingFlow.sample(self, key, sample_shape)
 
     def rsample_and_log_prob(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .ift import fused_gf_rsample
+
+            return fused_gf_rsample(
+                self._module, key, sample_shape, c=self._c,
+                want_log_prob=True,
+            )
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 

@@ -464,11 +464,25 @@ def _gf_impl(layout, F, x, *flat_params):
 def fused_gf_sample(flow, key, sample_shape, c=None, want_log_prob=False):
     r"""Draw GF samples with one fused kernel: base draws, every rotation
     inverse and every per-feature gaussianization bisection run per batch
-    tile with the parameters resident in VMEM (jnp fallback off-TPU)."""
+    tile with the parameters resident in VMEM (jnp fallback off-TPU).
+
+    Sampling only (no gradients) — use ``rsample`` on the flow for the
+    differentiable path (:mod:`zuko_tpu.ops.ift`)."""
     flat_params, layout, F = _flatten_gf(flow, c)
     dtype = flat_params[0].dtype if flat_params else jnp.float32
     z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
     zf = z.reshape(-1, F)
+    out = _gf_sample_core(layout, F, want_log_prob, zf, list(flat_params))
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+    return out.reshape(z.shape)
+
+
+def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
+    """Flat-row GF sampling core: ``zf (n, F)`` -> ``x (n, F)`` (and
+    ``log q (n,)``)."""
+    dtype = zf.dtype
     n = zf.shape[0]
 
     if not _use_pallas_fused(dtype):
@@ -477,8 +491,8 @@ def fused_gf_sample(flow, key, sample_shape, c=None, want_log_prob=False):
         )
         if want_log_prob:
             x, lp = out
-            return x.T.reshape(z.shape), lp[0, :].reshape(z.shape[:-1])
-        return out.T.reshape(z.shape)
+            return x.T, lp[0, :]
+        return out.T
 
     pad = (-n) % _TB
     if pad:
@@ -521,6 +535,5 @@ def fused_gf_sample(flow, key, sample_shape, c=None, want_log_prob=False):
         x, lp = out
         x = x.T[:n] if pad else x.T
         lp = lp[0, :n] if pad else lp[0, :]
-        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
-    out = out.T[:n] if pad else out.T
-    return out.reshape(z.shape)
+        return x, lp
+    return out.T[:n] if pad else out.T

@@ -63,6 +63,8 @@ import jax.numpy as jnp
 from . import nsf_fused as nf
 
 __all__ = [
+    "fused_gf_rsample",
+    "fused_gf_rsample_and_log_prob",
     "fused_naf_rsample",
     "fused_naf_rsample_and_log_prob",
     "fused_nsf_rsample",
@@ -637,3 +639,144 @@ def _naf_ift_bwd_math(layout, F, C, S, zc, x, xbar, lbar, flat_params):
     dz = v.T                                    # zbar = J^{-T} xbar
     dzc = jnp.concatenate([dz, gcT.T], axis=-1) if C else dz
     return dzc, tuple(dfp)
+
+
+# ------------------------------------------------------------------ GF tier
+#
+# Gaussianization flows are the EASY IFT case: every layer is either an
+# elementwise erf-mixture gaussianization (diagonal Jacobian — the
+# triangular solve is a single division) or an orthogonal rotation
+# (J^{-T} v = R v exactly, up to the factor's own f32 orthogonality
+# roundoff). No nilpotent iteration at all. The pegging hazard is REAL
+# here — the erf-mixture saturates and the fused bisection pegs at the
+# +-10 bracket for tail targets (the documented GF tail contract) — so
+# the solve-consistency gate matters most for this family.
+
+
+def fused_gf_rsample(flow, key, sample_shape, c=None,
+                     want_log_prob: bool = False):
+    r"""Differentiable fused GF sampling: the fused bisection kernel
+    forward (`gf_fused.fused_gf_sample`), an IFT custom VJP backward of
+    diagonal solves + orthogonal-rotation transposes."""
+    from . import gf_fused as gfm
+
+    flat_params, layout, F = gfm._flatten_gf(flow, c)
+    dtype = flat_params[0].dtype if flat_params else jnp.float32
+    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    zf = z.reshape(-1, F)
+    out = _gf_ift_op(layout, F, want_log_prob, zf, *flat_params)
+    if want_log_prob:
+        x, lp = out
+        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
+    return out.reshape(z.shape)
+
+
+def fused_gf_rsample_and_log_prob(flow, key, sample_shape, c=None):
+    return fused_gf_rsample(flow, key, sample_shape, c=c, want_log_prob=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gf_ift_op(layout, F, want_log_prob, zf, *flat_params):
+    from . import gf_fused as gfm
+
+    return gfm._gf_sample_core(layout, F, want_log_prob, zf,
+                               list(flat_params))
+
+
+def _gf_ift_fwd(layout, F, want_log_prob, zf, *flat_params):
+    from . import gf_fused as gfm
+
+    out = gfm._gf_sample_core(layout, F, want_log_prob, zf,
+                              list(flat_params))
+    x = out[0] if want_log_prob else out
+    return out, (zf, x, flat_params)
+
+
+def _gf_ift_bwd(layout, F, want_log_prob, res, cot):
+    return _row_chunked_bwd(
+        functools.partial(_gf_ift_bwd_math, layout, F),
+        want_log_prob, res, cot,
+    )
+
+
+_gf_ift_op.defvjp(_gf_ift_fwd, _gf_ift_bwd)
+
+
+def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
+    """The IFT backward over GF layers (diagonal gauss + orthogonal rot)."""
+    from . import gf_fused as gfm
+
+    xT = x.T
+    dfp = [jnp.zeros_like(p) for p in flat_params]
+
+    # ---- march ---------------------------------------------------------
+    recs = []
+    xcur = xT
+    idx = 0
+    for entry in layout:
+        if entry[0] == "gauss":
+            K = entry[1]
+            shift, scale = flat_params[idx], flat_params[idx + 1]
+            (ynext, ladj), pull = jax.vjp(
+                lambda xx, sh, sc, K=K: gfm._gauss_forward_F(xx, sh, sc, K),
+                xcur, shift, scale,
+            )
+            recs.append(("gauss", pull, ladj, idx))
+            idx += 2
+            xcur = ynext
+        else:
+            R = flat_params[idx]
+            recs.append(("rot", R, xcur, idx))
+            idx += 1
+            xcur = gfm._dot_rot(R, xcur)
+
+    def rot_T(R, g):  # R^T g, f32-exact like the kernel's rotation inverse
+        return jax.lax.dot_general(
+            R, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.promote_types(R.dtype, g.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    xbarT, lrow = _solve_consistency_mask(xcur, zc.T, xbar, lbar)
+
+    # ---- density backward ----------------------------------------------
+    g_out = [None] * len(recs)
+    g0 = None
+    if lbar is not None:
+        g = -xcur * lrow                        # standard-normal base
+        for i in reversed(range(len(recs))):
+            g_out[i] = g
+            if recs[i][0] == "gauss":
+                pull, ladj = recs[i][1], recs[i][2]
+                gx, _, _ = pull((g, jnp.broadcast_to(lrow, ladj.shape)))
+                g = gx
+            else:
+                g = rot_T(recs[i][1], g)        # |det R| = 1: no lrow term
+        g0 = g
+
+    # ---- solves + merged parameter pullbacks ---------------------------
+    v = xbarT if g0 is None else xbarT + g0
+    for i, rec in enumerate(recs):
+        if rec[0] == "gauss":
+            pull, ladj, idx0 = rec[1], rec[2], rec[3]
+            u = v / jnp.exp(ladj)               # diagonal solve
+            ycot = g_out[i] - u if g_out[i] is not None else -u
+            lcot = (
+                jnp.broadcast_to(lrow, ladj.shape)
+                if lbar is not None else jnp.zeros_like(ladj)
+            )
+            _, gsh, gsc = pull((ycot, lcot))
+            dfp[idx0] = dfp[idx0] + gsh
+            dfp[idx0 + 1] = dfp[idx0 + 1] + gsc
+            v = u
+        else:
+            R, xin, idx0 = rec[1], rec[2], rec[3]
+            u = gfm._dot_rot(R, v)              # J^{-T} v = R v (orthogonal)
+            ycot = g_out[i] - u if g_out[i] is not None else -u
+            # (d(Rx)/dR)^T ycot = ycot x^T
+            dfp[idx0] = dfp[idx0] + jnp.matmul(
+                ycot, xin.T, precision=jax.lax.Precision.HIGHEST
+            )
+            v = u
+
+    return v.T, tuple(dfp)
