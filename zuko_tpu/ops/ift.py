@@ -78,8 +78,13 @@ __all__ = [
 # f64 truth (3.3e-3, tools/tpu_validate_r49.py) — while the march, the
 # density backward, and the parameter pullbacks stay at the split3
 # accuracy default. "fast" = 1-pass iterations, "match" = the density
-# precision everywhere. Default pending the hardware A/B (r54).
-_ITER_PREC = os.environ.get("ZUKO_TPU_IFT_ITER", "match")
+# precision everywhere. Default "fast" since r62: with the spline-vjp
+# chain gone from the iterations (the r58 G-materialization) they are
+# hyper-matmul-dominated, and 1-pass buys ~8% on the flagship VI step
+# (5.73M vs 5.24M samples/s) at bit-identical measured f32 gradient
+# accuracy (2.518e-3 vs CPU both ways); in the f64 test mode the 1-pass
+# dot is f64-exact, so the exactness contract is unchanged.
+_ITER_PREC = os.environ.get("ZUKO_TPU_IFT_ITER", "fast")
 
 # Solve-consistency gate for the IFT backward. The implicit function
 # theorem needs T(x) = z at the solved point; iterative inverses (NAF's
