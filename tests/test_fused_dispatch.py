@@ -1219,3 +1219,27 @@ def test_ift_rsample_gradients_gf(key, dispatch_on):
     x1 = d.sample(kk, (16,))
     x2 = d.rsample(kk, (16,))
     assert jnp.allclose(x1, x2, atol=1e-6)
+
+
+def test_ift_rsample_gradients_f32_neural(key, dispatch_on):
+    r"""f32 gradient regression through the NAF IFT tier (the
+    silent-zero-grad hazard class hides from the f64 battery: `_log_ladj`
+    routes to the bit-twiddle `_log_acc` only in f32). Grads must be
+    finite, non-zero, and close to the XLA path at a small batch (no
+    pegged rows)."""
+    from zuko_tpu.flows import NAF
+
+    kf, kk = jax.random.split(key)
+    flow = NAF(3, 0, transforms=2, key=kf)
+    params, loss_ift, loss_xla = _rkl_loss_pair(flow, None, kk, n=32)
+    params = _cast_params(params, jnp.float32)
+
+    g1 = jax.grad(loss_xla)(params)
+    g2 = jax.grad(loss_ift)(params)
+    total = 0.0
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.all(jnp.isfinite(b)), n
+        # both paths carry f32 solver noise at their own roots
+        assert jnp.allclose(a, b, atol=5e-3), (n, jnp.abs(a - b).max())
+        total += float(jnp.sum(jnp.abs(b)))
+    assert total > 1e-3  # gradients actually flow
