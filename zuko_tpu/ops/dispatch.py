@@ -49,6 +49,7 @@ from .nsf_fused import (
     extract_coupling_params,
     extract_nsf_params,
     fused_nice_log_prob,
+    fused_nsf_apply,
     fused_nsf_log_prob,
     fused_nsf_sample,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "FusedCouplingFlow",
     "FusedDensityFlow",
     "FusedGaussianizationFlow",
+    "FusedInvertedAutoregressiveFlow",
     "FusedNeuralSamplingFlow",
     "fused_dispatch_enabled",
     "maybe_fused_flow",
@@ -316,10 +318,64 @@ class FusedNeuralSamplingFlow(NormalizingFlow):
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
+class FusedInvertedAutoregressiveFlow(NormalizingFlow):
+    r"""An INVERTED flow (``Flow(flow.transform.inv, flow.base)`` — the
+    reference's reverse-KL recipe, zuko/lazy.py:81-98) whose roles swap
+    onto the fused kernels: ``sample``/``rsample``/``sample_and_log_prob``
+    are the density-direction forward APPLY (no solve at all,
+    differentiable via the apply op's custom VJP), and ``log_prob`` is the
+    fused solve with raw-mode IFT gradients
+    (``ift.fused_nsf_inverse_and_ladj``). ``_module`` holds the
+    UN-inverted structure the extractors recognize."""
+
+    def __init__(self, transform, base, module, c):
+        super().__init__(transform, base)
+        self._module = module
+        self._c = c
+
+    def log_prob(self, x):
+        from .ift import fused_nsf_inverse_and_ladj
+
+        u, sladj = fused_nsf_inverse_and_ladj(self._module, x, self._c)
+        return self.base.log_prob(u) - sladj
+
+    def sample(self, key, sample_shape=()):
+        z = self.base.sample(key, sample_shape)
+        y, _ = fused_nsf_apply(self._module, z, self._c)
+        return y
+
+    rsample = sample  # the apply op is differentiable (custom VJP)
+
+    def sample_and_log_prob(self, key, sample_shape=()):
+        z = self.base.sample(key, sample_shape)
+        y, sladj = fused_nsf_apply(self._module, z, self._c)
+        return y, self.base.log_prob(z) - sladj
+
+    rsample_and_log_prob = sample_and_log_prob
+
+
+class _UninvertedShim:
+    """What the extractors see for an inverted flow: the inner (forward)
+    lazy transform with the flow's own base."""
+
+    def __init__(self, transform, base):
+        self.transform = transform
+        self.base = base
+
+
 def maybe_fused_flow(module, transform, base, c):
     """Return a fused :class:`NormalizingFlow` for ``module`` if its structure
     matches the fused kernels, else ``None`` (caller falls back to the plain
     XLA-path distribution)."""
+    from ..lazy import LazyInverse
+
+    if isinstance(getattr(module, "transform", None), LazyInverse):
+        inner = _UninvertedShim(module.transform.transform, module.base)
+        try:
+            extract_nsf_params(inner)
+        except FusedStructureError:
+            return None  # inverted non-AR structures keep the XLA path
+        return FusedInvertedAutoregressiveFlow(transform, base, inner, c)
     try:
         _, nsf_cfg = extract_nsf_params(module)
     except FusedStructureError:

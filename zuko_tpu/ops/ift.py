@@ -225,7 +225,8 @@ def _ift_bwd(layout, F, C, K, bound, slope, univ, base, want_log_prob, res,
              cot):
     return _row_chunked_bwd(
         functools.partial(
-            _ift_bwd_math, layout, F, C, K, bound, slope, univ, base
+            _ift_bwd_math, layout, F, C, K, bound, slope, univ, base,
+            raw=(want_log_prob == "raw"),
         ),
         want_log_prob, res, cot,
     )
@@ -235,7 +236,7 @@ _ift_op.defvjp(_ift_fwd, _ift_bwd)
 
 
 def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
-                  lbar, flat_params):
+                  lbar, flat_params, raw=False):
     """The IFT backward on flat rows: cotangents ``xbar (n, F)`` (and
     ``lbar (n,)`` for the fused log q) -> ``(dzc (n, F+C), dflat_params)``.
 
@@ -347,10 +348,13 @@ def _ift_bwd_math(layout, F, C, K, bound, slope, univ, base, zc, x, xbar,
     g_out = [None] * len(recs)
     g0 = None
     if lbar is not None:
-        if base[0] == "normal":
-            g = -xcur * lrow                    # d base.logpdf / dx_L
-        else:  # box: piecewise-constant density, zero gradient a.e.
+        if raw or base[0] != "normal":
+            # raw mode: lbar is the cotangent of the BARE sum-ladj (the
+            # inverted-flow density ingredient) — no base term;
+            # box: piecewise-constant density, zero gradient a.e.
             g = jnp.zeros_like(xcur)
+        else:
+            g = -xcur * lrow                    # d base.logpdf / dx_L
         for i in reversed(range(len(recs))):
             g_out[i] = g
             kind = recs[i][0]
@@ -785,3 +789,42 @@ def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
             v = u
 
     return v.T, tuple(dfp)
+
+
+# -------------------------------------------------- inverted-flow density
+#
+# The reference's reverse-KL recipe pre-inverts the flow
+# (``Flow(flow.transform.inv, flow.base)``, zuko/lazy.py:81-98). For such a
+# flow ``log_prob`` is the SOLVE direction: with u = T^{-1}(x),
+# log_prob'(x) = base(u) - sum_ladj_fwd(u). The raw IFT mode returns
+# (u, sum_ladj) differentiably — the caller combines with its own base.
+
+
+def fused_nsf_inverse_and_ladj(flow, x, c=None):
+    r"""Differentiable fused inverse at arbitrary targets:
+    ``(u, sum_ladj_fwd(u))`` with ``u = T^{-1}(x)`` — the inverted-flow
+    density ingredient, via the fused solve forward and the raw-mode IFT
+    backward (the sum-ladj cotangent runs the same sweeps with no base
+    term)."""
+    flat_params, layout, cfg = nf._flatten_flow(flow)
+    K, univ = cfg["bins"], cfg["univ"]
+    bound, slope = float(cfg["bound"]), float(cfg["slope"])
+    base = cfg["base"]
+    F = x.shape[-1]
+
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        xb = jnp.broadcast_shapes(x.shape[:-1], c.shape[:-1])
+        x = jnp.broadcast_to(x, xb + (F,))
+        c = jnp.broadcast_to(c, xb + (C,)).astype(x.dtype)
+        zc = jnp.concatenate([x, c], axis=-1)
+    else:
+        C = 0
+        zc = x
+
+    u, sladj = _ift_op(
+        layout, F, C, K, bound, slope, univ, base, "raw",
+        zc.reshape(-1, F + C), *flat_params,
+    )
+    return u.reshape(x.shape), sladj.reshape(x.shape[:-1])

@@ -1238,8 +1238,14 @@ def _base_log_prob_T(zT, F, base, realF=None):
 
 
 def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
-                 univ="rqs", base=("normal",), realF=None, barrier=False):
-    """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB)."""
+                 univ="rqs", base=("normal",), realF=None, barrier=False,
+                 raw=False):
+    """Transposed whole-flow math: xT (F, TB) -> log_prob (1, TB).
+
+    ``raw=True`` (the forward-APPLY mode) instead returns
+    ``(yT (F, TB), sum_ladj (1, TB))`` — the transformed points and the
+    bare forward log-det, no base term: the inverted-flow sampling
+    ingredient (sample' = T(z'), log q' = base(z') - sum_ladj)."""
     # Density hyper matmuls run 3-pass bf16 (`_dot_split3`): the single
     # bf16 pass costs ~2e-3 median on the returned log-densities (measured
     # on v5e vs f64 truth — the rounding rides through the constraint
@@ -1267,6 +1273,10 @@ def _full_math_T(xT, flat_params, layout, F, K, bound, slope, cT=None,
 
     mask = _row_mask(F, realF)
     n = F if realF is None else realF
+    if raw:
+        if mask is not None:  # where, not multiply: pad ladjs may be ±inf
+            acc = jnp.where(mask, acc, 0.0)
+        return xT, jnp.sum(acc, axis=0, keepdims=True)
     if base[0] == "normal":
         # one fused reduction over features: Σ ladj - x²/2, then the constant
         term = acc - 0.5 * xT**2
@@ -1325,7 +1335,11 @@ def _sample_math_T(zT, flat_params, layout, F, K, bound, slope, cT=None,
         return jnp.sum(ladj, axis=0, keepdims=True)
 
     if want_log_prob:
-        acc = _base_log_prob_T(zT, F, base, realF=realF)
+        acc = (
+            jnp.zeros((1, zT.shape[1]), zT.dtype)
+            if want_log_prob == "raw"
+            else _base_log_prob_T(zT, F, base, realF=realF)
+        )
 
     y = zT
     for entry in reversed(per_layer):
@@ -1393,8 +1407,8 @@ def _sample_kernel_T(*refs, layout, F, C, K, bound, slope, n_params,
     if want_log_prob:
         out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
         x, lp = _sample_math_T(
-            zT, flat, layout, F, K, bound, slope, cT, want_log_prob=True,
-            univ=univ, base=base, realF=realF,
+            zT, flat, layout, F, K, bound, slope, cT,
+            want_log_prob=want_log_prob, univ=univ, base=base, realF=realF,
         )
         out_ref[:F, :] = x
         lp_ref[:, :] = lp
@@ -1973,3 +1987,204 @@ def fused_nice_log_prob(flow, x, c=None):
     base = -0.5 * jnp.sum(z**2, axis=0, keepdims=True) \
         - 0.5 * F * math.log(2 * math.pi)
     return (base + ladj)[0, :].reshape(batch_shape)
+
+
+# ------------------------------------------------- inverted-flow tier (apply)
+#
+# The reference's reverse-KL recipe PRE-INVERTS the flow
+# (``Flow(flow.transform.inv, flow.base)``, zuko/lazy.py:81-98 and
+# docs/tutorials/reverse_kl.ipynb) so sampling is the cheap forward pass.
+# For such a flow the roles swap: ``sample`` is the density-direction
+# forward APPLY (no solve at all), and ``log_prob`` needs the solve. The
+# apply op below runs T (+ the bare forward log-det) per batch tile with a
+# custom VJP over the identical jnp math — fully differentiable, so the
+# inverted flow's ``rsample``/``rsample_and_log_prob`` (its reverse-KL
+# workhorse) ride it directly.
+
+
+def _apply_kernel_T(*refs, layout, F, C, K, bound, slope, n_params, univ,
+                    base, realF=None):
+    x_ref = refs[0]
+    param_refs = refs[1 : 1 + n_params]
+    y_ref, l_ref = refs[1 + n_params], refs[2 + n_params]
+
+    xT = x_ref[:F, :]
+    cT = x_ref[F : F + C, :] if C else None
+    flat = [r[:] for r in param_refs]
+    y, sl = _full_math_T(
+        xT, flat, layout, F, K, bound, slope, cT, univ, base, realF=realF,
+        raw=True,
+    )
+    y_ref[:F, :] = y
+    l_ref[:, :] = sl
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7)
+)
+def _apply_op(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
+    return _apply_impl(layout, F, C, K, bound, slope, univ, base, xc,
+                       *flat_params)
+
+
+def _apply_fwd(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
+    out = _apply_impl(layout, F, C, K, bound, slope, univ, base, xc,
+                      *flat_params)
+    return out, (xc, flat_params)
+
+
+def _apply_bwd(layout, F, C, K, bound, slope, univ, base, res, cots):
+    xc, flat_params = res
+    gy, gl = cots
+
+    def ref_math(xc_, fp):
+        xf = xc_.reshape(-1, F + C)
+        cT = xf[:, F:].T if C else None
+        y, sl = _full_math_T(
+            xf[:, :F].T, list(fp), layout, F, K, bound, slope, cT, univ,
+            base, barrier=True, raw=True,
+        )
+        lead = xc_.shape[:-1]
+        return y.T.reshape(lead + (F,)), sl[0, :].reshape(lead)
+
+    rows = math.prod(xc.shape[:-1]) if xc.ndim > 1 else 1
+    if rows > _BWD_CHUNK and jax.default_backend() not in ("cpu", "gpu"):
+        # the big-batch shape-class guard, like _fused_bwd
+        flat_x = xc.reshape(rows, F + C)
+        gyf = gy.reshape(rows, F)
+        glf = gl.reshape(rows)
+        n_chunks = -(-rows // _BWD_CHUNK)
+        pad = n_chunks * _BWD_CHUNK - rows
+        if pad:  # zero cotangents on pad rows: no gradient contribution
+            flat_x = jnp.concatenate([flat_x, flat_x[:pad]], axis=0)
+            gyf = jnp.concatenate(
+                [gyf, jnp.zeros((pad, F), gyf.dtype)], axis=0)
+            glf = jnp.concatenate(
+                [glf, jnp.zeros((pad,), glf.dtype)], axis=0)
+        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, F + C)
+        gych = gyf.reshape(n_chunks, _BWD_CHUNK, F)
+        glch = glf.reshape(n_chunks, _BWD_CHUNK)
+
+        def one(chunk):
+            xcc, gyc, glc = chunk
+            _, vjp = jax.vjp(ref_math, xcc, flat_params)
+            return vjp((gyc, glc))
+
+        dx_ch, dfp_ch = jax.lax.map(one, (xch, gych, glch))
+        dxc = dx_ch.reshape(n_chunks * _BWD_CHUNK, F + C)
+        dxc = dxc[:rows].reshape(xc.shape)
+        dfp = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dfp_ch)
+        return (dxc, *dfp)
+
+    _, vjp = jax.vjp(ref_math, xc, flat_params)
+    dxc, dfp = vjp((gy, gl))
+    return (dxc, *dfp)
+
+
+_apply_op.defvjp(_apply_fwd, _apply_bwd)
+
+
+def _apply_impl(layout, F, C, K, bound, slope, univ, base, xc, *flat_params):
+    batch_shape = xc.shape[:-1]
+    xf = xc.reshape(-1, F + C)
+
+    if not _use_pallas_fused(xc.dtype):
+        cT = xf[:, F:].T if C else None
+        y, sl = _full_math_T(
+            xf[:, :F].T, list(flat_params), layout, F, K, bound, slope, cT,
+            univ, base, barrier=True, raw=True,
+        )
+        return (
+            y.T.reshape(batch_shape + (F,)),
+            sl[0, :].reshape(batch_shape),
+        )
+
+    n = xf.shape[0]
+    tb = _density_tb(flat_params, layout)
+    pad = (-n) % tb
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+
+    realF = None
+    realF_out = F
+    if _needs_feature_pad(F):
+        Fp = -(-F // 8) * 8
+        flat_params, layout = _pad_features(
+            list(flat_params), layout, F, C, Fp, _univ_size(univ, K)
+        )
+        xf = _pad_feature_cols(xf, F, Fp)
+        realF, F = F, Fp
+
+    if (
+        _PRESPLIT_DENSITY != "off"
+        and _DENSITY_HYPER_PREC == "split3"
+        and univ not in ("sosp", "bernstein")
+    ):
+        flat_params, layout = _presplit_params(
+            flat_params, layout, _PRESPLIT_DENSITY
+        )
+
+    n_params = len(flat_params)
+    param_specs = [
+        pl.BlockSpec(
+            p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for p in flat_params
+    ]
+
+    y, sl = pl.pallas_call(
+        functools.partial(
+            _apply_kernel_T, layout=layout, F=F, C=C, K=K, bound=bound,
+            slope=slope, n_params=n_params, univ=univ, base=base,
+            realF=realF,
+        ),
+        grid=(m // tb,),
+        in_specs=[
+            pl.BlockSpec((F + C, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, m), xc.dtype),
+            jax.ShapeDtypeStruct((1, m), xc.dtype),
+        ),
+        compiler_params=_compiler_params(),
+    )(xf.T, *flat_params)
+
+    y = y.T[:, :realF_out]
+    sl = sl[0, :]
+    if pad:
+        y, sl = y[:n], sl[:n]
+    return y.reshape(batch_shape + (realF_out,)), sl.reshape(batch_shape)
+
+
+def fused_nsf_apply(flow, u, c=None):
+    r"""Forward-APPLY the flow's transform with one fused kernel:
+    ``(T(u), sum ladj_fwd(u))`` — the inverted-flow sampling direction
+    (``Flow(flow.transform.inv, flow.base)``: sample' = T(z'),
+    log q'(x) = base(z') - sum_ladj; reference: zuko/lazy.py:81-98).
+    Fully differentiable via a custom VJP over the identical jnp math."""
+    flat_params, layout, cfg = _flatten_flow(flow)
+    K, univ = cfg["bins"], cfg["univ"]
+    bound, slope = float(cfg["bound"]), float(cfg["slope"])
+    base = cfg["base"]
+    F = u.shape[-1]
+
+    if c is not None:
+        c = jnp.asarray(c)
+        C = c.shape[-1]
+        ub = jnp.broadcast_shapes(u.shape[:-1], c.shape[:-1])
+        u = jnp.broadcast_to(u, ub + (F,))
+        c = jnp.broadcast_to(c, ub + (C,)).astype(u.dtype)
+        uc = jnp.concatenate([u, c], axis=-1)
+    else:
+        C = 0
+        uc = u
+
+    return _apply_op(
+        layout, F, C, K, bound, slope, univ, base, uc, *flat_params
+    )
