@@ -28,6 +28,7 @@ from __future__ import annotations
 __all__ = [
     "extract_cnf_params",
     "fused_cnf_log_prob",
+    "fused_cnf_rsample",
     "fused_cnf_sample",
 ]
 
@@ -597,14 +598,10 @@ def _cnf_impl(static, x, eps, c, *flat):
     return out.reshape(batch_shape)
 
 
-def fused_cnf_sample(module, transform, key, sample_shape, c=None,
-                     want_log_prob=False):
-    r"""Draw CNF samples with one fused kernel per batch tile: base draws
-    integrated backward (t: 1 -> 0) through the adaptive dopri45 loop with
-    the ODE net in VMEM; with ``want_log_prob`` the same pass accumulates
-    ``log q(x) = base.log_prob(z) - ladj`` of the inverse map (the
-    reverse-KL quantity, reference: zuko/distributions.py:129-138). Forward
-    only — the differentiable ``rsample`` keeps the XLA path."""
+def _prep_cnf_sample(module, transform, key, sample_shape, c, want_log_prob):
+    """Extract params, draw the base z (and the Hutchinson probe at z's
+    shape) and pack the flat differentiable-args calling convention shared
+    by the plain and custom-VJP sample ops."""
     ws, bs, c_phi, tkey, cfg = extract_cnf_params(module, transform, c)
     F = cfg["F"]
     try:  # match the base distribution's dtype so draws equal flow.sample's
@@ -613,16 +610,183 @@ def fused_cnf_sample(module, transform, key, sample_shape, c=None,
         dtype = ws[0].dtype
     z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
     if cfg["exact"]:
-        eps = None
+        eps = jnp.zeros((), dtype)  # unused placeholder
     else:
         # the XLA inverse path's probe at z (zuko/transforms.py:1171-1172)
         eps = jax.random.normal(tkey, z.shape, dtype)
+    flat = []
+    for W, b in zip(ws, bs):
+        flat += [W, b]
+    static = _StaticCfg({**cfg, "want_lp": bool(want_log_prob)})
+    return static, z, eps, c_phi, flat
+
+
+def fused_cnf_sample(module, transform, key, sample_shape, c=None,
+                     want_log_prob=False):
+    r"""Draw CNF samples with one fused kernel per batch tile: base draws
+    integrated backward (t: 1 -> 0) through the adaptive dopri45 loop with
+    the ODE net in VMEM; with ``want_log_prob`` the same pass accumulates
+    ``log q(x) = base.log_prob(z) - ladj`` of the inverse map (the
+    reverse-KL quantity, reference: zuko/distributions.py:129-138).
+    Non-differentiable — :func:`fused_cnf_rsample` wraps the same forward
+    in a continuous-adjoint custom VJP."""
+    static, z, eps, c_phi, flat = _prep_cnf_sample(
+        module, transform, key, sample_shape, c, want_log_prob
+    )
+    return _cnf_sample_impl(static, z, eps, c_phi, *flat)
+
+
+def fused_cnf_rsample(module, transform, key, sample_shape, c=None,
+                      want_log_prob=False):
+    r"""Differentiable fused CNF sampling via the continuous adjoint.
+
+    Forward: the fused per-tile dopri45 kernel of :func:`fused_cnf_sample`
+    (un-augmented for plain draws, trace-augmented with ``want_log_prob``).
+    Backward: ONE augmented adjoint integration (FFJORD / neural-ODE
+    adjoint; reference semantics: zuko/distributions.py:129-138 backed by
+    the discrete adjoint of zuko/utils.py:515-593) of the system
+
+    .. math::
+       \dot x = f, \quad
+       \dot a = -\partial_x(a^\top f - \bar L\,\mathrm{tr}), \quad
+       \dot{\bar\theta} = -\partial_\theta(a^\top f - \bar L\,\mathrm{tr})
+
+    from the solved sample x(0) back to the base draw z = x(1), with
+    :math:`a(0) = \bar x` and :math:`\bar L` the log-q cotangent. This
+    replaces the XLA path's forward integration + stored-step discrete
+    adjoint with a fused forward + a single fresh adaptive solve; gradients
+    agree with the discrete adjoint to solver tolerance (they discretize
+    the same continuous adjoint)."""
+    static, z, eps, c_phi, flat = _prep_cnf_sample(
+        module, transform, key, sample_shape, c, want_log_prob
+    )
+    return _cnf_sample_op(static, z, eps, c_phi, *flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cnf_sample_op(static, z, eps, c, *flat):
+    return _cnf_sample_impl(static, z, eps, c, *flat)
+
+
+def _cnf_sample_fwd(static, z, eps, c, *flat):
+    out = _cnf_sample_impl(static, z, eps, c, *flat)
+    x = out[0] if static.cfg["want_lp"] else out
+    return out, (z, eps, c, flat, x)
+
+
+def _cnf_sample_bwd(static, res, g):
+    """Continuous-adjoint backward: integrate (x, a, grad-accumulators)
+    forward in density time t: 0 -> 1 (i.e. from the sample back to the
+    base draw) with one odeint call; no stored forward steps are needed."""
+    from ..utils import broadcast, odeint
+
+    z, eps, c, flat, x = res
+    cfg = static.cfg
+    want_lp = cfg["want_lp"]
+    F = cfg["F"]
+    freqs_t = cfg["freqs"]
+
+    if want_lp:
+        gx, glq = g
+    else:
+        gx, glq = g, None
+
+    nw = len(flat) // 2
+    theta = {
+        "w": [flat[2 * i] for i in range(nw)],
+        "b": [flat[2 * i + 1] for i in range(nw)],
+    }
+    if c is not None:
+        theta["c"] = c
+
+    xf = x.reshape(-1, F)
+    af = gx.reshape(-1, F).astype(xf.dtype)
+
+    phi = {"theta": theta}
+    if want_lp:
+        phi["glq"] = glq.reshape(-1).astype(xf.dtype)
+        if not cfg["exact"]:
+            phi["eps"] = eps.reshape(-1, F)
+
+    def net(t, u, th):
+        freqs = jnp.asarray(freqs_t, u.dtype)
+        te = freqs * jnp.asarray(t, u.dtype)[..., None]
+        te = jnp.concatenate([jnp.cos(te), jnp.sin(te)], axis=-1)
+        cth = th.get("c")
+        if cth is None:
+            parts = broadcast(te, u, ignore=1)
+        else:
+            parts = broadcast(te, u, cth, ignore=1)
+        return _net_apply(jnp.concatenate(parts, axis=-1), th["w"], th["b"])
+
+    def f_and_tr(t, u, th, eps_p):
+        # dynamics + trace, exactly the forward's trace estimator
+        # (zuko/transforms.py:1147-1179 semantics)
+        gfun = lambda v: net(t, v, th)  # noqa: E731
+        if cfg["exact"]:
+            basis = jnp.eye(F, dtype=u.dtype)
+
+            def column(e):
+                return jax.jvp(gfun, (u,), (jnp.broadcast_to(e, u.shape),))
+
+            dxs, jes = jax.vmap(column)(basis)
+            return dxs[0], jnp.einsum("i...i->...", jes)
+        du, jeps = jax.jvp(gfun, (u,), (eps_p,))
+        return du, jnp.sum(jeps * eps_p, axis=-1)
+
+    def adj_dyn(t, state, p):
+        u, a, _ = state
+        th = p["theta"]
+        if want_lp:
+            (du, _tr), pull = jax.vjp(
+                lambda u_, th_: f_and_tr(t, u_, th_, p.get("eps")), u, th
+            )
+            da, dth = pull((a, -p["glq"]))
+        else:
+            du, pull = jax.vjp(lambda u_, th_: net(t, u_, th_), u, th)
+            da, dth = pull(a)
+        return (
+            du,
+            jax.tree.map(jnp.negative, da),
+            jax.tree.map(jnp.negative, dth),
+        )
+
+    gth0 = jax.tree.map(jnp.zeros_like, theta)
+    _, a1, gth = odeint(
+        adj_dyn, (xf, af, gth0), 0.0, 1.0, phi=phi,
+        atol=cfg["atol"], rtol=cfg["rtol"], max_steps=cfg["max_steps"],
+    )
+
+    dz = a1
+    if want_lp:
+        # the base log N(z) term of log q (reference:
+        # zuko/distributions.py:129-138) depends on z directly
+        dz = dz - phi["glq"][:, None] * z.reshape(-1, F)
+    dz = dz.reshape(z.shape).astype(z.dtype)
+    dc = gth.get("c") if c is not None else None
+    dflat = []
+    for W, b in zip(gth["w"], gth["b"]):
+        dflat += [W, b]
+    return (dz, jnp.zeros_like(eps), dc, *dflat)
+
+
+_cnf_sample_op.defvjp(_cnf_sample_fwd, _cnf_sample_bwd)
+
+
+def _cnf_sample_impl(static, z, eps, c, *flat):
+    cfg = static.cfg
+    want_log_prob = cfg["want_lp"]
+    F = cfg["F"]
+    dtype = z.dtype
+    nw = len(flat) // 2
+    ws = [flat[2 * i] for i in range(nw)]
+    bs = [flat[2 * i + 1] for i in range(nw)]
+    eps_in = None if cfg["exact"] else eps
 
     if not _use_pallas_fused(dtype):
-        out = _ref_sample(z, eps, ws, bs, c_phi, cfg, want_log_prob)
-        return out
+        return _ref_sample(z, eps_in, ws, bs, c, cfg, want_log_prob)
 
-    params = _kernel_params(ws, bs, c_phi, cfg)
+    params = _kernel_params(ws, bs, c, cfg)
     zf = z.reshape(-1, F)
     n = zf.shape[0]
     pad = (-n) % _TB_CNF

@@ -198,8 +198,11 @@ class FusedContinuousFlow(NormalizingFlow):
     the fused CNF kernels (:mod:`zuko_tpu.ops.cnf_fused`): the whole
     adaptive dopri45 integration (augmented with the log-Jacobian for
     densities and ``sample_and_log_prob``, un-augmented for the plain
-    inverse) per batch tile with the ODE net resident in VMEM. ``rsample``
-    keeps the differentiable XLA path."""
+    inverse) per batch tile with the ODE net resident in VMEM.
+    ``rsample``/``rsample_and_log_prob`` run the same fused forward under a
+    continuous-adjoint custom VJP (:func:`zuko_tpu.ops.cnf_fused.fused_cnf_rsample`):
+    one fresh augmented adjoint integration backward instead of the XLA
+    path's forward integration + stored-step discrete adjoint."""
 
     def __init__(self, transform, base, module, c):
         super().__init__(transform, base)
@@ -221,9 +224,22 @@ class FusedContinuousFlow(NormalizingFlow):
         )
 
     def rsample(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .cnf_fused import fused_cnf_rsample
+
+            return fused_cnf_rsample(
+                self._module, self.transform, key, sample_shape, c=self._c
+            )
         return NormalizingFlow.sample(self, key, sample_shape)
 
     def rsample_and_log_prob(self, key, sample_shape=()):
+        if _ift_enabled():
+            from .cnf_fused import fused_cnf_rsample
+
+            return fused_cnf_rsample(
+                self._module, self.transform, key, sample_shape, c=self._c,
+                want_log_prob=True,
+            )
         return NormalizingFlow.sample_and_log_prob(self, key, sample_shape)
 
 
