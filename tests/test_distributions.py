@@ -236,3 +236,153 @@ def test_chunked_rows_conditional_rebuild(key):
         assert jnp.allclose(s2, d.sample(ks, (3,)), atol=1e-12)
     finally:
         del os.environ["ZUKO_TPU_FUSED_DISPATCH"]
+
+
+def test_torch_namespace_breadth(key):
+    r"""The torch-namespace distributions a reference port actually hits
+    (the reference re-exports all of torch.distributions,
+    zuko/distributions.py:23): each passes the MC-normalization contract
+    (reference: tests/test_distributions.py:41-48) plus shape/expand."""
+    from zuko_tpu.distributions import (
+        Binomial,
+        Chi2,
+        Dirichlet,
+        HalfNormal,
+        Poisson,
+        VonMises,
+        Weibull,
+    )
+
+    shape = (2**16,)
+
+    # continuous univariate: MC normalization over the sample range
+    for d in [
+        HalfNormal(1.5),
+        Chi2(3.0),
+        Weibull(2.0, 1.5),
+        VonMises(0.3, 2.0),
+    ]:
+        name = type(d).__name__
+        x = d.sample(key, shape)
+        assert x.shape == shape, name
+        lower, upper = x.min(), x.max()
+        width = upper - lower
+        u = Uniform(lower, upper).sample(key, shape)
+        mass = jnp.mean(jnp.exp(d.log_prob(u))) * width
+        assert 0.85 <= float(mass) <= 1.1, (name, float(mass))
+        d2 = d.expand((7,))
+        assert d2.batch_shape == (7,), name
+        assert d2.sample(key).shape == (7,), name
+
+    # discrete: pmf sums to one over an ample support prefix
+    for d, sup in [(Poisson(3.5), 64), (Binomial(10, probs=0.3), 11)]:
+        name = type(d).__name__
+        pm = jnp.exp(d.log_prob(jnp.arange(float(sup))))
+        assert 0.999 <= float(pm.sum()) <= 1.001, name
+        x = d.sample(key, shape)
+        assert x.shape == shape, name
+        assert abs(float(x.mean()) - float(d.mean)) < 0.1, name
+
+    # simplex: Dirichlet normalizes over the simplex (MC with uniform
+    # Dirichlet proposals) and samples live on the simplex
+    d = Dirichlet(jnp.asarray([1.5, 2.0, 3.0]))
+    x = d.sample(key, shape)
+    assert jnp.allclose(x.sum(-1), 1.0, atol=1e-6)
+    u = Dirichlet(jnp.ones(3)).sample(key, shape)
+    # uniform density on the 2-simplex is Gamma(3) = 2
+    mass = jnp.mean(jnp.exp(d.log_prob(u))) / 2.0
+    assert 0.9 <= float(mass) <= 1.1, float(mass)
+
+
+def test_cdf_icdf_breadth(key):
+    r"""cdf/icdf parity for the bases the reference gets free from torch
+    (zuko/distributions.py:481-488): round-trip icdf(cdf(x)) = x, and
+    Truncated works over Gamma/Beta/StudentT/GeneralizedNormal bases."""
+    from zuko_tpu.distributions import Beta, Gamma, HalfNormal, StudentT, Weibull
+
+    cases = [
+        (Gamma(2.5, 1.7), jnp.linspace(0.1, 6.0, 13)),
+        (Beta(2.0, 3.0), jnp.linspace(0.05, 0.95, 13)),
+        (StudentT(4.0, 0.5, 2.0), jnp.linspace(-6.0, 6.0, 13)),
+        (GeneralizedNormal(3.0), jnp.linspace(-1.8, 1.8, 13)),
+        (HalfNormal(1.5), jnp.linspace(0.05, 4.0, 13)),
+        (Weibull(2.0, 1.5), jnp.linspace(0.1, 5.0, 13)),
+    ]
+    for d, x in cases:
+        name = type(d).__name__
+        q = d.cdf(x)
+        assert jnp.all((q >= 0) & (q <= 1)), name
+        assert jnp.all(jnp.diff(q) > 0), name
+        assert jnp.allclose(d.icdf(q), x, atol=1e-6), name
+
+    # the VERDICT "done" criterion: Truncated(Gamma) works end-to-end
+    for base in [Gamma(2.0), Beta(2.0, 3.0), StudentT(4.0)]:
+        t = Truncated(base, 0.5, 0.9) if isinstance(base, Beta) else Truncated(base, 0.5, 3.0)
+        x = t.sample(key, (2**14,))
+        lo, hi = (0.5, 0.9) if isinstance(base, Beta) else (0.5, 3.0)
+        assert float(x.min()) >= lo and float(x.max()) <= hi
+        assert jnp.all(jnp.isfinite(t.log_prob(x)))
+        lower, upper = x.min(), x.max()
+        width = upper - lower
+        u = Uniform(lower, upper).sample(key, (2**14,))
+        mass = jnp.mean(jnp.exp(t.log_prob(u))) * width
+        assert 0.9 <= float(mass) <= 1.1, (type(base).__name__, float(mass))
+
+    # Truncated(Gamma) sampling is differentiable wrt the base parameters
+    f = lambda a: jnp.mean(Truncated(Gamma(a), 0.5, 3.0).sample(key, (256,)))
+    g = jax.grad(f)(2.0)
+    assert jnp.isfinite(g) and jnp.abs(g) > 1e-3
+
+
+def test_composite_distributions(key):
+    r"""Cross-composition property sweep (reference contract:
+    tests/test_distributions.py:10-62 applied to composites): a Joint over a
+    trained-flow marginal, a Mixture over expanded flows, and a
+    TransformedUniform with a learned monotone f all satisfy normalization,
+    expand, and sample-shape semantics."""
+    from zuko_tpu.flows import MAF
+    from zuko_tpu.transforms import MonotonicAffineTransform
+
+    kf, kb, ks = jax.random.split(key, 3)
+    flow_d = MAF(2, 0, transforms=2, hidden_features=(8, 8), key=kf)(None)
+
+    # learned scalar monotone map for TransformedUniform
+    a = jnp.asarray(0.3)
+    f = MonotonicAffineTransform(a, jnp.asarray(0.5))
+
+    composites = [
+        Joint(flow_d, Normal(0.0, 1.0)),  # flow marginal + scalar marginal
+        Mixture(  # mixture over two expanded flow components
+            NormalizingFlow(
+                MonotonicAffineTransform(jnp.asarray([-1.0, 1.0]), jnp.asarray([0.8, 1.2])),
+                Normal(jnp.zeros(2), jnp.ones(2)),
+            ),
+            jnp.zeros(2),
+        ),
+        TransformedUniform(f, -1.0, 1.0),
+    ]
+
+    shape = (2**16,)
+    for d in composites:
+        name = type(d).__name__
+        assert d.batch_shape == (), name
+
+        x = d.sample(ks, shape)
+        assert x.shape == shape + d.event_shape, name
+        lp = d.log_prob(x)
+        assert lp.shape == shape, name
+
+        # MC normalization over a box covering the samples
+        lower = x.min(axis=0)
+        upper = x.max(axis=0)
+        width = upper - lower
+        u = Uniform(lower - width / 2, upper + width / 2).sample(ks, shape)
+        p = jnp.mean(jnp.exp(d.log_prob(u))) * jnp.prod(2 * width)
+        assert 0.9 <= float(p) <= 1.1, (name, float(p))
+
+        # expand: batch semantics survive composition
+        de = d.expand((5,))
+        assert de.batch_shape == (5,), name
+        xe = de.sample(ks)
+        assert xe.shape == (5,) + d.event_shape, name
+        assert de.log_prob(xe).shape == (5,), name

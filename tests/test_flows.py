@@ -334,3 +334,16 @@ def test_random_orders_and_masks(F, kw, key):
 
     s = flow(c).sample(ks, (8,))
     assert s.shape == (8, 5)
+
+
+def test_deprecated_submodule_shims():
+    r"""The deprecated ``flows.core`` / ``flows.mixture`` shims keep
+    reference-port imports working (reference: zuko/flows/core.py:1-21,
+    zuko/flows/mixture.py:1-12)."""
+    from zuko_tpu.flows.core import Flow as CoreFlow
+    from zuko_tpu.flows.mixture import GMM as ShimGMM
+    from zuko_tpu.lazy import Flow
+    from zuko_tpu.mixtures import GMM
+
+    assert CoreFlow is Flow
+    assert ShimGMM is GMM

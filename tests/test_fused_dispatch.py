@@ -712,8 +712,11 @@ def test_cnf_fused_sampling(exact, key, dispatch_on):
     r"""CNF sampling dispatches through the fused backward-integration
     kernel: the plain inverse is bit-identical to the XLA path (same
     un-augmented integration), sample_and_log_prob agrees to roundoff, and
-    rsample keeps the differentiable XLA path (reference semantics:
-    zuko/transforms.py:1129-1138, zuko/distributions.py:121-138)."""
+    rsample runs the same fused forward under the continuous-adjoint
+    custom VJP (fused_cnf_rsample) — value-identical to the XLA draw
+    (reference semantics: zuko/transforms.py:1129-1138,
+    zuko/distributions.py:121-138). Gradient parity is pinned separately in
+    test_cnf_rsample_gradients_match_xla_f64."""
     import os
 
     from zuko_tpu.flows import CNF
@@ -1303,3 +1306,136 @@ def test_inverted_flow_dispatch(key, dispatch_on):
     g2 = jax.grad(lambda p: loss_fk(p, False))(params)
     for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
         assert jnp.allclose(a, b, atol=1e-9), (n, jnp.abs(a - b).max())
+
+
+# ------------------------------------------------- CNF continuous adjoint
+
+
+def _cnf_rkl_loss_pair(flow, c, hk, k, n=8):
+    """(fused continuous-adjoint loss, XLA discrete-adjoint loss) over the
+    params of a CNF ``flow`` for a reverse-KL-shaped objective. ``hk`` seeds
+    the Hutchinson probe (None for exact trace)."""
+    params, static = partition(flow)
+
+    def build(p):
+        f = combine(p, static)
+        return f(c, key=hk) if hk is not None else f(c)
+
+    def loss_fused(p):
+        d = build(p)  # dispatched: fused forward + continuous-adjoint VJP
+        x, lq = d.rsample_and_log_prob(k, (n,))
+        return jnp.mean(lq) + jnp.mean(jnp.sum(x**2, -1))
+
+    def loss_xla(p):
+        d = build(p)
+        d2 = NormalizingFlow(d.transform, d.base)  # odeint discrete adjoint
+        x, lq = d2.rsample_and_log_prob(k, (n,))
+        return jnp.mean(lq) + jnp.mean(jnp.sum(x**2, -1))
+
+    return params, loss_fused, loss_xla
+
+
+@pytest.mark.parametrize("case", ["exact", "exact-cond", "hutch"])
+def test_cnf_rsample_gradients_match_xla_f64(case, key, dispatch_on):
+    r"""fused_cnf_rsample's continuous-adjoint gradients match
+    differentiating the XLA path's stored-step discrete adjoint
+    (zuko/utils.py:515-593 semantics) at tight solver tolerances. Both
+    discretize the same continuous adjoint; the residual gap is the
+    *derivative* of each path's O(tol) discretization error, which scales
+    sub-linearly in tol (measured ~7e-5 at 1e-9, ~2e-5 at 1e-11) — so the
+    pin is 2e-4 at atol=rtol=1e-9, on top of exact loss equality (the
+    fused CPU fallback reproduces the XLA forward bitwise). Covers exact
+    and Hutchinson traces and the conditional case. max_steps is raised
+    because the backward honors the same budget and correctly NaN-poisons
+    on exhaustion at these tolerances (see
+    test_cnf_rsample_budget_exhaustion_poisons_grads)."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.dispatch import FusedContinuousFlow
+
+    kf, kc, kh, kk = jax.random.split(key, 4)
+    c, hk = None, None
+    tols = dict(atol=1e-9, rtol=1e-9, max_steps=16384)
+    if case == "exact":
+        flow = CNF(3, exact=True, key=kf, **tols)
+    elif case == "exact-cond":
+        flow = CNF(3, 2, exact=True, key=kf, **tols)
+        c = jax.random.normal(kc, (2,), dtype=jnp.float64)
+    else:
+        flow = CNF(3, exact=False, key=kf, **tols)
+        hk = kh
+
+    assert type(flow(c, key=hk) if hk is not None else flow(c)) is (
+        FusedContinuousFlow
+    )
+    params, loss_fused, loss_xla = _cnf_rkl_loss_pair(flow, c, hk, kk)
+    params = _cast_params(params, jnp.float64)
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_fused)(params)
+    assert jnp.abs(l1 - l2) < 1e-9
+    tol = 5e-4 if case == "hutch" else 2e-4  # Hutchinson: noisier trace term
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.allclose(a, b, atol=tol), (n, jnp.abs(a - b).max())
+
+
+def test_cnf_rsample_gradients_f32(key, dispatch_on):
+    r"""f32 gradient regression through the dispatch (the silent-zero-grad
+    hazard class): CNF continuous-adjoint grads at default tolerances must
+    be finite, non-zero, and close to the XLA discrete adjoint."""
+    from zuko_tpu.flows import CNF
+
+    kf, kk = jax.random.split(key)
+    flow = CNF(3, exact=True, key=kf)
+    params, loss_fused, loss_xla = _cnf_rkl_loss_pair(flow, None, None, kk)
+    params = _cast_params(params, jnp.float32)
+
+    g1 = jax.grad(loss_xla)(params)
+    g2 = jax.grad(loss_fused)(params)
+    total = 0.0
+    for (n, a), (_, b) in zip(named_parameters(g1), named_parameters(g2)):
+        assert jnp.all(jnp.isfinite(b)), n
+        scale = jnp.abs(a).max() + 1e-3
+        assert jnp.abs(a - b).max() / scale < 5e-2, (n, jnp.abs(a - b).max())
+        total += float(jnp.sum(jnp.abs(b)))
+    assert total > 1e-3  # gradients actually flow
+
+
+def test_cnf_rsample_reint_gate_poisons(key, dispatch_on, monkeypatch):
+    r"""The continuous-adjoint solve-consistency gate: when the backward's
+    re-integrated endpoint x(1) misses the saved base draw z (stiff /
+    non-reversible dynamics), gradients must NaN-poison LOUDLY rather than
+    silently return garbage (the ift._SOLVE_ATOL analog). Forced here by
+    shrinking the gate tolerance below solver roundoff."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops import cnf_fused
+
+    kf, kk = jax.random.split(key)
+    flow = CNF(3, exact=True, key=kf)
+    params, loss_fused, _ = _cnf_rkl_loss_pair(flow, None, None, kk)
+    params = _cast_params(params, jnp.float32)
+
+    g = jax.grad(loss_fused)(params)  # healthy: gate passes
+    for n, a in named_parameters(g):
+        assert jnp.all(jnp.isfinite(a)), n
+
+    monkeypatch.setattr(cnf_fused, "_REINT_ATOL", -1.0)
+    g = jax.grad(loss_fused)(params)
+    leaves = [a for _, a in named_parameters(g)]
+    assert any(bool(jnp.any(jnp.isnan(a))) for a in leaves)
+
+
+def test_cnf_rsample_budget_exhaustion_poisons_grads(key, dispatch_on):
+    r"""Exhausting the integrator's accepted-step budget NaN-poisons through
+    the continuous-adjoint custom VJP too — the forward sample is already
+    NaN and the backward must not launder it into finite gradients."""
+    from zuko_tpu.flows import CNF
+
+    kf, kk = jax.random.split(key)
+    flow = CNF(3, exact=True, max_steps=2, atol=1e-12, rtol=1e-12, key=kf)
+    params, loss_fused, _ = _cnf_rkl_loss_pair(flow, None, None, kk)
+    params = _cast_params(params, jnp.float32)
+
+    val, g = jax.value_and_grad(loss_fused)(params)
+    assert bool(jnp.isnan(val))
+    leaves = [a for _, a in named_parameters(g)]
+    assert any(bool(jnp.any(jnp.isnan(a))) for a in leaves)

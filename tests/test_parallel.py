@@ -457,3 +457,46 @@ def test_sharded_reverse_kl_ift_families(family, key, monkeypatch):
         jax.tree_util.tree_leaves(g_ref),
     ):
         assert jnp.allclose(new, old - 1e-2 * gr, atol=1e-5)
+
+
+def test_sharded_serving_cache_survives_flow_rebuild(key, tmp_path):
+    r"""The serving cache keys on STRUCTURE, not object identity: a server
+    that reloads params and rebuilds the flow (serial.load_params pattern)
+    must hit the already-compiled program instead of retracing per request
+    (the 0.03M-rows/s failure mode). Probed by counting builds of the
+    jitted shard_map program."""
+    from zuko_tpu.parallel import mesh as meshmod
+    from zuko_tpu.parallel import sharded_fused_log_prob
+    from zuko_tpu.serial import load_params, save_params
+
+    flow = _flow(key)
+    x = jax.random.normal(key, (64, 4))
+    lp_ref = flow(None).log_prob(x)
+
+    builds = []
+    orig = meshmod._sharded_log_prob_fn
+
+    def counting(*a, **kw):
+        builds.append(1)
+        return orig(*a, **kw)
+
+    meshmod._sharded_log_prob_fn = counting
+    try:
+        meshmod._SHARDED_FN_CACHE.clear()
+        mesh = make_mesh(model=1)
+        with mesh:
+            xs = shard_batch(mesh, x)
+            lp1 = sharded_fused_log_prob(mesh, flow, xs)
+
+            # server restart pattern: save params, rebuild the flow object,
+            # load params back — a DIFFERENT object, same structure
+            save_params(tmp_path / "params.npz", flow)
+            flow2 = load_params(_flow(key), tmp_path / "params.npz")
+            assert flow2 is not flow
+            lp2 = sharded_fused_log_prob(mesh, flow2, xs)
+    finally:
+        meshmod._sharded_log_prob_fn = orig
+
+    assert jnp.allclose(lp1, lp_ref, atol=1e-5)
+    assert jnp.allclose(lp2, lp_ref, atol=1e-5)
+    assert len(builds) == 1, f"rebuilt flow retraced ({len(builds)} builds)"

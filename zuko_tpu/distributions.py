@@ -51,6 +51,13 @@ __all__ = [
     "Cauchy",
     "StudentT",
     "Gumbel",
+    "HalfNormal",
+    "Chi2",
+    "Weibull",
+    "Poisson",
+    "Binomial",
+    "Dirichlet",
+    "VonMises",
     "NormalizingFlow",
     "Joint",
     "Mixture",
@@ -74,6 +81,40 @@ def _sum_rightmost(x: jax.Array, n: int) -> jax.Array:
     if n == 0:
         return x
     return jnp.sum(x, axis=tuple(range(-n, 0)))
+
+
+def _gammaincinv(a: jax.Array, q: jax.Array) -> jax.Array:
+    """Inverse of the regularized lower incomplete gamma function in its
+    second argument: solve ``gammainc(a, t) = q`` for ``t >= 0``.
+
+    The role of ``torch.distributions.Gamma``'s icdf machinery (the
+    reference gets cdf/icdf free from torch, zuko/distributions.py:481-488);
+    here a safeguarded-Newton solve (:func:`zuko_tpu.utils.newton_bisection`)
+    with an implicit-function-theorem backward. The upper bracket covers
+    quantiles up to ~1 - 1e-12 for any ``a``.
+    """
+    from .utils import newton_bisection
+
+    a = jnp.asarray(a)
+    q = jnp.asarray(q)
+    a, q = jnp.broadcast_arrays(a, q)
+    upper = a + 60.0 * jnp.sqrt(a) + 60.0
+    f = lambda t, aa: jsp.gammainc(aa, t)  # noqa: E731
+    return newton_bisection(f, q, jnp.zeros_like(q), upper, n=96, xtol=0.0, phi=a)
+
+
+def _betaincinv(a: jax.Array, b: jax.Array, q: jax.Array) -> jax.Array:
+    """Inverse of the regularized incomplete beta function in ``x``:
+    solve ``betainc(a, b, x) = q`` on ``[0, 1]`` (safeguarded Newton +
+    implicit-function-theorem backward; torch-namespace parity for
+    ``Beta.icdf``/``StudentT.icdf``)."""
+    from .utils import newton_bisection
+
+    a, b, q = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b), jnp.asarray(q))
+    f = lambda x, ab: jsp.betainc(ab[0], ab[1], x)  # noqa: E731
+    return newton_bisection(
+        f, q, jnp.zeros_like(q), jnp.ones_like(q), n=96, xtol=0.0, phi=(a, b)
+    )
 
 
 class Distribution(Module):
@@ -424,6 +465,19 @@ class StudentT(Distribution):
         t = jax.random.t(key, jnp.broadcast_to(self.df, shape), shape)
         return self.loc + self.scale * t
 
+    def cdf(self, x):
+        v = self.df
+        z = (x - self.loc) / self.scale
+        w = jsp.betainc(v / 2, jnp.asarray(0.5, z.dtype), v / (v + z**2))
+        return jnp.where(z >= 0, 1 - w / 2, w / 2)
+
+    def icdf(self, q):
+        v = self.df
+        tail = 2 * jnp.minimum(q, 1 - q)
+        w = _betaincinv(v / 2, jnp.asarray(0.5, jnp.asarray(q).dtype), tail)
+        z = jnp.sqrt(v * (1 - w) / jnp.maximum(w, jnp.finfo(w.dtype).tiny))
+        return self.loc + self.scale * jnp.where(q >= 0.5, z, -z)
+
     def expand(self, batch_shape: Shape):
         return StudentT(
             jnp.broadcast_to(self.df, batch_shape),
@@ -493,6 +547,12 @@ class Gamma(Distribution):
         g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
         return g / self.rate
 
+    def cdf(self, x):
+        return jsp.gammainc(self.concentration, self.rate * x)
+
+    def icdf(self, q):
+        return _gammaincinv(self.concentration, q) / self.rate
+
     def expand(self, batch_shape: Shape):
         return Gamma(
             jnp.broadcast_to(self.concentration, batch_shape),
@@ -531,6 +591,12 @@ class Beta(Distribution):
         gb = jax.random.gamma(k2, jnp.broadcast_to(self.beta, shape))
         return ga / (ga + gb)
 
+    def cdf(self, x):
+        return jsp.betainc(self.alpha, self.beta, jnp.clip(x, 0.0, 1.0))
+
+    def icdf(self, q):
+        return _betaincinv(self.alpha, self.beta, q)
+
     def expand(self, batch_shape: Shape):
         return Beta(
             jnp.broadcast_to(self.alpha, batch_shape),
@@ -542,6 +608,288 @@ class Beta(Distribution):
         return jnp.broadcast_to(
             self.alpha / (self.alpha + self.beta), self.batch_shape
         )
+
+
+class HalfNormal(Distribution):
+    r"""Half-normal distribution (torch namespace parity — the reference
+    re-exports all of ``torch.distributions``, zuko/distributions.py:23)."""
+
+    def __init__(self, scale=1.0):
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.scale.shape
+
+    def log_prob(self, x):
+        lp = (
+            0.5 * math.log(2.0 / math.pi)
+            - jnp.log(self.scale)
+            - x**2 / (2 * self.scale**2)
+        )
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jnp.abs(self.scale * jax.random.normal(key, shape, self.scale.dtype))
+
+    def cdf(self, x):
+        return jsp.erf(x / (self.scale * math.sqrt(2.0)))
+
+    def icdf(self, q):
+        return self.scale * math.sqrt(2.0) * jsp.erfinv(q)
+
+    def expand(self, batch_shape: Shape):
+        return HalfNormal(jnp.broadcast_to(self.scale, batch_shape))
+
+    @property
+    def mean(self):
+        return self.scale * math.sqrt(2.0 / math.pi)
+
+
+class Chi2(Gamma):
+    r"""Chi-squared distribution: ``Gamma(df / 2, 1 / 2)`` (torch namespace
+    parity; torch.distributions.Chi2 uses the same reduction)."""
+
+    def __init__(self, df):
+        df = jnp.asarray(df)
+        super().__init__(df / 2, jnp.asarray(0.5, df.dtype))
+
+    @property
+    def df(self):
+        return 2 * self.concentration
+
+    def expand(self, batch_shape: Shape):
+        return Chi2(jnp.broadcast_to(self.df, batch_shape))
+
+
+class Weibull(Distribution):
+    r"""Weibull distribution with ``scale`` :math:`\lambda` and
+    ``concentration`` :math:`k` (torch namespace parity). Sampling is
+    reparameterized through the closed-form quantile function."""
+
+    def __init__(self, scale=1.0, concentration=1.0):
+        self.scale = jnp.asarray(scale)
+        self.concentration = jnp.asarray(concentration)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.scale.shape, self.concentration.shape)
+
+    def log_prob(self, x):
+        lam, k = self.scale, self.concentration
+        z = x / lam
+        lp = jnp.log(k / lam) + (k - 1) * jnp.log(z) - z**k
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(
+            key, shape, self.scale.dtype, jnp.finfo(self.scale.dtype).tiny, 1.0
+        )
+        # icdf of 1 - u (u ~ U(0, 1]): lambda * (-log u)^(1/k)
+        return self.scale * (-jnp.log(u)) ** (1 / self.concentration)
+
+    def cdf(self, x):
+        z = jnp.maximum(x, 0.0) / self.scale
+        return -jnp.expm1(-(z**self.concentration))
+
+    def icdf(self, q):
+        return self.scale * (-jnp.log1p(-q)) ** (1 / self.concentration)
+
+    def expand(self, batch_shape: Shape):
+        return Weibull(
+            jnp.broadcast_to(self.scale, batch_shape),
+            jnp.broadcast_to(self.concentration, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return self.scale * jnp.exp(jsp.gammaln(1 + 1 / self.concentration))
+
+
+class Poisson(Distribution):
+    r"""Poisson distribution (torch namespace parity). Discrete: ``sample``
+    is not reparameterized."""
+
+    has_rsample: bool = False
+
+    def __init__(self, rate):
+        self.rate = jnp.asarray(rate, dtype=float)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.rate.shape
+
+    def log_prob(self, x):
+        return x * jnp.log(self.rate) - self.rate - jsp.gammaln(x + 1)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.poisson(key, self.rate, shape).astype(self.rate.dtype)
+
+    def cdf(self, x):
+        # P(X <= x) = Q(floor(x) + 1, rate), the regularized upper gamma
+        return jsp.gammaincc(jnp.floor(x) + 1, self.rate)
+
+    def expand(self, batch_shape: Shape):
+        return Poisson(jnp.broadcast_to(self.rate, batch_shape))
+
+    @property
+    def mean(self):
+        return self.rate
+
+
+class Binomial(Distribution):
+    r"""Binomial distribution over ``total_count`` trials (torch namespace
+    parity). Discrete: ``sample`` is not reparameterized."""
+
+    has_rsample: bool = False
+
+    def __init__(self, total_count=1, probs=None, logits=None):
+        if probs is None:
+            probs = jax.nn.sigmoid(jnp.asarray(logits))
+        self.total_count = jnp.asarray(total_count, dtype=float)
+        self.probs = jnp.asarray(probs)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.total_count.shape, self.probs.shape)
+
+    @property
+    def logits(self):
+        return jnp.log(self.probs) - jnp.log1p(-self.probs)
+
+    def log_prob(self, x):
+        n, p = self.total_count, self.probs
+        return (
+            jsp.gammaln(n + 1)
+            - jsp.gammaln(x + 1)
+            - jsp.gammaln(n - x + 1)
+            + x * jnp.log(p)
+            + (n - x) * jnp.log1p(-p)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.binomial(key, self.total_count, self.probs, shape)
+
+    def expand(self, batch_shape: Shape):
+        return Binomial(
+            jnp.broadcast_to(self.total_count, batch_shape),
+            jnp.broadcast_to(self.probs, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return self.total_count * self.probs
+
+
+class Dirichlet(Distribution):
+    r"""Dirichlet distribution over the simplex (torch namespace parity).
+    Sampling is reparameterized through JAX's implicitly-differentiated
+    gamma sampler, like :class:`Gamma`."""
+
+    def __init__(self, concentration):
+        self.concentration = jnp.asarray(concentration)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.concentration.shape[:-1]
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.concentration.shape[-1:]
+
+    def log_prob(self, x):
+        a = self.concentration
+        return (
+            jnp.sum((a - 1) * jnp.log(x), axis=-1)
+            + jsp.gammaln(jnp.sum(a, axis=-1))
+            - jnp.sum(jsp.gammaln(a), axis=-1)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
+        return g / jnp.sum(g, axis=-1, keepdims=True)
+
+    def expand(self, batch_shape: Shape):
+        return Dirichlet(
+            jnp.broadcast_to(
+                self.concentration, tuple(batch_shape) + self.event_shape
+            )
+        )
+
+    @property
+    def mean(self):
+        a = self.concentration
+        return a / jnp.sum(a, axis=-1, keepdims=True)
+
+
+class VonMises(Distribution):
+    r"""von Mises (circular normal) distribution on :math:`[-\pi, \pi]`
+    (torch namespace parity). Sampling uses the Best–Fisher (1979)
+    rejection algorithm, vectorized as a fixed number of masked proposal
+    rounds (static shapes for XLA; 32 rounds push the failure probability
+    below :math:`10^{-9}` at the ~66% per-round acceptance floor). Not
+    reparameterized."""
+
+    has_rsample: bool = False
+    _ROUNDS = 32
+
+    def __init__(self, loc, concentration):
+        self.loc = jnp.asarray(loc)
+        self.concentration = jnp.asarray(concentration)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.loc.shape, self.concentration.shape)
+
+    def log_prob(self, x):
+        k = self.concentration
+        # log I0(k) = log(i0e(k)) + k keeps large k finite
+        return (
+            k * jnp.cos(x - self.loc)
+            - math.log(2 * math.pi)
+            - (jnp.log(jsp.i0e(k)) + k)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = self.loc.dtype
+        k = jnp.maximum(jnp.broadcast_to(self.concentration, shape), 1e-8)
+        tau = 1 + jnp.sqrt(1 + 4 * k**2)
+        rho = (tau - jnp.sqrt(2 * tau)) / (2 * k)
+        r = (1 + rho**2) / (2 * rho)
+
+        def round_(carry, kr):
+            out, done = carry
+            u1, u2, u3 = jax.random.uniform(kr, (3,) + shape, dtype)
+            z = jnp.cos(math.pi * u1)
+            f = (1 + r * z) / (r + z)
+            c = k * (r - f)
+            accept = (c * (2 - c) - u2 > 0) | (jnp.log(c / u2) + 1 - c >= 0)
+            angle = jnp.sign(u3 - 0.5) * jnp.arccos(jnp.clip(f, -1.0, 1.0))
+            out = jnp.where(~done & accept, angle, out)
+            return (out, done | accept), None
+
+        keys = jax.random.split(key, self._ROUNDS)
+        (angle, _), _ = jax.lax.scan(
+            round_, (jnp.zeros(shape, dtype), jnp.zeros(shape, bool)), keys
+        )
+        x = angle + self.loc
+        return x - 2 * math.pi * jnp.floor((x + math.pi) / (2 * math.pi))
+
+    def expand(self, batch_shape: Shape):
+        return VonMises(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.concentration, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
 
 
 class Categorical(Distribution):
@@ -1058,6 +1406,16 @@ class GeneralizedNormal(Distribution):
         g = jax.random.gamma(k1, 1 / b) ** (1 / b)
         sign = jax.random.rademacher(k2, shape, dtype=g.dtype)
         return g * sign
+
+    def cdf(self, x):
+        b = self.beta
+        half = jsp.gammainc(1 / b, jnp.abs(x) ** b) / 2
+        return jnp.where(x >= 0, 0.5 + half, 0.5 - half)
+
+    def icdf(self, q):
+        b = self.beta
+        t = _gammaincinv(1 / b, jnp.abs(2 * q - 1))
+        return jnp.sign(q - 0.5) * t ** (1 / b)
 
     def expand(self, batch_shape: Shape):
         return GeneralizedNormal(jnp.broadcast_to(self.beta, batch_shape))

@@ -55,6 +55,11 @@ except Exception:  # pragma: no cover
 _LOG_2PI = math.log(2.0 * math.pi)
 _TB_CNF = 256  # batch tile; exact-trace tangents are (H, F*TB) in VMEM
 
+# Continuous-adjoint consistency gate (see _cnf_sample_bwd): max abs gap
+# allowed between the re-integrated endpoint x(1) and the saved base draw z.
+# Standard-normal scale, mirroring ift._SOLVE_ATOL for the iterative tier.
+_REINT_ATOL = 1e-2
+
 # Dormand-Prince 4(5) tableau (matches zuko_tpu.utils and the reference's
 # zuko/utils.py:443-497)
 from ..utils import _DP_A, _DP_B4, _DP_B5, _DP_C  # noqa: E402
@@ -656,7 +661,11 @@ def fused_cnf_rsample(module, transform, key, sample_shape, c=None,
     replaces the XLA path's forward integration + stored-step discrete
     adjoint with a fused forward + a single fresh adaptive solve; gradients
     agree with the discrete adjoint to solver tolerance (they discretize
-    the same continuous adjoint)."""
+    the same continuous adjoint). The backward checks that its
+    re-integrated endpoint lands back on the base draw ``z`` within
+    :data:`_REINT_ATOL` and NaN-poisons the gradients otherwise (stiff /
+    non-reversible dynamics — see the solve-consistency gate note in
+    :func:`_cnf_sample_bwd`)."""
     static, z, eps, c_phi, flat = _prep_cnf_sample(
         module, transform, key, sample_shape, c, want_log_prob
     )
@@ -752,12 +761,27 @@ def _cnf_sample_bwd(static, res, g):
         )
 
     gth0 = jax.tree.map(jnp.zeros_like, theta)
-    _, a1, gth = odeint(
+    u1, a1, gth = odeint(
         adj_dyn, (xf, af, gth0), 0.0, 1.0, phi=phi,
         atol=cfg["atol"], rtol=cfg["rtol"], max_steps=cfg["max_steps"],
     )
 
-    dz = a1
+    # Solve-consistency gate (the ift._SOLVE_ATOL analog for the continuous
+    # tier): the adjoint re-integrates the sample x(0) forward to t=1, which
+    # must land back on the saved base draw z. Stiff / effectively
+    # non-reversible dynamics make this re-integration diverge — the classic
+    # neural-ODE adjoint instability — and the co-integrated adjoints are
+    # then garbage. Per-row theta contributions are not separable after the
+    # fact (gth is batch-summed inside the vjp pulls), so failures are made
+    # LOUD instead of silently wrong: bad rows NaN-poison dz, and any bad
+    # row NaN-poisons the theta/context gradients.
+    err = jnp.max(jnp.abs(u1 - z.reshape(-1, F)), axis=-1)
+    ok = err <= jnp.asarray(_REINT_ATOL, err.dtype)
+    nan = jnp.asarray(jnp.nan, a1.dtype)
+    all_ok = jnp.all(ok)
+    gth = jax.tree.map(lambda gr: jnp.where(all_ok, gr, nan), gth)
+
+    dz = jnp.where(ok[:, None], a1, nan)
     if want_lp:
         # the base log N(z) term of log q (reference:
         # zuko/distributions.py:129-138) depends on z directly

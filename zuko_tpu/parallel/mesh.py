@@ -170,11 +170,65 @@ def tensor_parallel_spec(module: Any, model: Optional[int] = None) -> dict:
     return specs
 
 
-# (mesh id, flow id, has_c) -> (weakref mesh, weakref flow, jitted fn).
-# Module statics hash by IDENTITY (a fresh `partition` returns a fresh
-# object), so an lru_cache over them never hits — the memo keys on the
-# mesh/flow OBJECTS the caller reuses, with weakrefs guarding id reuse.
+# Structure key -> jitted fn. Keyed on (mesh, params treedef, leaf
+# shapes/dtypes, has_c): Module statics flatten into content-hashable aux
+# data (core._freeze) and jax.sharding.Mesh hashes by content, so a server
+# that REBUILDS the flow per request (e.g. after serial.load_params) still
+# hits the compiled program — the original id()-keyed memo retraced every
+# call in that pattern, the exact 0.03M-rows/s failure the cache exists to
+# fix. Flows whose statics contain unhashable objects (e.g. per-instance
+# lambdas) fall back to an identity key, which is never better or worse
+# than the old behavior.
 _SHARDED_FN_CACHE: dict = {}
+
+
+def _canon_static(v):
+    """Canonical hashable form of a module tree's STATIC content.
+
+    ``functools.partial`` compares by identity, so two structurally
+    identical flows have unequal pytree treedefs — the reason the key is
+    built here instead of from ``tree_structure``: partials are decomposed
+    into (func, args, kwargs). Array leaves reduce to (shape, dtype);
+    anything residually unhashable bubbles a TypeError to the caller."""
+    import functools as _ft
+
+    from ..core import Module
+
+    if isinstance(v, Module):
+        return (
+            type(v),
+            tuple((k, _canon_static(v.__dict__[k])) for k in sorted(v.__dict__)),
+        )
+    if isinstance(v, _ft.partial):
+        return (
+            _ft.partial,
+            _canon_static(v.func),
+            tuple(_canon_static(a) for a in v.args),
+            tuple(sorted((k, _canon_static(u)) for k, u in v.keywords.items())),
+        )
+    if isinstance(v, (jax.Array, np.ndarray)):
+        return (tuple(v.shape), str(v.dtype))
+    if isinstance(v, (list, tuple)):
+        return (type(v), tuple(_canon_static(u) for u in v))
+    if isinstance(v, dict):
+        return (dict, tuple((k, _canon_static(v[k])) for k in sorted(v, key=repr)))
+    if isinstance(v, (set, frozenset)):
+        return (set, frozenset(_canon_static(u) for u in v))
+    return v
+
+
+def _structure_cache_key(mesh: Mesh, params, extra):
+    """Content-based cache key for the sharded serving programs: the mesh
+    (hashes by content), a canonical freeze of the params module tree
+    (statics by value, arrays by shape/dtype — see :func:`_canon_static`),
+    and ``extra`` (e.g. has_c). Returns None when something in the statics
+    is unhashable (e.g. a per-instance lambda)."""
+    key = (mesh, _canon_static(params), extra)
+    try:
+        hash(key)
+    except TypeError:
+        return None
+    return key
 
 
 def _fused_density_for(flow, c=None):
@@ -269,18 +323,25 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     from ..core import partition
 
     params, static = partition(flow)
-    key = (id(mesh), id(flow), c is not None)
-    ent = _SHARDED_FN_CACHE.get(key)
-    if ent is not None and ent[0]() is mesh and ent[1]() is flow:
-        fn = ent[2]
+    key = _structure_cache_key(mesh, params, c is not None)
+    if key is not None:
+        fn = _SHARDED_FN_CACHE.get(key)
     else:
+        # unhashable statics: identity fallback, weakrefs guard id reuse
+        key = (id(mesh), id(flow), c is not None)
+        ent = _SHARDED_FN_CACHE.get(key)
+        fn = None
+        if ent is not None and ent[0]() is mesh and ent[1]() is flow:
+            fn = ent[2]
+    if fn is None:
         fn = _sharded_log_prob_fn(
             mesh, static, c is not None, _fused_density_for(flow, c)
         )
         if len(_SHARDED_FN_CACHE) >= 64:
             _SHARDED_FN_CACHE.pop(next(iter(_SHARDED_FN_CACHE)))
         _SHARDED_FN_CACHE[key] = (
-            weakref.ref(mesh), weakref.ref(flow), fn,
+            fn if isinstance(key[0], Mesh)
+            else (weakref.ref(mesh), weakref.ref(flow), fn)
         )
     if c is None:
         return fn(params, x)
