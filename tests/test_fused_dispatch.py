@@ -1439,3 +1439,56 @@ def test_cnf_rsample_budget_exhaustion_poisons_grads(key, dispatch_on):
     assert bool(jnp.isnan(val))
     leaves = [a for _, a in named_parameters(g)]
     assert any(bool(jnp.any(jnp.isnan(a))) for a in leaves)
+
+
+def test_gf_saturated_ladj_stays_finite(key, dispatch_on):
+    r"""The GF init-fragility fix (round 4): wherever EVERY erf-mixture
+    component saturates, the naive ladj inner sum underflows to 0 in f32
+    and log(0) = -inf blew up training (PARITY.md: 1/6 digits seeds
+    diverging at step 3-5 on both sides; reference shares the mechanism,
+    zuko/transforms.py:869-875). The log-sum-exp analytic form — XLA path
+    (GaussianizationTransform.call_and_ladj) and fused kernel
+    (gf_fused._gauss_mean_F) — must stay finite with finite gradients, and
+    match the jvp form where it does not underflow."""
+    from zuko_tpu.ops.gf_fused import _gauss_forward_F
+    from zuko_tpu.transforms import GaussianizationTransform
+
+    # saturated: all components centered 50 sigma away
+    shift = jnp.full((8,), 50.0, jnp.float32)
+    logsc = jnp.zeros((8,), jnp.float32)
+    t = GaussianizationTransform(shift, logsc)
+    x = jnp.asarray(0.0, jnp.float32)
+    y, ladj = t.call_and_ladj(x)
+    assert bool(jnp.isfinite(y)) and bool(jnp.isfinite(ladj))
+    _, dy = jax.jvp(t.f, (x,), (jnp.ones_like(x),))
+    assert bool(jnp.log(dy) == -jnp.inf)  # the jvp form does underflow
+
+    def loss(sh):
+        tt = GaussianizationTransform(sh, logsc)
+        yy, ll = tt.call_and_ladj(x)
+        return yy + ll
+
+    g = jax.grad(loss)(shift)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # fused kernel math: same stable form, finite at the same point
+    yF, lF = _gauss_forward_F(
+        jnp.zeros((1, 4), jnp.float32), shift[None, :],
+        jnp.exp(logsc)[None, :], 8,
+    )
+    assert bool(jnp.all(jnp.isfinite(lF)))
+    # in-kernel erf/erfinv approximations; the y^2/2 term amplifies their
+    # gap at this extreme saturation point (|ladj| ~ 1238) — finiteness and
+    # sub-0.02% relative agreement are the contract here
+    assert jnp.allclose(lF[0, 0], ladj, rtol=2e-4)
+
+    # healthy regime: analytic == jvp (f64)
+    kf = jax.random.split(key, 2)
+    sh = jax.random.normal(kf[0], (5, 8), jnp.float64)
+    sc = jax.random.normal(kf[1], (5, 8), jnp.float64) * 0.5
+    t2 = GaussianizationTransform(sh, sc)
+    x2 = jnp.linspace(-3.0, 3.0, 5)
+    y2, l2 = t2.call_and_ladj(x2)
+    y3, dy3 = jax.jvp(t2.f, (x2,), (jnp.ones_like(x2),))
+    assert jnp.allclose(y2, y3, atol=0.0)
+    assert jnp.allclose(l2, jnp.log(dy3), atol=1e-12)

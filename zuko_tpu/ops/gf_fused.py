@@ -224,29 +224,46 @@ def _dot_rot(R, x):
 
 
 def _gauss_mean_F(x, shift, scale, K, want_deriv=True):
-    """m(x) = (1-eps) mean_i erf((s_i x + b_i)/sqrt 2) and the un-normalized
-    derivative sum S = sum_i s_i exp(-(s_i x + b_i)^2 / 2), both (F, TB).
-    ``want_deriv=False`` skips S (the coarse bisection only compares m)."""
+    """m(x) = (1-eps) mean_i erf((s_i x + b_i)/sqrt 2) and the LOG of the
+    un-normalized derivative sum,
+    ``logS = logsumexp_i(log s_i - (s_i x + b_i)^2 / 2)``, both (F, TB).
+
+    The log-sum-exp is streamed (running max + rescaled sum) instead of
+    ``log(sum_i s_i exp(-z_i^2/2))``: the naive sum UNDERFLOWS to exactly 0
+    in f32 wherever every mixture component saturates (|z_i| >~ 9.3), which
+    turned the ladj into -inf and the training loss into inf — the GF
+    init-fragility mechanism (PARITY.md: 1/6 seeds diverging at step 3-5 on
+    both the fused and XLA paths). The stable form is finite for any
+    parameters. ``want_deriv=False`` skips it (the coarse bisection only
+    compares m)."""
     m = None
-    S = None
+    lmax = None
+    acc = None
     for i in range(K):
         s = scale[:, i : i + 1]
         z = s * x + shift[:, i : i + 1]
         e = _erf(z * _INV_SQRT2)
         m = e if m is None else m + e
         if want_deriv:
-            q = s * jnp.exp(-0.5 * z * z)
-            S = q if S is None else S + q
-    return m * ((1.0 - _EPS_GF) / K), S
+            li = _log_ladj(s) - 0.5 * z * z
+            if lmax is None:
+                lmax, acc = li, jnp.ones_like(li)
+            else:
+                new = jnp.maximum(lmax, li)
+                acc = acc * jnp.exp(lmax - new) + jnp.exp(li - new)
+                lmax = new
+    logS = None if lmax is None else lmax + _log_ladj(acc)
+    return m * ((1.0 - _EPS_GF) / K), logS
 
 
 def _gauss_forward_F(x, shift, scale, K):
     """y = sqrt(2) erfinv(m(x)) and the analytic ladj
-    log f'(x) = y^2/2 + log((1-eps)/K) + log S  (the erfinv chain rule —
-    the XLA path gets the same value by jvp through MonotonicTransform)."""
-    m, S = _gauss_mean_F(x, shift, scale, K)
+    log f'(x) = y^2/2 + log((1-eps)/K) + logS  (the erfinv chain rule —
+    the XLA path gets the same value by the log-stable analytic override in
+    GaussianizationTransform.call_and_ladj)."""
+    m, logS = _gauss_mean_F(x, shift, scale, K)
     y = _erfinv(m) * math.sqrt(2.0)
-    ladj = 0.5 * y * y + math.log((1.0 - _EPS_GF) / K) + _log_ladj(S)
+    ladj = 0.5 * y * y + math.log((1.0 - _EPS_GF) / K) + logS
     return y, ladj
 
 

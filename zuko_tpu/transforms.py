@@ -838,6 +838,36 @@ class GaussianizationTransform(MonotonicTransform):
         z = jnp.mean(z, axis=-1) * (1 - 1e-6)
         return jsp.erfinv(z) * math.sqrt(2)
 
+    def _f_and_ladj(self, x):
+        r"""Analytic log-stable ladj. The generic jvp form computes
+        ``log(mean_i s_i phi(s_i x + b_i) / phi(y))`` whose inner sum
+        UNDERFLOWS to exactly 0 in f32 wherever every mixture component
+        saturates (|s_i x + b_i| >~ 9.3) — ladj becomes -inf, the training
+        loss inf: the documented GF init-fragility (PARITY.md, 1/6 seeds
+        diverging at step 3-5 on both sides; the reference shares the
+        mechanism, zuko/transforms.py:869-875). The log-sum-exp form
+
+        .. math:: \log f'(x) = \frac{y^2}{2} + \log\frac{1-\epsilon}{K}
+            + \mathrm{logsumexp}_i\!\left(\log s_i - \frac{(s_i x+b_i)^2}{2}\right)
+
+        is finite for any parameters (the fused kernel computes the same
+        form, :func:`zuko_tpu.ops.gf_fused._gauss_forward_F`)."""
+        z = x[..., None] * self.scale + self.shift
+        m = jnp.mean(jsp.erf(z / math.sqrt(2)), axis=-1) * (1 - 1e-6)
+        y = jsp.erfinv(m) * math.sqrt(2)
+        K = self.scale.shape[-1]
+        ls = jsp.logsumexp(jnp.log(self.scale) - 0.5 * z**2, axis=-1)
+        ladj = 0.5 * y**2 + math.log((1 - 1e-6) / K) + ls
+        return y, ladj
+
+    def call_and_ladj(self, x):
+        return self._f_and_ladj(x)
+
+    def inverse_and_ladj(self, y):
+        x = self.inverse(y)
+        _, ladj = self._f_and_ladj(x)
+        return x, -ladj
+
 
 class UnconstrainedMonotonicTransform(MonotonicTransform):
     r""":math:`f(x) = \int_0^x g(u) du` with a positive integrand :math:`g`,
