@@ -268,3 +268,67 @@ def test_transform_event_dims():
     assert LULinearTransform(jnp.eye(3)).codomain_dim == 1
     inv = PermutationTransform(np.arange(3)).inv
     assert inv.domain_dim == 1 and inv.codomain_dim == 1
+
+
+def test_torch_namespace_transform_breadth(key):
+    r"""The torch-namespace transforms a reference port reaches through
+    zuko's re-export surface (reference: zuko/transforms.py:37 re-exports
+    all of torch.distributions.transforms): StickBreaking / Reshape / Cat /
+    Independent — round trips, shape accounting, and autodiff-checked
+    log-Jacobians."""
+    from zuko_tpu.transforms import (
+        CatTransform,
+        ExpTransform,
+        IdentityTransform,
+        IndependentTransform,
+        ReshapeTransform,
+        SigmoidTransform,
+        StickBreakingTransform,
+    )
+
+    # StickBreaking: R^K -> interior of the K-simplex (K+1 coordinates)
+    t = StickBreakingTransform()
+    x = jax.random.normal(key, (7, 4))
+    y = t.forward(x)
+    assert y.shape == (7, 5)
+    assert jnp.allclose(y.sum(-1), 1.0, atol=1e-12)
+    assert bool(jnp.all(y > 0))
+    assert jnp.allclose(t.inverse(y), x, atol=1e-12)
+    J = jax.vmap(jax.jacobian(lambda u: t.forward(u)[:-1]))(x)
+    ladj = t.log_abs_det_jacobian(x, y)
+    assert jnp.allclose(ladj, jnp.linalg.slogdet(J)[1], atol=1e-12)
+    assert t.forward_shape((9, 4)) == (9, 5)
+    assert t.inverse_shape((9, 5)) == (9, 4)
+
+    # Reshape: volume-preserving event reshape
+    r = ReshapeTransform((6,), (2, 3))
+    x2 = jax.random.normal(key, (5, 6))
+    y2 = r.forward(x2)
+    assert y2.shape == (5, 2, 3)
+    assert jnp.allclose(r.inverse(y2), x2, atol=0.0)
+    assert r.log_abs_det_jacobian(x2, y2).shape == (5,)
+    assert r.domain_dim == 1 and r.codomain_dim == 2
+    with pytest.raises(ValueError):
+        ReshapeTransform((6,), (2, 4))
+
+    # Cat: disjoint per-slice transforms along the event axis
+    c = CatTransform(
+        [ExpTransform(), IdentityTransform(), SigmoidTransform()], [2, 1, 3]
+    )
+    x3 = jax.random.normal(key, (4, 6))
+    y3 = c.forward(x3)
+    assert jnp.allclose(c.inverse(y3), x3, atol=1e-12)
+    J3 = jax.vmap(jax.jacobian(c.forward))(x3)
+    assert jnp.allclose(
+        c.log_abs_det_jacobian(x3, y3), jnp.linalg.slogdet(J3)[1], atol=1e-12
+    )
+
+    # Independent: reinterpret batch dims as event dims (summed ladj)
+    it = IndependentTransform(ExpTransform(), 1)
+    x4 = jax.random.normal(key, (4, 3))
+    y4, l4 = it.call_and_ladj(x4)
+    assert l4.shape == (4,)
+    assert jnp.allclose(l4, x4.sum(-1), atol=1e-12)
+    xi, li = it.inverse_and_ladj(y4)
+    assert jnp.allclose(xi, x4, atol=1e-12)
+    assert jnp.allclose(li, -l4, atol=1e-12)

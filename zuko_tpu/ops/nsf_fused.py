@@ -46,7 +46,9 @@ __all__ = [
     "fused_nsf_sample",
 ]
 
-_TB = 1024  # batch tile (swept on v5e: 1024 > 2048 > 512 > 256)
+# batch tile (swept on v5e: 1024 > 2048 > 512 > 256; env override for
+# hardware re-sweeps when kernel defaults shift the optimum)
+_TB = int(os.environ.get("ZUKO_TPU_DENSITY_TB", "1024"))
 
 
 class FusedStructureError(ValueError):

@@ -65,6 +65,10 @@ __all__ = [
     "AutoregressiveTransform",
     "CouplingTransform",
     "FreeFormJacobianTransform",
+    "IndependentTransform",
+    "ReshapeTransform",
+    "StickBreakingTransform",
+    "CatTransform",
     "PermutationTransform",
     "RotationTransform",
     "LULinearTransform",
@@ -1250,3 +1254,196 @@ class LULinearTransform(Transform):
     def inverse_and_ladj(self, y):
         x = self.inverse(y)
         return x, -self.log_abs_det_jacobian(x, y)
+
+
+class IndependentTransform(Transform):
+    r"""Reinterprets the ``reinterpreted`` rightmost batch dimensions of an
+    elementwise ``base`` transform as event dimensions, summing their
+    log-Jacobian (torch-namespace parity: the reference re-exports
+    ``torch.distributions.transforms.IndependentTransform``,
+    zuko/transforms.py:37)."""
+
+    def __init__(self, base: Transform, reinterpreted: int):
+        self.base = base
+        self.reinterpreted = int(reinterpreted)
+
+    @property
+    def domain_dim(self) -> int:
+        return self.base.domain_dim + self.reinterpreted
+
+    @property
+    def codomain_dim(self) -> int:
+        return self.base.codomain_dim + self.reinterpreted
+
+    def forward(self, x):
+        return self.base.forward(x)
+
+    def inverse(self, y):
+        return self.base.inverse(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return _sum_rightmost(
+            self.base.log_abs_det_jacobian(x, y), self.reinterpreted
+        )
+
+    def call_and_ladj(self, x):
+        y, ladj = self.base.call_and_ladj(x)
+        return y, _sum_rightmost(ladj, self.reinterpreted)
+
+    def inverse_and_ladj(self, y):
+        x, ladj = self.base.inverse_and_ladj(y)
+        return x, _sum_rightmost(ladj, self.reinterpreted)
+
+
+class ReshapeTransform(Transform):
+    r"""Reshapes the event from ``in_shape`` to ``out_shape`` (volume
+    preserved, zero log-Jacobian; torch-namespace parity)."""
+
+    def __init__(self, in_shape: Shape, out_shape: Shape):
+        self.in_shape = tuple(int(s) for s in in_shape)
+        self.out_shape = tuple(int(s) for s in out_shape)
+        n_in, n_out = 1, 1
+        for s in self.in_shape:
+            n_in *= s
+        for s in self.out_shape:
+            n_out *= s
+        if n_in != n_out:
+            raise ValueError(
+                f"cannot reshape event of size {n_in} into shape "
+                f"{self.out_shape}"
+            )
+
+    @property
+    def domain_dim(self) -> int:
+        return len(self.in_shape)
+
+    @property
+    def codomain_dim(self) -> int:
+        return len(self.out_shape)
+
+    def forward(self, x):
+        batch = x.shape[: x.ndim - len(self.in_shape)]
+        return x.reshape(batch + self.out_shape)
+
+    def inverse(self, y):
+        batch = y.shape[: y.ndim - len(self.out_shape)]
+        return y.reshape(batch + self.in_shape)
+
+    def log_abs_det_jacobian(self, x, y):
+        batch = x.shape[: x.ndim - len(self.in_shape)]
+        return jnp.zeros(batch, x.dtype)
+
+    def forward_shape(self, shape):
+        return tuple(shape[: len(shape) - len(self.in_shape)]) + self.out_shape
+
+    def inverse_shape(self, shape):
+        return tuple(shape[: len(shape) - len(self.out_shape)]) + self.in_shape
+
+
+class StickBreakingTransform(Transform):
+    r"""Bijection from the unconstrained reals :math:`\mathbb{R}^K` to the
+    interior of the :math:`K`-simplex (first :math:`K` coordinates of a
+    length-:math:`K+1` stick-breaking), the torch-namespace simplex
+    bijector (torch.distributions.StickBreakingTransform semantics: y has
+    one more trailing element than x; its last element is the remaining
+    stick)."""
+
+    domain_dim: int = 1
+    codomain_dim: int = 1
+
+    def forward(self, x):
+        K = x.shape[-1]
+        offset = jnp.log(jnp.arange(K, 0, -1, dtype=x.dtype))
+        z = jax.nn.sigmoid(x - offset)  # fraction of the remaining stick
+        zl = jnp.concatenate(
+            [jnp.zeros_like(z[..., :1]), jnp.log1p(-z)], axis=-1
+        )
+        rest = jnp.exp(jnp.cumsum(zl, axis=-1))  # remaining stick lengths
+        y = jnp.concatenate([z, jnp.ones_like(z[..., :1])], axis=-1)
+        return y * rest
+
+    def inverse(self, y):
+        K = y.shape[-1] - 1
+        offset = jnp.log(jnp.arange(K, 0, -1, dtype=y.dtype))
+        zl = jnp.concatenate(
+            [jnp.zeros_like(y[..., :1]), y[..., :-1]], axis=-1
+        )
+        rest = 1.0 - jnp.cumsum(zl, axis=-1)[..., :K]
+        z = y[..., :K] / rest
+        return jnp.log(z) - jnp.log1p(-z) + offset
+
+    def log_abs_det_jacobian(self, x, y):
+        K = x.shape[-1]
+        offset = jnp.log(jnp.arange(K, 0, -1, dtype=x.dtype))
+        u = x - offset
+        # log sigma'(u) per coordinate + log of the remaining stick lengths
+        detail = -jax.nn.softplus(-u) - jax.nn.softplus(u)
+        zl = jnp.log1p(-jax.nn.sigmoid(u))
+        rest_log = jnp.cumsum(
+            jnp.concatenate([jnp.zeros_like(zl[..., :1]), zl[..., :-1]],
+                            axis=-1),
+            axis=-1,
+        )
+        return jnp.sum(detail + rest_log, axis=-1)
+
+    def forward_shape(self, shape):
+        return tuple(shape[:-1]) + (shape[-1] + 1,)
+
+    def inverse_shape(self, shape):
+        return tuple(shape[:-1]) + (shape[-1] - 1,)
+
+
+class CatTransform(Transform):
+    r"""Applies a sequence of transforms to disjoint slices of the last
+    event axis (torch-namespace parity with
+    ``torch.distributions.transforms.CatTransform`` at ``dim=-1``).
+
+    Arguments:
+        transforms: the per-slice transforms (each elementwise).
+        lengths: slice lengths along the axis; defaults to all ones.
+    """
+
+    domain_dim: int = 1
+    codomain_dim: int = 1
+
+    def __init__(self, transforms: Sequence, lengths: Sequence = None):
+        transforms = list(transforms)
+        if lengths is None:
+            lengths = [1] * len(transforms)
+        lengths = [int(n) for n in lengths]
+        assert len(lengths) == len(transforms), (
+            "one length per transform is required"
+        )
+        self.transforms = transforms
+        self.lengths = tuple(lengths)
+
+    def _slices(self, x):
+        out, i = [], 0
+        for n in self.lengths:
+            out.append(x[..., i : i + n])
+            i += n
+        return out
+
+    def forward(self, x):
+        return jnp.concatenate(
+            [t.forward(s) for t, s in zip(self.transforms, self._slices(x))],
+            axis=-1,
+        )
+
+    def inverse(self, y):
+        return jnp.concatenate(
+            [t.inverse(s) for t, s in zip(self.transforms, self._slices(y))],
+            axis=-1,
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        parts = [
+            jnp.sum(t.log_abs_det_jacobian(sx, sy), axis=-1)
+            for t, sx, sy in zip(
+                self.transforms, self._slices(x), self._slices(y)
+            )
+        ]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total
