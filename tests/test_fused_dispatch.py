@@ -1492,3 +1492,77 @@ def test_gf_saturated_ladj_stays_finite(key, dispatch_on):
     y3, dy3 = jax.jvp(t2.f, (x2,), (jnp.ones_like(x2),))
     assert jnp.allclose(y2, y3, atol=0.0)
     assert jnp.allclose(l2, jnp.log(dy3), atol=1e-12)
+
+
+@pytest.mark.parametrize("case", ["exact", "exact-cond", "hutch"])
+def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
+    r"""The IN-KERNEL continuous adjoint (`_cnf_tile_adjoint`, the TPU
+    backward of fused_cnf_rsample) integrates the same (u, a, g_theta)
+    system as the XLA odeint fallback: with one tile holding the batch at
+    tight tolerances the two backends' cotangents coincide (1e-10 for the
+    unconditional/Hutchinson cases; the conditional case differs only
+    through the step-size controllers' accepted sequences — solver
+    tolerance, 1e-5)."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops import cnf_fused as cf
+
+    kf, kc, kh, kk = jax.random.split(key, 4)
+    c, hk = None, None
+    tols = dict(atol=1e-9, rtol=1e-9, max_steps=16384)
+    if case == "exact":
+        flow = CNF(3, exact=True, key=kf, **tols)
+    elif case == "exact-cond":
+        flow = CNF(3, 2, exact=True, key=kf, **tols)
+        c = jax.random.normal(kc, (2,), dtype=jnp.float64)
+    else:
+        flow = CNF(3, exact=False, key=kf, **tols)
+        hk = kh
+    flow = _cast_params_module(flow, jnp.float64)
+
+    transform = flow.transform(c) if hk is None else flow.transform(c, key=hk)
+    static, z, eps, c_phi, flat = cf._prep_cnf_sample(
+        flow, transform, kk, (8,), c, True
+    )
+    cfg = static.cfg
+    x, lq = cf._cnf_sample_impl(static, z, eps, c_phi, *flat)
+    gx = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+    glq = jax.random.normal(jax.random.PRNGKey(10), lq.shape, lq.dtype)
+
+    outs_xla = cf._cnf_sample_bwd(static, (z, eps, c_phi, flat, x), (gx, glq))
+
+    F = cfg["F"]
+    nw = len(flat) // 2
+    ws = [flat[2 * i] for i in range(nw)]
+    bs = [flat[2 * i + 1] for i in range(nw)]
+    params = cf._kernel_params(ws, bs, c_phi, cfg)
+    epsT = None if cfg["exact"] else eps.reshape(-1, F).T
+    u1, a1, gth = cf._cnf_tile_adjoint(
+        x.reshape(-1, F).T, gx.reshape(-1, F).T,
+        glq.reshape(1, -1), epsT, params, cfg, True,
+    )
+    gW1_x, gW1_te, gb1 = gth[0], gth[1], gth[2]
+    cols = [gW1_te, gW1_x]
+    if cfg["C"]:
+        cols.append(gb1[:, None] * c_phi[None, :])
+    gW1 = jnp.concatenate(cols, axis=1)
+
+    tol = 1e-5 if case == "exact-cond" else 1e-10
+    err = jnp.max(jnp.abs(u1.T - z.reshape(-1, F)), axis=-1)
+    assert bool(jnp.all(err <= cf._REINT_ATOL))  # gate passes
+    dz_tile = a1.T - glq.reshape(-1)[:, None] * z.reshape(-1, F)
+    assert jnp.allclose(dz_tile, outs_xla[0].reshape(-1, F), atol=tol)
+    assert jnp.allclose(gW1, outs_xla[3], atol=tol)
+    assert jnp.allclose(gb1, outs_xla[4], atol=tol)
+    assert jnp.allclose(gth[3], outs_xla[5], atol=tol)
+    if cfg["C"]:
+        gc = flat[0][:, 2 * cfg["nf"] + F :].T @ gb1
+        assert jnp.allclose(gc, outs_xla[2], atol=tol)
+
+
+def _cast_params_module(flow, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        flow,
+    )

@@ -34,6 +34,7 @@ __all__ = [
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -415,6 +416,191 @@ def _cnf_tile_integrate(xT, epsT, params, cfg, reverse=False, with_trace=True):
     return x, l
 
 
+def _tile_f_and_tr(t, u, theta, epsT, cfg, want_tr):
+    """Tile dynamics f (F, TB) and the UNSCALED trace estimate (1, TB) as a
+    pure function of ``(u, theta)`` — the differentiation target of the
+    in-kernel continuous adjoint (:func:`_cnf_tile_adjoint`). ``theta`` is
+    the `_kernel_params` list [W1_x, W1_te, b1_eff, W2, b2, ...]."""
+    F = cfg["F"]
+    exact = cfg["exact"]
+    freqs = cfg["freqs"]
+    TB = u.shape[1]
+    dtype = u.dtype
+
+    W1_x, W1_te, b1 = theta[0], theta[1], theta[2]
+    rest = theta[3:]
+
+    te_b = b1
+    for k, fk in enumerate(freqs):
+        te_b = te_b + W1_te[:, k] * jnp.cos(fk * t)
+        te_b = te_b + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
+
+    h = _dot(W1_x, u) + te_b[:, None]
+    v = None
+    n_tan = 1
+    if want_tr:
+        if exact:
+            n_tan = F
+            r = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 0)
+            blk = jax.lax.broadcasted_iota(jnp.int32, (F, F * TB), 1) // TB
+            V0 = jnp.where(r == blk, 1.0, 0.0).astype(dtype)
+        else:
+            V0 = epsT
+        v = _dot(W1_x, V0)
+
+    def tile_lanes(a):
+        if n_tan == 1:
+            return a
+        return jnp.concatenate([a] * n_tan, axis=1)
+
+    n = len(rest) // 2
+    for i in range(n):
+        W, b = rest[2 * i], rest[2 * i + 1]
+        if v is not None:
+            v = _dot(W, tile_lanes(_elu_d(h)) * v)
+        h = _dot(W, _elu(h)) + b[:, None]
+
+    if not want_tr:
+        return h
+    if exact:
+        tr = None
+        for j in range(F):
+            tj = v[j : j + 1, j * TB : (j + 1) * TB]
+            tr = tj if tr is None else tr + tj
+    else:
+        tr = jnp.sum(epsT * v, axis=0, keepdims=True)
+    return h, tr
+
+
+def _cnf_tile_adjoint(xT, aT, glq, epsT, params, cfg, want_lp):
+    """In-kernel continuous adjoint on one tile: integrate
+
+    .. math:: \\dot u = f,\\quad \\dot a = -\\partial_u(a^\\top f
+        - \\bar L\\,\\mathrm{tr}),\\quad
+        \\dot g_\\theta = -\\partial_\\theta(a^\\top f - \\bar L\\,\\mathrm{tr})
+
+    from the solved sample tile (t = 0) back to the base draw (t = 1) with
+    an adaptive dopri45 over the whole (u, a, g_theta) pytree — the same
+    system `_cnf_sample_bwd`'s XLA fallback solves with utils.odeint, kept
+    entirely in VMEM (the pullbacks are jax.vjp through the hand-written
+    tile dynamics, traced before Mosaic lowering). Returns
+    ``(u1, a1, gtheta)``: the re-integrated endpoint (the solve-consistency
+    gate's input), the x-cotangent, and per-tile parameter cotangents
+    (summed over the tile's rows; the wrapper sums over tiles)."""
+    atol, rtol = cfg["atol"], cfg["rtol"]
+    max_steps = cfg["max_steps"]
+    dtype = xT.dtype
+    # one dtype across the whole carry: mixed f32 params under the f64 test
+    # mode would break the while_loop's carry typing
+    theta = [p.astype(dtype) for p in params]
+    aT = aT.astype(dtype)
+    if glq is not None:
+        glq = glq.astype(dtype)
+    if epsT is not None:
+        epsT = epsT.astype(dtype)
+
+    def adj_f(s, state):
+        u, a, _ = state
+        if want_lp:
+            (du, _tr), pull = jax.vjp(
+                lambda u_, th_: _tile_f_and_tr(s, u_, th_, epsT, cfg, True),
+                u, theta,
+            )
+            da, dth = pull((a, -glq))
+        else:
+            du, pull = jax.vjp(
+                lambda u_, th_: _tile_f_and_tr(s, u_, th_, epsT, cfg, False),
+                u, theta,
+            )
+            da, dth = pull(a)
+        return (du, -da, [-g for g in dth])
+
+    gth0 = [jnp.zeros_like(p) for p in theta]
+    state0 = (xT, aT, gth0)
+    flat0, treedef = jax.tree_util.tree_flatten(state0)
+
+    def f_flat(s, flat):
+        d = adj_f(s, jax.tree_util.tree_unflatten(treedef, flat))
+        return jax.tree_util.tree_flatten(d)[0]
+
+    def dp_step(flat, t, dt):
+        ks = []
+        for i in range(7):
+            si = flat
+            for j in range(i):
+                a = float(_DP_A[i, j])
+                if a != 0.0:
+                    si = [x + (dt * a) * k for x, k in zip(si, ks[j])]
+            ks.append(f_flat(t + float(_DP_C[i]) * dt, si))
+        y5 = flat
+        err = [jnp.zeros_like(x) for x in flat]
+        for i in range(7):
+            b5 = float(_DP_B5[i])
+            if b5 != 0.0:
+                y5 = [x + (dt * b5) * k for x, k in zip(y5, ks[i])]
+            d = float(_DP_B5[i] - _DP_B4[i])
+            if d != 0.0:
+                err = [e + (dt * d) * k for e, k in zip(err, ks[i])]
+        return y5, err
+
+    tiny = float(np.finfo(np.float32).tiny)
+
+    def cond(carry):
+        _, t, _, attempts = carry
+        return (t < 1.0) & (attempts < 4 * max_steps)
+
+    def body(carry):
+        flat, t, dt, attempts = carry
+        dt = jnp.minimum(dt, 1.0 - t)
+        y, err = dp_step(flat, t, dt)
+        ratio = None
+        for x, yv, e in zip(flat, y, err):
+            tol = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(yv))
+            r = jnp.max(jnp.abs(e) / tol)
+            ratio = r if ratio is None else jnp.maximum(ratio, r)
+        ratio = jnp.where(jnp.isnan(ratio), jnp.inf, ratio)
+        accept = ratio <= 1.0
+        flat = [jnp.where(accept, yv, x) for x, yv in zip(flat, y)]
+        t = jnp.where(accept, t + dt, t)
+        factor = jnp.clip(
+            0.9 * jnp.exp(-0.2 * jnp.log(jnp.maximum(ratio, tiny))), 0.1, 10.0
+        )
+        return flat, t, dt * factor, attempts + 1
+
+    t0 = jnp.asarray(0.0, dtype)
+    dt0 = jnp.asarray(1.0, dtype)
+    flat, t, _, _ = jax.lax.while_loop(
+        cond, body, (flat0, t0, dt0, jnp.asarray(0, jnp.int32))
+    )
+    eps_f = float(np.finfo(np.float32).eps)
+    exhausted = t < 1.0 - 64.0 * eps_f
+    flat = [jnp.where(exhausted, jnp.full_like(x, jnp.nan), x) for x in flat]
+    u1, a1, gth = jax.tree_util.tree_unflatten(treedef, flat)
+    return u1, a1, gth
+
+
+def _cnf_adjoint_kernel(*refs, n_params, cfg, want_lp):
+    """Pallas wrapper of `_cnf_tile_adjoint`: inputs
+    [x, a, (glq), (eps), params...]; outputs [u1, dz, gtheta...] (the
+    bias-shaped gradient outputs carry a leading length-1 axis)."""
+    i = 0
+    xT = refs[i][...]; i += 1
+    aT = refs[i][...]; i += 1
+    glq = None
+    if want_lp:
+        glq = refs[i][...]; i += 1
+    epsT = None
+    if not cfg["exact"]:
+        epsT = refs[i][...]; i += 1
+    params = [refs[i + k][...] for k in range(n_params)]
+    i += n_params
+    u1, a1, gth = _cnf_tile_adjoint(xT, aT, glq, epsT, params, cfg, want_lp)
+    refs[i][...] = u1
+    refs[i + 1][...] = a1
+    for k, g in enumerate(gth):
+        refs[i + 2 + k][...] = g.reshape(refs[i + 2 + k].shape)
+
+
 def _cnf_tile_math(xT, epsT, params, cfg):
     """Density on one tile: integrate x forward (t: 0 -> 1), return
     log_prob (1, TB) = N(0,I) log-density at the endpoint plus the ladj."""
@@ -683,10 +869,107 @@ def _cnf_sample_fwd(static, z, eps, c, *flat):
     return out, (z, eps, c, flat, x)
 
 
+def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
+    """The in-kernel continuous adjoint: one fused dopri45 per batch tile
+    over the whole (u, a, g_theta) state (`_cnf_tile_adjoint`). Returns
+    ``(u1, a1, gth)`` in the SAME layout as the XLA fallback: gth as
+    {"w": [...], "b": [...], "c"?} over the ORIGINAL flat weights (the
+    kernel's split first-layer gradients are reassembled, and the context
+    gradient recovered from the folded first bias)."""
+    F, C, nf = cfg["F"], cfg["C"], cfg["nf"]
+    nw = len(flat) // 2
+    ws = [flat[2 * i] for i in range(nw)]
+    bs = [flat[2 * i + 1] for i in range(nw)]
+    params = _kernel_params(ws, bs, c, cfg)
+    n_params = len(params)
+    dtype = x.dtype
+
+    xf = x.reshape(-1, F)
+    af = gx.reshape(-1, F).astype(dtype)
+    n = xf.shape[0]
+    pad = (-n) % _TB_CNF
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        af = jnp.pad(af, ((0, pad), (0, 0)))
+    m = xf.shape[0]
+    G = m // _TB_CNF
+
+    tile_spec = pl.BlockSpec((F, _TB_CNF), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    in_specs = [tile_spec, tile_spec]
+    args = [xf.T, af.T]
+    if want_lp:
+        lqf = glq.reshape(-1).astype(dtype)
+        if pad:
+            lqf = jnp.pad(lqf, (0, pad))
+        in_specs.append(pl.BlockSpec((1, _TB_CNF), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(lqf[None, :])
+    if not cfg["exact"]:
+        ef = eps.reshape(-1, F)
+        if pad:
+            ef = jnp.pad(ef, ((0, pad), (0, 0)))
+        in_specs.append(tile_spec)
+        args.append(ef.T)
+    in_specs += [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in params
+    ]
+
+    out_specs = [tile_spec, tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((F, m), dtype),
+                 jax.ShapeDtypeStruct((F, m), dtype)]
+    for p in params:
+        shp = p.shape if p.ndim == 2 else (1,) + p.shape
+        out_specs.append(pl.BlockSpec(
+            (1,) + shp, lambda i: (i,) + (0,) * len(shp),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((G,) + shp, dtype))
+
+    out = pl.pallas_call(
+        functools.partial(_cnf_adjoint_kernel, n_params=n_params, cfg=cfg,
+                          want_lp=want_lp),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+    )(*args, *params)
+
+    u1 = out[0].T[:n]
+    a1 = out[1].T[:n]
+    gks = [jnp.sum(o, axis=0).reshape(p.shape)
+           for o, p in zip(out[2:], params)]
+
+    gW1_x, gW1_te, gb1 = gks[0], gks[1], gks[2]
+    cols = [gW1_te, gW1_x]
+    gc = None
+    if C:
+        cvec = c.astype(dtype)
+        cols.append(gb1[:, None] * cvec[None, :])
+        gc = flat[0][:, 2 * nf + F :].T.astype(dtype) @ gb1
+    gw = [jnp.concatenate(cols, axis=1)] + [gks[3 + 2 * i]
+                                            for i in range(nw - 1)]
+    gb = [gb1] + [gks[4 + 2 * i] for i in range(nw - 1)]
+    gth = {"w": gw, "b": gb}
+    if c is not None:
+        gth["c"] = gc
+    return u1, a1, gth
+
+
+# In-kernel vs XLA-odeint continuous-adjoint backward (TPU only; the
+# fallback is always used off-TPU / in f64). "kernel" keeps the whole
+# adjoint integration in VMEM per tile.
+_CNF_ADJ = os.environ.get("ZUKO_TPU_CNF_ADJ", "kernel")
+
+
 def _cnf_sample_bwd(static, res, g):
     """Continuous-adjoint backward: integrate (x, a, grad-accumulators)
     forward in density time t: 0 -> 1 (i.e. from the sample back to the
-    base draw) with one odeint call; no stored forward steps are needed."""
+    base draw) — one fused in-kernel integration per batch tile on TPU
+    (`_cnf_adjoint_pallas`), the same system through utils.odeint
+    off-TPU; no stored forward steps are needed either way."""
     from ..utils import broadcast, odeint
 
     z, eps, c, flat, x = res
@@ -701,6 +984,13 @@ def _cnf_sample_bwd(static, res, g):
         gx, glq = g, None
 
     nw = len(flat) // 2
+
+    if _use_pallas_fused(x.dtype) and _CNF_ADJ == "kernel":
+        u1, a1, gth = _cnf_adjoint_pallas(
+            x, gx, glq, eps, c, flat, cfg, want_lp
+        )
+        return _cnf_bwd_finish(z, eps, c, flat, cfg, want_lp, glq, u1, a1, gth)
+
     theta = {
         "w": [flat[2 * i] for i in range(nw)],
         "b": [flat[2 * i + 1] for i in range(nw)],
@@ -766,15 +1056,23 @@ def _cnf_sample_bwd(static, res, g):
         atol=cfg["atol"], rtol=cfg["rtol"], max_steps=cfg["max_steps"],
     )
 
-    # Solve-consistency gate (the ift._SOLVE_ATOL analog for the continuous
-    # tier): the adjoint re-integrates the sample x(0) forward to t=1, which
-    # must land back on the saved base draw z. Stiff / effectively
-    # non-reversible dynamics make this re-integration diverge — the classic
-    # neural-ODE adjoint instability — and the co-integrated adjoints are
-    # then garbage. Per-row theta contributions are not separable after the
-    # fact (gth is batch-summed inside the vjp pulls), so failures are made
-    # LOUD instead of silently wrong: bad rows NaN-poison dz, and any bad
-    # row NaN-poisons the theta/context gradients.
+    return _cnf_bwd_finish(z, eps, c, flat, cfg, want_lp, glq, u1, a1, gth)
+
+
+def _cnf_bwd_finish(z, eps, c, flat, cfg, want_lp, glq, u1, a1, gth):
+    """Shared tail of both adjoint backends: the solve-consistency gate and
+    the cotangent assembly.
+
+    Gate (the ift._SOLVE_ATOL analog for the continuous tier): the adjoint
+    re-integrates the sample x(0) forward to t=1, which must land back on
+    the saved base draw z. Stiff / effectively non-reversible dynamics make
+    this re-integration diverge — the classic neural-ODE adjoint
+    instability — and the co-integrated adjoints are then garbage. Per-row
+    theta contributions are not separable after the fact (gth is
+    batch-summed inside the vjp pulls), so failures are made LOUD instead
+    of silently wrong: bad rows NaN-poison dz, and any bad row NaN-poisons
+    the theta/context gradients."""
+    F = cfg["F"]
     err = jnp.max(jnp.abs(u1 - z.reshape(-1, F)), axis=-1)
     ok = err <= jnp.asarray(_REINT_ATOL, err.dtype)
     nan = jnp.asarray(jnp.nan, a1.dtype)
@@ -785,12 +1083,14 @@ def _cnf_sample_bwd(static, res, g):
     if want_lp:
         # the base log N(z) term of log q (reference:
         # zuko/distributions.py:129-138) depends on z directly
-        dz = dz - phi["glq"][:, None] * z.reshape(-1, F)
+        dz = dz - glq.reshape(-1).astype(dz.dtype)[:, None] * z.reshape(-1, F)
     dz = dz.reshape(z.shape).astype(z.dtype)
     dc = gth.get("c") if c is not None else None
+    if dc is not None:
+        dc = dc.astype(c.dtype)
     dflat = []
-    for W, b in zip(gth["w"], gth["b"]):
-        dflat += [W, b]
+    for i, (W, b) in enumerate(zip(gth["w"], gth["b"])):
+        dflat += [W.astype(flat[2 * i].dtype), b.astype(flat[2 * i + 1].dtype)]
     return (dz, jnp.zeros_like(eps), dc, *dflat)
 
 
