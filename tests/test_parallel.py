@@ -500,3 +500,47 @@ def test_sharded_serving_cache_survives_flow_rebuild(key, tmp_path):
     assert jnp.allclose(lp1, lp_ref, atol=1e-5)
     assert jnp.allclose(lp2, lp_ref, atol=1e-5)
     assert len(builds) == 1, f"rebuilt flow retraced ({len(builds)} builds)"
+
+
+def test_sharded_sampling_cache_and_no_retrace(key, tmp_path):
+    r"""sharded_fused_sample rides the same structure-keyed program cache
+    as the density path: params are jit ARGUMENTS (not closure constants),
+    and a rebuilt flow (load_params pattern) reuses the compiled program.
+    Values are unchanged vs the per-call form: deterministic for a given
+    key and mesh shape."""
+    from zuko_tpu.parallel import mesh as meshmod
+    from zuko_tpu.parallel import sharded_fused_sample
+    from zuko_tpu.serial import load_params, save_params
+
+    flow = _flow(key)
+    mesh = make_mesh(model=1)
+    meshmod._SHARDED_FN_CACHE.clear()
+
+    with mesh:
+        x1, lp1 = sharded_fused_sample(
+            mesh, flow, jax.random.PRNGKey(5), (64,), want_log_prob=True
+        )
+        assert x1.shape == (64, 4) and lp1.shape == (64,)
+        # log q agrees with the flow's own density at the drawn points
+        lp_ref = flow(None).log_prob(x1)
+        assert jnp.allclose(lp1, lp_ref, atol=1e-4), (
+            jnp.abs(lp1 - lp_ref).max()
+        )
+
+        size_before = len(meshmod._SHARDED_FN_CACHE)
+        save_params(tmp_path / "p.npz", flow)
+        flow2 = load_params(_flow(key), tmp_path / "p.npz")
+        x2, lp2 = sharded_fused_sample(
+            mesh, flow2, jax.random.PRNGKey(5), (64,), want_log_prob=True
+        )
+    assert jnp.allclose(x1, x2, atol=0.0)
+    assert jnp.allclose(lp1, lp2, atol=0.0)
+    # rebuilt flow hit the cached program: no new cache entry was created
+    assert len(meshmod._SHARDED_FN_CACHE) == size_before
+    # ... and no retrace INSIDE jit either: the rebuilt flow's params must
+    # flatten to an EQUAL treedef (core._freeze decomposes partials by
+    # value — identity-compared partials made every such call retrace)
+    fns = [v for v in meshmod._SHARDED_FN_CACHE.values() if callable(v)]
+    assert all(fn._cache_size() == 1 for fn in fns), [
+        fn._cache_size() for fn in fns
+    ]

@@ -40,7 +40,7 @@ def measure(tag):
     def loop(params, x):
         def body(carry, _):
             model = combine(params, static)
-            d = dp.maybe_fused_flow(model, None)
+            d = model(None)  # public dispatch (ZUKO_TPU_FUSED_DISPATCH=1)
             return carry + jnp.sum(d.log_prob(x + 1e-9 * carry)), None
         out, _ = jax.lax.scan(body, 0.0, None, length=REPEATS)
         return out

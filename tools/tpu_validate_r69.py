@@ -36,7 +36,7 @@ def bench(mode):
     opt = optax.adam(1e-3)
 
     def loss_fn(p, key):
-        dd = dp.maybe_fused_flow(combine(p, static), None)
+        dd = combine(p, static)(None)  # public dispatch (FUSED=1)
         xs, lq = dd.rsample_and_log_prob(key, (BATCH,))
         return jnp.mean(lq) - jnp.mean(ring(xs))
 

@@ -78,13 +78,27 @@ def _is_dynamic(v: Any) -> bool:
 
 
 def _freeze(v: Any) -> Any:
-    """Recursively convert a static value to a hashable form."""
+    """Recursively convert a static value to a hashable form.
+
+    ``functools.partial`` is decomposed by VALUE (func, args, kwargs):
+    partial defines no ``__eq__``, so leaving it as-is would make two
+    structurally identical modules flatten to UNEQUAL treedefs — every jit
+    whose arguments contain a rebuilt module (the serving/load_params
+    pattern) would silently retrace per call."""
     if isinstance(v, (list, tuple)):
         return (list, tuple)[isinstance(v, tuple)], tuple(_freeze(u) for u in v)
     if isinstance(v, dict):
         return (dict, tuple((k, _freeze(v[k])) for k in sorted(v, key=repr)))
     if isinstance(v, set):
         return (set, frozenset(_freeze(u) for u in v))
+    if isinstance(v, functools.partial):
+        return (
+            functools.partial,
+            _freeze(v.func),
+            tuple(_freeze(u) for u in v.args),
+            tuple(sorted(((k, _freeze(u)) for k, u in v.keywords.items()),
+                         key=repr)),
+        )
     return v
 
 

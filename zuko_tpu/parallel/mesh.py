@@ -348,11 +348,17 @@ def sharded_fused_log_prob(mesh: Mesh, flow, x, c=None):
     return fn(params, x, c)
 
 
-def _fused_sampler_for(flow, c, want_log_prob):
+def _fused_sampler_fn_for(flow, c, want_log_prob):
     """Pick the fused whole-flow sampler matching ``flow``'s structure:
     NSF/NCSF/MAF sweeps, GF bisection, CNF backward integration, or NAF/UNAF
     monotone-net bisection (log q via the analytic forward ladj at the
-    solved point). Raises FusedStructureError when nothing matches."""
+    solved point). Raises FusedStructureError when nothing matches.
+
+    The structure probe runs on the CALLER's flow, but the returned
+    callable takes the flow (and context) as arguments — so the jitted
+    serving program can rebuild it from runtime parameters instead of
+    closing over them (closures embed params as MLIR constants AND defeat
+    the structure-keyed program cache)."""
     from ..ops.cnf_fused import extract_cnf_params, fused_cnf_sample
     from ..ops.gf_fused import extract_gf_params, fused_gf_sample
     from ..ops.naf_fused import extract_naf_params, fused_naf_sample
@@ -367,29 +373,28 @@ def _fused_sampler_for(flow, c, want_log_prob):
     except FusedStructureError:
         pass
     else:
-        return lambda k, shape: fused_nsf_sample(
-            flow, k, shape, c=c, want_log_prob=want_log_prob
+        return lambda f, k, shape, cc: fused_nsf_sample(
+            f, k, shape, c=cc, want_log_prob=want_log_prob
         )
     try:
         extract_gf_params(flow, c)
     except FusedStructureError:
         pass
     else:
-        return lambda k, shape: fused_gf_sample(
-            flow, k, shape, c=c, want_log_prob=want_log_prob
+        return lambda f, k, shape, cc: fused_gf_sample(
+            f, k, shape, c=cc, want_log_prob=want_log_prob
         )
     try:
-        transform = flow.transform(c)
-        extract_cnf_params(flow, transform, c)
+        extract_cnf_params(flow, flow.transform(c), c)
     except FusedStructureError:
         pass
     else:
-        return lambda k, shape: fused_cnf_sample(
-            flow, transform, k, shape, c=c, want_log_prob=want_log_prob
+        return lambda f, k, shape, cc: fused_cnf_sample(
+            f, f.transform(cc), k, shape, c=cc, want_log_prob=want_log_prob
         )
     extract_naf_params(flow)
-    return lambda k, shape: fused_naf_sample(
-        flow, k, shape, c=c, want_log_prob=want_log_prob
+    return lambda f, k, shape, cc: fused_naf_sample(
+        f, k, shape, c=cc, want_log_prob=want_log_prob
     )
 
 
@@ -399,29 +404,59 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
     own shard of the sample axis (no cross-device communication — sampling is
     embarrassingly parallel over draws). The fused sampler is picked by the
     flow's structure (NSF/NCSF/MAF, GF, CNF, NAF/UNAF — see
-    :func:`_fused_sampler_for`). Per-device keys are derived with
+    :func:`_fused_sampler_fn_for`). Per-device keys are derived with
     :func:`jax.random.fold_in` on the device's ``data``-axis index, so the
     global draw set is deterministic for a given ``key`` and mesh shape.
     With ``want_log_prob`` also returns the per-sample ``log q(x)`` (the
     reverse-KL quantity, reference: zuko/distributions.py:129-138)."""
-    sampler = _fused_sampler_for(flow, c, want_log_prob)
+    import weakref
+
+    from ..core import combine, partition
 
     n = int(np.prod(sample_shape)) if sample_shape else 1
     d = mesh.shape["data"]
     assert n % d == 0, f"sample count {n} must divide the data axis {d}"
     local = (n // d,)
-    out_specs = (P("data"), P("data")) if want_log_prob else P("data")
 
-    def draw(key):
-        idx = jax.lax.axis_index("data")
-        return sampler(jax.random.fold_in(key, idx), local)
+    # Params ride as jit ARGUMENTS and the compiled program is cached on
+    # structure, exactly like the serving density path: the original
+    # per-call closure both RETRACED every invocation (a fresh jitted
+    # wrapper per call) and embedded the parameters as MLIR constants.
+    params, static = partition(flow)
+    extra = ("sample", want_log_prob, local, c is not None)
+    key_s = _structure_cache_key(mesh, params, extra)
+    if key_s is not None:
+        fn = _SHARDED_FN_CACHE.get(key_s)
+    else:
+        key_s = (id(mesh), id(flow), extra)
+        ent = _SHARDED_FN_CACHE.get(key_s)
+        fn = None
+        if ent is not None and ent[0]() is mesh and ent[1]() is flow:
+            fn = ent[2]
+    if fn is None:
+        sampler = _fused_sampler_fn_for(flow, c, want_log_prob)
+        out_specs = (P("data"), P("data")) if want_log_prob else P("data")
 
-    # jit the wrapper: an eagerly-called shard_map executes the body op by op
-    # across the mesh (measured ~100x the jitted wall time on a CPU mesh)
-    fn = jax.jit(jax.shard_map(
-        draw, mesh=mesh, in_specs=P(), out_specs=out_specs, check_vma=False
-    ))
-    out = fn(key)
+        def draw(params, key, *cargs):
+            idx = jax.lax.axis_index("data")
+            f = combine(params, static)
+            cc = cargs[0] if cargs else None
+            return sampler(f, jax.random.fold_in(key, idx), local, cc)
+
+        # jit the wrapper: an eagerly-called shard_map executes the body op
+        # by op across the mesh (measured ~100x the jitted wall time)
+        in_specs = (P(), P()) + ((P(),) if c is not None else ())
+        fn = jax.jit(jax.shard_map(
+            draw, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+        if len(_SHARDED_FN_CACHE) >= 64:
+            _SHARDED_FN_CACHE.pop(next(iter(_SHARDED_FN_CACHE)))
+        _SHARDED_FN_CACHE[key_s] = (
+            fn if isinstance(key_s[0], Mesh)
+            else (weakref.ref(mesh), weakref.ref(flow), fn)
+        )
+    out = fn(params, key) if c is None else fn(params, key, c)
     shape = tuple(sample_shape)
     if want_log_prob:
         x, lp = out
