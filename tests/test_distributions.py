@@ -386,3 +386,167 @@ def test_composite_distributions(key):
         xe = de.sample(ks)
         assert xe.shape == (5,) + d.event_shape, name
         assert de.log_prob(xe).shape == (5,), name
+
+
+def test_torch_namespace_parity(key):
+    r"""The round-4 torch-namespace completion: every remaining
+    ``torch.distributions`` class a reference port can reach. log_prob is
+    pinned directly against torch (CPU f64) — a stronger contract than MC
+    normalization — plus sampling-moment agreement."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+    from zuko_tpu import transforms as zt
+
+    torch.set_default_dtype(torch.float64)
+    rng = np.random.RandomState(0)
+
+    def check(name, zdist, tdist, xs, atol=1e-8):
+        lj = np.asarray(zdist.log_prob(jnp.asarray(xs)))
+        lt = tdist.log_prob(torch.tensor(np.asarray(xs))).numpy()
+        assert np.abs(lj - lt).max() < atol, (
+            name, float(np.abs(lj - lt).max())
+        )
+
+    check("Geometric", zd.Geometric(0.3), td.Geometric(0.3), np.arange(10.0))
+    check("Pareto", zd.Pareto(2.0, 3.0), td.Pareto(2.0, 3.0),
+          np.linspace(2.1, 10, 9))
+    check("HalfCauchy", zd.HalfCauchy(1.5), td.HalfCauchy(1.5),
+          np.linspace(0.1, 8, 9))
+    check("InverseGamma", zd.InverseGamma(3.0, 2.0), td.InverseGamma(3.0, 2.0),
+          np.linspace(0.2, 5, 9))
+    check("Kumaraswamy", zd.Kumaraswamy(2.0, 3.0), td.Kumaraswamy(2.0, 3.0),
+          np.linspace(0.05, 0.95, 9))
+    check("ContinuousBernoulli", zd.ContinuousBernoulli(0.3),
+          td.ContinuousBernoulli(0.3), np.linspace(0.01, 0.99, 9))
+    check("ContinuousBernoulli(p=1/2)", zd.ContinuousBernoulli(0.5),
+          td.ContinuousBernoulli(0.5), np.linspace(0.01, 0.99, 9))
+    check("FisherSnedecor", zd.FisherSnedecor(5.0, 7.0),
+          td.FisherSnedecor(5.0, 7.0), np.linspace(0.2, 5, 9))
+    check("NegativeBinomial", zd.NegativeBinomial(6.0, probs=0.4),
+          td.NegativeBinomial(6.0, probs=0.4), np.arange(12.0), atol=1e-12)
+    check("Multinomial", zd.Multinomial(8, probs=jnp.asarray([0.2, 0.3, 0.5])),
+          td.Multinomial(8, probs=torch.tensor([0.2, 0.3, 0.5])),
+          np.asarray([[3.0, 2.0, 3.0], [8.0, 0.0, 0.0], [1.0, 4.0, 3.0]]))
+    check("OneHotCategorical",
+          zd.OneHotCategorical(probs=jnp.asarray([0.2, 0.3, 0.5])),
+          td.OneHotCategorical(probs=torch.tensor([0.2, 0.3, 0.5])),
+          np.eye(3))
+    check("RelaxedBernoulli", zd.RelaxedBernoulli(0.7, probs=0.3),
+          td.RelaxedBernoulli(torch.tensor(0.7), probs=torch.tensor(0.3)),
+          np.linspace(0.05, 0.95, 9))
+    check("RelaxedOneHotCategorical",
+          zd.RelaxedOneHotCategorical(jnp.asarray(0.7),
+                                      probs=jnp.asarray([0.2, 0.3, 0.5])),
+          td.RelaxedOneHotCategorical(torch.tensor(0.7),
+                                      probs=torch.tensor([0.2, 0.3, 0.5])),
+          np.asarray([[0.2, 0.3, 0.5], [0.6, 0.3, 0.1], [0.05, 0.05, 0.9]]))
+    if hasattr(td, "GeneralizedPareto"):
+        check("GeneralizedPareto", zd.GeneralizedPareto(0.5, 2.0, 0.3),
+              td.GeneralizedPareto(torch.tensor(0.5), torch.tensor(2.0),
+                                   torch.tensor(0.3)),
+              np.linspace(0.6, 8, 9))
+        check("GeneralizedPareto(xi<0)",
+              zd.GeneralizedPareto(0.0, 1.0, -0.25),
+              td.GeneralizedPareto(torch.tensor(0.0), torch.tensor(1.0),
+                                   torch.tensor(-0.25)),
+              np.linspace(0.1, 3.9, 9))
+
+    # multivariate / matrix families
+    loc = rng.randn(4)
+    W = rng.randn(4, 2)
+    dg = np.abs(rng.randn(4)) + 0.5
+    check("LowRankMultivariateNormal",
+          zd.LowRankMultivariateNormal(jnp.asarray(loc), jnp.asarray(W),
+                                       jnp.asarray(dg)),
+          td.LowRankMultivariateNormal(torch.tensor(loc), torch.tensor(W),
+                                       torch.tensor(dg)),
+          rng.randn(6, 4))
+    A = rng.randn(3, 3)
+    L = np.linalg.cholesky(A @ A.T + 3 * np.eye(3))
+    tw = td.Wishart(torch.tensor(7.0), scale_tril=torch.tensor(L))
+    xs = np.stack([
+        (lambda B: B @ B.T + 3 * np.eye(3))(rng.randn(3, 3))
+        for _ in range(5)
+    ])
+    check("Wishart", zd.Wishart(7.0, scale_tril=jnp.asarray(L)), tw, xs)
+    tl = td.LKJCholesky(4, 1.5)
+    check("LKJCholesky", zd.LKJCholesky(4, 1.5), tl,
+          tl.sample((5,)).numpy())
+
+    # composed surfaces
+    check("TransformedDistribution",
+          zd.TransformedDistribution(
+              zd.Normal(0.3, 1.2),
+              [zt.ExpTransform(), zt.AffineTransform(1.0, 2.0)]),
+          td.TransformedDistribution(
+              td.Normal(0.3, 1.2),
+              [td.transforms.ExpTransform(),
+               td.transforms.AffineTransform(1.0, 2.0)]),
+          np.linspace(1.5, 9.0, 9))
+    tln = td.LogisticNormal(torch.tensor([0.1, -0.2]),
+                            torch.tensor([0.8, 1.1]))
+    zln = zd.LogisticNormal(jnp.asarray([0.1, -0.2]), jnp.asarray([0.8, 1.1]))
+    check("LogisticNormal", zln, tln, tln.sample((6,)).numpy())
+    s = np.asarray(zln.sample(key, (4096,)))
+    assert np.allclose(s.sum(-1), 1.0, atol=1e-6)
+    check("MixtureSameFamily",
+          zd.MixtureSameFamily(
+              zd.Categorical(jnp.asarray([0.3, -0.4, 0.1])),
+              zd.Normal(jnp.asarray([-1.0, 0.0, 1.0]),
+                        jnp.asarray([0.5, 1.0, 2.0]))),
+          td.MixtureSameFamily(
+              td.Categorical(logits=torch.tensor([0.3, -0.4, 0.1])),
+              td.Normal(torch.tensor([-1.0, 0.0, 1.0]),
+                        torch.tensor([0.5, 1.0, 2.0]))),
+          np.linspace(-3, 3, 9))
+
+    # sampling moments agree with torch (each sampler is nontrivial)
+    n = 1 << 16
+    pairs = [
+        ("Geometric", zd.Geometric(0.3), td.Geometric(0.3), 0.1),
+        ("Pareto", zd.Pareto(2.0, 4.0), td.Pareto(2.0, 4.0), 0.05),
+        ("InverseGamma", zd.InverseGamma(4.0, 2.0), td.InverseGamma(4.0, 2.0),
+         0.02),
+        ("Kumaraswamy", zd.Kumaraswamy(2.0, 3.0), td.Kumaraswamy(2.0, 3.0),
+         0.01),
+        ("ContinuousBernoulli", zd.ContinuousBernoulli(0.3),
+         td.ContinuousBernoulli(0.3), 0.01),
+        ("FisherSnedecor", zd.FisherSnedecor(5.0, 9.0),
+         td.FisherSnedecor(5.0, 9.0), 0.1),
+        ("NegativeBinomial", zd.NegativeBinomial(6.0, probs=0.4),
+         td.NegativeBinomial(6.0, probs=0.4), 0.1),
+        ("RelaxedBernoulli", zd.RelaxedBernoulli(0.7, probs=0.3),
+         td.RelaxedBernoulli(torch.tensor(0.7), probs=torch.tensor(0.3)),
+         0.01),
+        ("HalfCauchy-median", zd.HalfCauchy(1.5), td.HalfCauchy(1.5), 0.05),
+    ]
+    for name, zdist, tdist, tol in pairs:
+        s = np.asarray(zdist.sample(key, (n,)), np.float64)
+        st = tdist.sample((n,)).numpy()
+        if "median" in name:
+            assert abs(np.median(s) - np.median(st)) < tol, name
+        else:
+            assert abs(s.mean() - st.mean()) < tol * max(1, abs(st.mean())), (
+                name, float(s.mean()), float(st.mean())
+            )
+
+    # reparameterized gradients flow where torch's do
+    g = jax.grad(
+        lambda a: jnp.mean(zd.Kumaraswamy(a, 3.0).sample(key, (256,)))
+    )(2.0)
+    assert jnp.isfinite(g) and jnp.abs(g) > 1e-4
+    g = jax.grad(
+        lambda p: jnp.mean(
+            zd.OneHotCategoricalStraightThrough(
+                probs=jnp.asarray([p, 1 - p])
+            ).rsample(key, (256,))[..., 0]
+        )
+    )(0.3)
+    assert jnp.isfinite(g) and jnp.abs(g) > 0.5  # straight-through: dE/dp = 1
+
+    # the distributions namespace carries the transforms (torch wildcard
+    # re-export parity, zuko/distributions.py:23)
+    assert zd.AffineTransform is zt.AffineTransform
+    assert zd.ComposeTransform is zt.ComposedTransform

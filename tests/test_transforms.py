@@ -332,3 +332,84 @@ def test_torch_namespace_transform_breadth(key):
     xi, li = it.inverse_and_ladj(y4)
     assert jnp.allclose(xi, x4, atol=1e-12)
     assert jnp.allclose(li, -l4, atol=1e-12)
+
+
+def test_torch_namespace_transforms_parity(key):
+    r"""The round-4 transform completion (AbsTransform, SoftmaxTransform,
+    StackTransform, LowerCholesky/PositiveDefinite/CorrCholesky,
+    CumulativeDistributionTransform): forward/inverse/ladj pinned against
+    torch on CPU f64."""
+    import torch
+    import torch.distributions.transforms as tt
+
+    import zuko_tpu.transforms as zt
+    from zuko_tpu.distributions import Normal
+
+    torch.set_default_dtype(torch.float64)
+    rng = np.random.RandomState(0)
+
+    # CorrCholesky: D=5 from a 10-vector
+    x = rng.randn(5, 10)
+    tj, tto = zt.CorrCholeskyTransform(), tt.CorrCholeskyTransform()
+    yj = np.asarray(tj.forward(jnp.asarray(x)))
+    yt = tto(torch.tensor(x)).numpy()
+    assert np.abs(yj - yt).max() < 1e-12
+    assert np.abs(np.asarray(tj.inverse(jnp.asarray(yj))) - x).max() < 1e-9
+    lj = np.asarray(tj.log_abs_det_jacobian(jnp.asarray(x), jnp.asarray(yj)))
+    lt = tto.log_abs_det_jacobian(torch.tensor(x), torch.tensor(yt)).numpy()
+    assert np.abs(lj - lt).max() < 1e-12
+    # rows of the factor have unit norm; diagonal positive
+    assert np.allclose((yj**2).sum(-1), 1.0, atol=1e-12)
+    assert (np.diagonal(yj, axis1=-2, axis2=-1) > 0).all()
+    assert tj.forward_shape((10,)) == (5, 5)
+    assert tj.inverse_shape((5, 5)) == (10,)
+
+    # LowerCholesky / PositiveDefinite
+    x2 = rng.randn(3, 4, 4)
+    for zc, tc in [
+        (zt.LowerCholeskyTransform(), tt.LowerCholeskyTransform()),
+        (zt.PositiveDefiniteTransform(), tt.PositiveDefiniteTransform()),
+    ]:
+        yj = np.asarray(zc.forward(jnp.asarray(x2)))
+        yt = tc(torch.tensor(x2)).numpy()
+        assert np.abs(yj - yt).max() < 1e-12, type(zc).__name__
+        rt = np.asarray(zc.forward(zc.inverse(jnp.asarray(yj))))
+        assert np.abs(rt - yj).max() < 1e-9, type(zc).__name__
+
+    # Stack: per-index transforms, ladj re-stacked (torch semantics)
+    x3 = rng.randn(7, 2)
+    sj = zt.StackTransform([zt.ExpTransform(), zt.IdentityTransform()], dim=-1)
+    st = tt.StackTransform([tt.ExpTransform(), tt.identity_transform], dim=-1)
+    yj = np.asarray(sj.forward(jnp.asarray(x3)))
+    yt = st(torch.tensor(x3)).numpy()
+    assert np.abs(yj - yt).max() < 1e-12
+    lj = np.asarray(sj.log_abs_det_jacobian(jnp.asarray(x3), jnp.asarray(yj)))
+    lt = st.log_abs_det_jacobian(torch.tensor(x3), torch.tensor(yt)).numpy()
+    assert np.abs(lj - lt).max() < 1e-12
+    assert np.abs(np.asarray(sj.inverse(jnp.asarray(yj))) - x3).max() < 1e-9
+
+    # CumulativeDistribution: cdf forward, icdf inverse, log_prob ladj
+    cj = zt.CumulativeDistributionTransform(Normal(0.5, 2.0))
+    ct = tt.CumulativeDistributionTransform(
+        torch.distributions.Normal(0.5, 2.0)
+    )
+    x4 = rng.randn(9)
+    yj = np.asarray(cj.forward(jnp.asarray(x4)))
+    assert np.abs(yj - ct(torch.tensor(x4)).numpy()).max() < 1e-8
+    assert np.abs(np.asarray(cj.inverse(jnp.asarray(yj))) - x4).max() < 1e-6
+    lj = np.asarray(cj.log_abs_det_jacobian(jnp.asarray(x4), jnp.asarray(yj)))
+    lt = ct.log_abs_det_jacobian(
+        torch.tensor(x4), torch.tensor(yj)
+    ).numpy()
+    assert np.abs(lj - lt).max() < 1e-8
+
+    # Abs / Softmax: non-bijective utilities
+    aj = zt.AbsTransform()
+    assert not aj.bijective
+    assert np.allclose(np.asarray(aj.forward(jnp.asarray([-2.0, 3.0]))),
+                       [2.0, 3.0])
+    smj = zt.SoftmaxTransform()
+    y = np.asarray(smj.forward(jnp.asarray(rng.randn(6, 4))))
+    assert np.allclose(y.sum(-1), 1.0, atol=1e-12)
+    x5 = np.asarray(smj.forward(smj.inverse(jnp.asarray(y))))
+    assert np.abs(x5 - y).max() < 1e-12

@@ -58,6 +58,27 @@ __all__ = [
     "Binomial",
     "Dirichlet",
     "VonMises",
+    "ExponentialFamily",
+    "Geometric",
+    "Pareto",
+    "HalfCauchy",
+    "InverseGamma",
+    "Kumaraswamy",
+    "ContinuousBernoulli",
+    "FisherSnedecor",
+    "GeneralizedPareto",
+    "NegativeBinomial",
+    "Multinomial",
+    "OneHotCategorical",
+    "OneHotCategoricalStraightThrough",
+    "RelaxedBernoulli",
+    "RelaxedOneHotCategorical",
+    "LowRankMultivariateNormal",
+    "Wishart",
+    "LKJCholesky",
+    "TransformedDistribution",
+    "LogisticNormal",
+    "MixtureSameFamily",
     "NormalizingFlow",
     "Joint",
     "Mixture",
@@ -1644,3 +1665,994 @@ class Maximum(TopK):
 
     def expand(self, batch_shape: Shape):
         return Maximum(self.base.expand(batch_shape), self.n)
+
+
+# ------------------------------------------------- torch-namespace breadth
+# The reference re-exports ALL of ``torch.distributions``
+# (zuko/distributions.py:23); the classes below complete that surface so a
+# port never hits an ImportError. Each is parity-tested against torch on CPU
+# (tests/test_distributions.py::test_torch_namespace_parity).
+
+
+class ExponentialFamily(Distribution):
+    r"""Abstract exponential-family marker (torch namespace parity). The
+    torch class provides Bregman-divergence entropy machinery; here it is a
+    plain :class:`Distribution` marker for ported ``isinstance`` checks."""
+
+
+class Geometric(Distribution):
+    r"""Geometric distribution over failures before the first success
+    (torch namespace parity: support :math:`\{0, 1, 2, \dots\}`)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, probs=None, logits=None):
+        if probs is None:
+            probs = jax.nn.sigmoid(jnp.asarray(logits))
+        self.probs = jnp.asarray(probs)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.probs.shape
+
+    def log_prob(self, x):
+        p = self.probs
+        return x * jnp.log1p(-p) + jnp.log(p)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        tiny = jnp.finfo(self.probs.dtype).tiny
+        u = jax.random.uniform(key, shape, self.probs.dtype, tiny, 1.0)
+        return jnp.floor(jnp.log(u) / jnp.log1p(-self.probs))
+
+    def cdf(self, x):
+        return -jnp.expm1(jnp.log1p(-self.probs) * (jnp.floor(x) + 1))
+
+    def expand(self, batch_shape: Shape):
+        return Geometric(jnp.broadcast_to(self.probs, batch_shape))
+
+    @property
+    def mean(self):
+        return (1 - self.probs) / self.probs
+
+
+class Pareto(Distribution):
+    r"""Pareto Type I distribution with ``scale`` (minimum) and ``alpha``
+    (torch namespace parity). Reparameterized through the closed-form
+    quantile function."""
+
+    def __init__(self, scale, alpha):
+        self.scale = jnp.asarray(scale)
+        self.alpha = jnp.asarray(alpha)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.scale.shape, self.alpha.shape)
+
+    def log_prob(self, x):
+        lp = (
+            jnp.log(self.alpha)
+            + self.alpha * jnp.log(self.scale)
+            - (self.alpha + 1) * jnp.log(x)
+        )
+        return jnp.where(x >= self.scale, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        tiny = jnp.finfo(self.scale.dtype).tiny
+        u = jax.random.uniform(key, shape, self.scale.dtype, tiny, 1.0)
+        return self.scale * u ** (-1 / self.alpha)
+
+    def cdf(self, x):
+        z = jnp.maximum(x, self.scale)
+        return -jnp.expm1(self.alpha * (jnp.log(self.scale) - jnp.log(z)))
+
+    def icdf(self, q):
+        return self.scale * (1 - q) ** (-1 / self.alpha)
+
+    def expand(self, batch_shape: Shape):
+        return Pareto(
+            jnp.broadcast_to(self.scale, batch_shape),
+            jnp.broadcast_to(self.alpha, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.where(
+            self.alpha > 1, self.alpha * self.scale / (self.alpha - 1), jnp.inf
+        )
+
+
+class HalfCauchy(Distribution):
+    r"""Half-Cauchy distribution on :math:`[0, \infty)` (torch namespace
+    parity). Reparameterized through the quantile function."""
+
+    def __init__(self, scale=1.0):
+        self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.scale.shape
+
+    def log_prob(self, x):
+        lp = (
+            math.log(2 / math.pi)
+            - jnp.log(self.scale)
+            - jnp.log1p((x / self.scale) ** 2)
+        )
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, self.scale.dtype)
+        return self.icdf(u)
+
+    def cdf(self, x):
+        return (2 / math.pi) * jnp.arctan(jnp.maximum(x, 0.0) / self.scale)
+
+    def icdf(self, q):
+        return self.scale * jnp.tan((math.pi / 2) * q)
+
+    def expand(self, batch_shape: Shape):
+        return HalfCauchy(jnp.broadcast_to(self.scale, batch_shape))
+
+
+class InverseGamma(Distribution):
+    r"""Inverse-gamma distribution (torch namespace parity:
+    ``X = 1 / Gamma(concentration, rate)``). Reparameterized through JAX's
+    implicitly-differentiated gamma sampler."""
+
+    def __init__(self, concentration, rate=1.0):
+        self.concentration = jnp.asarray(concentration)
+        self.rate = jnp.asarray(rate)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.concentration.shape, self.rate.shape)
+
+    def log_prob(self, x):
+        a, r = self.concentration, self.rate
+        lp = a * jnp.log(r) - jsp.gammaln(a) - (a + 1) * jnp.log(x) - r / x
+        return jnp.where(x > 0, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
+        return self.rate / g
+
+    def cdf(self, x):
+        z = self.rate / jnp.maximum(x, jnp.finfo(self.rate.dtype).tiny)
+        return jsp.gammaincc(self.concentration, z)
+
+    def expand(self, batch_shape: Shape):
+        return InverseGamma(
+            jnp.broadcast_to(self.concentration, batch_shape),
+            jnp.broadcast_to(self.rate, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.where(
+            self.concentration > 1,
+            self.rate / (self.concentration - 1),
+            jnp.nan,
+        )
+
+
+class Kumaraswamy(Distribution):
+    r"""Kumaraswamy distribution on :math:`(0, 1)` (torch namespace parity).
+    Reparameterized through the closed-form quantile function."""
+
+    def __init__(self, concentration1, concentration0):
+        self.concentration1 = jnp.asarray(concentration1)
+        self.concentration0 = jnp.asarray(concentration0)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.concentration1.shape, self.concentration0.shape
+        )
+
+    def log_prob(self, x):
+        a, b = self.concentration1, self.concentration0
+        return (
+            jnp.log(a)
+            + jnp.log(b)
+            + (a - 1) * jnp.log(x)
+            + (b - 1) * jnp.log1p(-(x**a))
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        tiny = jnp.finfo(self.concentration1.dtype).tiny
+        u = jax.random.uniform(key, shape, self.concentration1.dtype, tiny, 1.0)
+        # (1 - u^{1/b})^{1/a} with u ~ U(0, 1]
+        return (
+            -jnp.expm1(jnp.log(u) / self.concentration0)
+        ) ** (1 / self.concentration1)
+
+    def cdf(self, x):
+        return -jnp.expm1(
+            self.concentration0 * jnp.log1p(-(x**self.concentration1))
+        )
+
+    def icdf(self, q):
+        return (
+            -jnp.expm1(jnp.log1p(-q) / self.concentration0)
+        ) ** (1 / self.concentration1)
+
+    def expand(self, batch_shape: Shape):
+        return Kumaraswamy(
+            jnp.broadcast_to(self.concentration1, batch_shape),
+            jnp.broadcast_to(self.concentration0, batch_shape),
+        )
+
+
+class ContinuousBernoulli(Distribution):
+    r"""Continuous Bernoulli on :math:`[0, 1]` (torch namespace parity;
+    Loaiza-Ganem & Cunningham, 2019). Reparameterized through the
+    closed-form quantile function."""
+
+    def __init__(self, probs=None, logits=None):
+        if probs is None:
+            probs = jax.nn.sigmoid(jnp.asarray(logits))
+        self.probs = jnp.asarray(probs)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.probs.shape
+
+    @property
+    def logits(self):
+        return jnp.log(self.probs) - jnp.log1p(-self.probs)
+
+    def _log_norm(self):
+        p = self.probs
+        # C(p) = 2 atanh(1-2p) / (1-2p) for p != 1/2, C(1/2) = 2
+        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        ln = jnp.log(2 * jnp.abs(jnp.arctanh(1 - 2 * safe))) - jnp.log(
+            jnp.abs(1 - 2 * safe)
+        )
+        # quadratic Taylor expansion around p = 1/2: log 2 + 4/3 eps^2
+        eps = p - 0.5
+        taylor = math.log(2.0) + (4.0 / 3.0) * eps**2
+        return jnp.where(jnp.abs(p - 0.5) < 1e-6, taylor, ln)
+
+    def log_prob(self, x):
+        p = self.probs
+        return (
+            x * jnp.log(p) + (1 - x) * jnp.log1p(-p) + self._log_norm()
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, self.probs.dtype)
+        return self.icdf(u)
+
+    def cdf(self, x):
+        p = self.probs
+        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        num = safe**x * (1 - safe) ** (1 - x) + safe - 1
+        out = num / (2 * safe - 1)
+        return jnp.clip(jnp.where(jnp.abs(p - 0.5) < 1e-6, x, out), 0.0, 1.0)
+
+    def icdf(self, q):
+        p = self.probs
+        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        out = (
+            jnp.log1p(q * (2 * safe - 1) / (1 - safe))
+            / (jnp.log(safe) - jnp.log1p(-safe))
+        )
+        return jnp.where(jnp.abs(p - 0.5) < 1e-6, q, out)
+
+    def expand(self, batch_shape: Shape):
+        return ContinuousBernoulli(jnp.broadcast_to(self.probs, batch_shape))
+
+    @property
+    def mean(self):
+        p = self.probs
+        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        out = safe / (2 * safe - 1) + 1 / (2 * jnp.arctanh(1 - 2 * safe))
+        return jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.5, out)
+
+
+class FisherSnedecor(Distribution):
+    r"""Fisher–Snedecor (F) distribution (torch namespace parity).
+    Reparameterized through two gamma draws."""
+
+    def __init__(self, df1, df2):
+        self.df1 = jnp.asarray(df1)
+        self.df2 = jnp.asarray(df2)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.df1.shape, self.df2.shape)
+
+    def log_prob(self, x):
+        d1, d2 = self.df1, self.df2
+        lp = (
+            0.5 * d1 * jnp.log(d1 / d2)
+            + (0.5 * d1 - 1) * jnp.log(x)
+            - 0.5 * (d1 + d2) * jnp.log1p(d1 * x / d2)
+            - (jsp.gammaln(0.5 * d1) + jsp.gammaln(0.5 * d2)
+               - jsp.gammaln(0.5 * (d1 + d2)))
+        )
+        return jnp.where(x > 0, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        g1 = jax.random.gamma(k1, jnp.broadcast_to(0.5 * self.df1, shape))
+        g2 = jax.random.gamma(k2, jnp.broadcast_to(0.5 * self.df2, shape))
+        return (g1 / self.df1) / jnp.maximum(
+            g2 / self.df2, jnp.finfo(g2.dtype).tiny
+        )
+
+    def cdf(self, x):
+        d1, d2 = self.df1, self.df2
+        z = jnp.maximum(x, 0.0)
+        return jsp.betainc(0.5 * d1, 0.5 * d2, d1 * z / (d1 * z + d2))
+
+    def expand(self, batch_shape: Shape):
+        return FisherSnedecor(
+            jnp.broadcast_to(self.df1, batch_shape),
+            jnp.broadcast_to(self.df2, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return jnp.where(self.df2 > 2, self.df2 / (self.df2 - 2), jnp.nan)
+
+
+class GeneralizedPareto(Distribution):
+    r"""Generalized Pareto distribution (torch namespace parity): location,
+    scale, and shape ``concentration`` :math:`\xi` (any sign).
+    Reparameterized through the closed-form quantile function."""
+
+    def __init__(self, loc=0.0, scale=1.0, concentration=0.0):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+        self.concentration = jnp.asarray(concentration)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.loc.shape, self.scale.shape, self.concentration.shape
+        )
+
+    def _log1pxz(self, z):
+        # log(1 + xi z) / xi, with the xi -> 0 limit z
+        xi = self.concentration
+        safe = jnp.where(jnp.abs(xi) < 1e-6, 1.0, xi)
+        out = jnp.log1p(safe * z) / safe
+        return jnp.where(jnp.abs(xi) < 1e-6, z - 0.5 * xi * z * z, out)
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        lp = -jnp.log(self.scale) - (1 + self.concentration) * self._log1pxz(z)
+        inside = (z >= 0) & (
+            (self.concentration >= 0) | (z <= -1 / jnp.where(
+                jnp.abs(self.concentration) < 1e-12, -jnp.inf,
+                self.concentration))
+        )
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(
+            key, shape, self.scale.dtype, jnp.finfo(self.scale.dtype).tiny, 1.0
+        )
+        return self.icdf(1.0 - u)
+
+    def cdf(self, x):
+        z = jnp.maximum((x - self.loc) / self.scale, 0.0)
+        return -jnp.expm1(-self._log1pxz(z))
+
+    def icdf(self, q):
+        xi = self.concentration
+        safe = jnp.where(jnp.abs(xi) < 1e-6, 1.0, xi)
+        t = -jnp.log1p(-q)
+        z = jnp.expm1(safe * t) / safe
+        z = jnp.where(jnp.abs(xi) < 1e-6, t * (1 + 0.5 * xi * t), z)
+        return self.loc + self.scale * z
+
+    def expand(self, batch_shape: Shape):
+        return GeneralizedPareto(
+            jnp.broadcast_to(self.loc, batch_shape),
+            jnp.broadcast_to(self.scale, batch_shape),
+            jnp.broadcast_to(self.concentration, batch_shape),
+        )
+
+
+class NegativeBinomial(Distribution):
+    r"""Negative binomial: successes before ``total_count`` failures, with
+    success probability ``probs`` (torch namespace parity). Discrete;
+    sampled through the gamma–Poisson mixture."""
+
+    has_rsample: bool = False
+
+    def __init__(self, total_count, probs=None, logits=None):
+        if probs is None:
+            probs = jax.nn.sigmoid(jnp.asarray(logits))
+        self.total_count = jnp.asarray(total_count, dtype=float)
+        self.probs = jnp.asarray(probs)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.total_count.shape, self.probs.shape)
+
+    @property
+    def logits(self):
+        return jnp.log(self.probs) - jnp.log1p(-self.probs)
+
+    def log_prob(self, x):
+        n, p = self.total_count, self.probs
+        return (
+            n * jnp.log1p(-p)
+            + x * jnp.log(p)
+            + jsp.gammaln(n + x)
+            - jsp.gammaln(x + 1)
+            - jsp.gammaln(n)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        g = jax.random.gamma(k1, jnp.broadcast_to(self.total_count, shape))
+        rate = g * self.probs / (1 - self.probs)
+        return jax.random.poisson(k2, rate).astype(self.probs.dtype)
+
+    def expand(self, batch_shape: Shape):
+        return NegativeBinomial(
+            jnp.broadcast_to(self.total_count, batch_shape),
+            jnp.broadcast_to(self.probs, batch_shape),
+        )
+
+    @property
+    def mean(self):
+        return self.total_count * self.probs / (1 - self.probs)
+
+
+class Multinomial(Distribution):
+    r"""Multinomial counts over ``total_count`` trials (torch namespace
+    parity). ``total_count`` must be a Python int (static trial count for
+    XLA). Discrete."""
+
+    has_rsample: bool = False
+
+    def __init__(self, total_count=1, probs=None, logits=None):
+        if logits is None:
+            logits = jnp.log(jnp.asarray(probs))
+        assert isinstance(total_count, int), (
+            "Multinomial requires a Python int total_count (static shape)"
+        )
+        self.total_count = total_count
+        self.logits_ = jnp.asarray(logits)
+
+    @property
+    def logits(self):
+        return jax.nn.log_softmax(self.logits_, axis=-1)
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits_, axis=-1)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.logits_.shape[:-1]
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.logits_.shape[-1:]
+
+    def log_prob(self, x):
+        logp = self.logits
+        return (
+            jsp.gammaln(self.total_count + 1.0)
+            - jnp.sum(jsp.gammaln(x + 1.0), axis=-1)
+            + jnp.sum(x * logp, axis=-1)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        K = self.logits_.shape[-1]
+        draws = jax.random.categorical(
+            key, self.logits_, axis=-1, shape=(self.total_count,) + shape
+        )
+        counts = jax.nn.one_hot(draws, K, dtype=self.logits_.dtype)
+        return jnp.sum(counts, axis=0)
+
+    def expand(self, batch_shape: Shape):
+        return Multinomial(
+            self.total_count,
+            logits=jnp.broadcast_to(
+                self.logits_, tuple(batch_shape) + self.event_shape
+            ),
+        )
+
+    @property
+    def mean(self):
+        return self.total_count * self.probs
+
+
+class OneHotCategorical(Distribution):
+    r"""One-hot-coded categorical (torch namespace parity)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, probs=None, logits=None):
+        if logits is None:
+            logits = jnp.log(jnp.asarray(probs))
+        self.logits_ = jnp.asarray(logits)
+
+    @property
+    def logits(self):
+        return jax.nn.log_softmax(self.logits_, axis=-1)
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits_, axis=-1)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.logits_.shape[:-1]
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.logits_.shape[-1:]
+
+    def log_prob(self, x):
+        return jnp.sum(x * self.logits, axis=-1)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        idx = jax.random.categorical(key, self.logits_, axis=-1, shape=shape)
+        return jax.nn.one_hot(
+            idx, self.logits_.shape[-1], dtype=self.logits_.dtype
+        )
+
+    def expand(self, batch_shape: Shape):
+        return type(self)(
+            logits=jnp.broadcast_to(
+                self.logits_, tuple(batch_shape) + self.event_shape
+            )
+        )
+
+    @property
+    def mean(self):
+        return self.probs
+
+
+class OneHotCategoricalStraightThrough(OneHotCategorical):
+    r"""One-hot categorical with straight-through reparameterized gradients
+    (torch namespace parity): the sample is the hard one-hot, the gradient
+    flows to ``probs``."""
+
+    has_rsample: bool = True
+
+    def rsample(self, key, sample_shape: Shape = ()):
+        hard = self.sample(key, sample_shape)
+        p = self.probs
+        return p + jax.lax.stop_gradient(hard - p)
+
+
+class RelaxedBernoulli(Distribution):
+    r"""Relaxed (Concrete / Gumbel-sigmoid) Bernoulli on :math:`(0, 1)` at
+    ``temperature`` (torch namespace parity). Reparameterized."""
+
+    def __init__(self, temperature, probs=None, logits=None):
+        if logits is None:
+            p = jnp.asarray(probs)
+            logits = jnp.log(p) - jnp.log1p(-p)
+        self.temperature = jnp.asarray(temperature)
+        self.logits = jnp.asarray(logits)
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(self.temperature.shape, self.logits.shape)
+
+    def log_prob(self, x):
+        t = self.temperature
+        z = jnp.log(x) - jnp.log1p(-x)  # logit(x)
+        d = self.logits - t * z
+        # logit-space density + |d logit / dx| = 1 / (x (1 - x))
+        return (
+            jnp.log(t) + d - 2 * jax.nn.softplus(d)
+            - jnp.log(x) - jnp.log1p(-x)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        tiny = jnp.finfo(self.logits.dtype).tiny
+        u = jax.random.uniform(key, shape, self.logits.dtype, tiny, 1.0)
+        noise = jnp.log(u) - jnp.log1p(-u)  # standard logistic
+        return jax.nn.sigmoid((self.logits + noise) / self.temperature)
+
+    def expand(self, batch_shape: Shape):
+        return RelaxedBernoulli(
+            jnp.broadcast_to(self.temperature, batch_shape),
+            logits=jnp.broadcast_to(self.logits, batch_shape),
+        )
+
+
+class RelaxedOneHotCategorical(Distribution):
+    r"""Relaxed (Concrete / Gumbel-softmax) one-hot categorical on the
+    simplex at ``temperature`` (torch namespace parity). Reparameterized."""
+
+    def __init__(self, temperature, probs=None, logits=None):
+        if logits is None:
+            logits = jnp.log(jnp.asarray(probs))
+        self.temperature = jnp.asarray(temperature)
+        self.logits_ = jnp.asarray(logits)
+
+    @property
+    def logits(self):
+        return jax.nn.log_softmax(self.logits_, axis=-1)
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits_, axis=-1)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.logits_.shape[:-1]
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.logits_.shape[-1:]
+
+    def log_prob(self, x):
+        K = self.logits_.shape[-1]
+        t = self.temperature
+        logx = jnp.log(x)
+        score = self.logits - t[..., None] * logx
+        score = jnp.sum(
+            score - jsp.logsumexp(score, axis=-1, keepdims=True), axis=-1
+        )
+        # + lgamma(K) + (K-1) log t from the Concrete density, - sum log x
+        # from the exp map off the ExpRelaxed base (torch's construction)
+        return (
+            score
+            + jsp.gammaln(jnp.asarray(float(K)))
+            + (K - 1) * jnp.log(t)
+            - jnp.sum(logx, axis=-1)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        g = jax.random.gumbel(key, shape, self.logits_.dtype)
+        return jax.nn.softmax(
+            (self.logits_ + g) / self.temperature[..., None], axis=-1
+        )
+
+    def expand(self, batch_shape: Shape):
+        return RelaxedOneHotCategorical(
+            jnp.broadcast_to(self.temperature, batch_shape),
+            logits=jnp.broadcast_to(
+                self.logits_, tuple(batch_shape) + self.event_shape
+            ),
+        )
+
+
+class LowRankMultivariateNormal(Distribution):
+    r"""Multivariate normal with covariance
+    :math:`W W^\top + \mathrm{diag}(d)` (torch namespace parity). The
+    density uses the Woodbury identity and the matrix determinant lemma —
+    :math:`O(D k^2)` instead of :math:`O(D^3)`; on TPU the inner products
+    ride the MXU."""
+
+    def __init__(self, loc, cov_factor, cov_diag):
+        self.loc = jnp.asarray(loc)
+        self.cov_factor = jnp.asarray(cov_factor)  # (..., D, k)
+        self.cov_diag = jnp.asarray(cov_diag)  # (..., D)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.loc.shape[:-1],
+            self.cov_factor.shape[:-2],
+            self.cov_diag.shape[:-1],
+        )
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.loc.shape[-1:]
+
+    def _capacitance_tril(self):
+        W, d = self.cov_factor, self.cov_diag
+        Wt_Dinv = jnp.swapaxes(W, -1, -2) / d[..., None, :]
+        K = Wt_Dinv @ W + jnp.eye(W.shape[-1], dtype=W.dtype)
+        return jnp.linalg.cholesky(K)
+
+    def log_prob(self, x):
+        W, d = self.cov_factor, self.cov_diag
+        diff = x - self.loc
+        L = self._capacitance_tril()
+        # Mahalanobis via Woodbury: diff^T D^-1 diff - ||L^-1 W^T D^-1 diff||^2
+        Dinv_diff = diff / d
+        Wt_Dinv_diff = jnp.einsum("...dk,...d->...k", W, Dinv_diff)
+        k = W.shape[-1]
+        Lb = jnp.broadcast_to(L, Wt_Dinv_diff.shape[:-1] + (k, k))
+        y = jax.scipy.linalg.solve_triangular(
+            Lb, Wt_Dinv_diff[..., None], lower=True
+        )[..., 0]
+        maha = jnp.sum(diff * Dinv_diff, axis=-1) - jnp.sum(y * y, axis=-1)
+        logdet = (
+            jnp.sum(jnp.log(d), axis=-1)
+            + 2 * jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+            )
+        )
+        D = self.loc.shape[-1]
+        return -0.5 * (D * math.log(2 * math.pi) + logdet + maha)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        D, k = self.cov_factor.shape[-2:]
+        eps_k = jax.random.normal(k1, shape + (k,), self.loc.dtype)
+        eps_d = jax.random.normal(k2, shape + (D,), self.loc.dtype)
+        return (
+            self.loc
+            + jnp.einsum("...dk,...k->...d", self.cov_factor, eps_k)
+            + jnp.sqrt(self.cov_diag) * eps_d
+        )
+
+    def expand(self, batch_shape: Shape):
+        D, k = self.cov_factor.shape[-2:]
+        return LowRankMultivariateNormal(
+            jnp.broadcast_to(self.loc, tuple(batch_shape) + (D,)),
+            jnp.broadcast_to(self.cov_factor, tuple(batch_shape) + (D, k)),
+            jnp.broadcast_to(self.cov_diag, tuple(batch_shape) + (D,)),
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(
+            self.loc, self.batch_shape + self.event_shape
+        )
+
+
+class Wishart(Distribution):
+    r"""Wishart distribution over positive-definite matrices (torch
+    namespace parity). Sampling uses the Bartlett decomposition
+    (reparameterized through gamma/normal draws); requires
+    ``df > D - 1``."""
+
+    def __init__(self, df, covariance_matrix=None, scale_tril=None):
+        if scale_tril is None:
+            scale_tril = jnp.linalg.cholesky(jnp.asarray(covariance_matrix))
+        self.df = jnp.asarray(df, dtype=float)
+        self.scale_tril = jnp.asarray(scale_tril)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.broadcast_shapes(
+            self.df.shape, self.scale_tril.shape[:-2]
+        )
+
+    @property
+    def event_shape(self) -> Shape:
+        return self.scale_tril.shape[-2:]
+
+    def log_prob(self, x):
+        D = self.scale_tril.shape[-1]
+        df = self.df
+        L = self.scale_tril
+        # tr(Sigma^-1 X) = ||L^-1 Lx||_F^2 with X = Lx Lx^T
+        Lx = jnp.linalg.cholesky(x)
+        sol = jax.scipy.linalg.solve_triangular(
+            jnp.broadcast_to(L, x.shape), Lx, lower=True
+        )
+        trace = jnp.sum(sol * sol, axis=(-2, -1))
+        logdet_x = 2 * jnp.sum(
+            jnp.log(jnp.diagonal(Lx, axis1=-2, axis2=-1)), axis=-1
+        )
+        logdet_s = 2 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+        )
+        return (
+            0.5 * (df - D - 1) * logdet_x
+            - 0.5 * trace
+            - 0.5 * df * D * math.log(2.0)
+            - 0.5 * df * logdet_s
+            - jsp.multigammaln(0.5 * df, D)
+        )
+
+    def sample(self, key, sample_shape: Shape = ()):
+        D = self.scale_tril.shape[-1]
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        # Bartlett: A lower-triangular, A_ii = sqrt(chi2(df - i)),
+        # A_ij ~ N(0,1) below the diagonal
+        i = jnp.arange(D, dtype=self.df.dtype)
+        chi2 = 2 * jax.random.gamma(
+            k1, jnp.broadcast_to(0.5 * (self.df[..., None] - i),
+                                 shape + (D,))
+        )
+        normals = jax.random.normal(k2, shape + (D, D), self.scale_tril.dtype)
+        A = jnp.tril(normals, -1) + jnp.zeros(
+            shape + (D, D), self.scale_tril.dtype
+        ).at[..., jnp.arange(D), jnp.arange(D)].set(jnp.sqrt(chi2))
+        LA = self.scale_tril @ A
+        return LA @ jnp.swapaxes(LA, -1, -2)
+
+    def expand(self, batch_shape: Shape):
+        D = self.scale_tril.shape[-1]
+        return Wishart(
+            jnp.broadcast_to(self.df, batch_shape),
+            scale_tril=jnp.broadcast_to(
+                self.scale_tril, tuple(batch_shape) + (D, D)
+            ),
+        )
+
+    @property
+    def mean(self):
+        S = self.scale_tril @ jnp.swapaxes(self.scale_tril, -1, -2)
+        return self.df[..., None, None] * S
+
+
+class LKJCholesky(Distribution):
+    r"""LKJ distribution over Cholesky factors of correlation matrices
+    (torch namespace parity; Lewandowski–Kurowicka–Joe 2009, onion method
+    sampling). ``concentration == 1`` is uniform over correlation
+    matrices."""
+
+    has_rsample: bool = False
+
+    def __init__(self, dim: int, concentration=1.0):
+        assert dim >= 2, "dim must be >= 2"
+        self.dim = int(dim)
+        self.concentration = jnp.asarray(concentration, dtype=float)
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self.concentration.shape
+
+    @property
+    def event_shape(self) -> Shape:
+        return (self.dim, self.dim)
+
+    def log_prob(self, x):
+        D = self.dim
+        diag = jnp.diagonal(x, axis1=-2, axis2=-1)[..., 1:]
+        order = jnp.arange(2, D + 1, dtype=x.dtype)
+        order = 2 * (self.concentration[..., None] - 1) + D - order
+        unnorm = jnp.sum(order * jnp.log(diag), axis=-1)
+        dm1 = D - 1
+        alpha = self.concentration + 0.5 * dm1
+        denom = jsp.gammaln(alpha) * dm1
+        numer = jsp.multigammaln(alpha - 0.5, dm1)
+        pi_const = 0.5 * dm1 * math.log(math.pi)
+        return unnorm - (pi_const + numer - denom)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        D = self.dim
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        # beta draws per row (vectorized onion, torch's parameterization)
+        offset = jnp.concatenate(
+            [jnp.zeros(1), jnp.arange(D - 1, dtype=float)]
+        )
+        c1 = offset + 0.5
+        c0 = (self.concentration + 0.5 * (D - 2))[..., None] - 0.5 * offset
+        ka, kb = jax.random.split(k1)
+        ga = jax.random.gamma(ka, jnp.broadcast_to(c1, shape + (D,)))
+        gb = jax.random.gamma(kb, jnp.broadcast_to(c0, shape + (D,)))
+        y = (ga / (ga + gb))[..., None]
+        u = jnp.tril(jax.random.normal(k2, shape + (D, D)), -1)
+        norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
+        u_sphere = u / jnp.where(norm == 0, 1.0, norm)
+        w = jnp.sqrt(y) * u_sphere
+        diag = jnp.sqrt(
+            jnp.clip(1 - jnp.sum(w**2, axis=-1), jnp.finfo(w.dtype).tiny)
+        )
+        return w + jnp.zeros_like(w).at[
+            ..., jnp.arange(D), jnp.arange(D)
+        ].set(diag)
+
+    def expand(self, batch_shape: Shape):
+        return LKJCholesky(
+            self.dim, jnp.broadcast_to(self.concentration, batch_shape)
+        )
+
+
+class TransformedDistribution(NormalizingFlow):
+    r"""torch-namespace ``TransformedDistribution(base, transforms)``: the
+    transforms apply in the SAMPLING direction (:math:`x = f(z)`), so this
+    is :class:`NormalizingFlow` over the lazy inverse. Accepts a single
+    transform or a list."""
+
+    def __init__(self, base: Distribution, transforms):
+        from .transforms import ComposedTransform
+
+        if isinstance(transforms, (list, tuple)):
+            t = (
+                transforms[0]
+                if len(transforms) == 1
+                else ComposedTransform(*transforms)
+            )
+        else:
+            t = transforms
+        super().__init__(t.inv, base)
+
+
+class LogisticNormal(TransformedDistribution):
+    r"""Logistic-normal over the simplex (torch namespace parity): a
+    diagonal normal pushed through :class:`StickBreakingTransform`. Event
+    shape is one longer than the base's."""
+
+    def __init__(self, loc, scale):
+        from .transforms import DependentTransform, StickBreakingTransform
+
+        loc = jnp.asarray(loc)
+        scale = jnp.asarray(scale)
+        base = Independent(Normal(loc, scale), 1)
+        super().__init__(base, StickBreakingTransform())
+        self.loc = loc
+        self.scale = scale
+
+
+class MixtureSameFamily(Distribution):
+    r"""torch-namespace mixture API: ``mixture_distribution`` is a
+    :class:`Categorical` over the LAST batch axis of
+    ``component_distribution`` (the reference's own :class:`Mixture` takes
+    (base, logits) directly — this wrapper is the torch calling
+    convention)."""
+
+    has_rsample: bool = False
+
+    def __init__(self, mixture_distribution, component_distribution):
+        self.mixture_distribution = mixture_distribution
+        self.component_distribution = component_distribution
+        self._mix = Mixture(
+            component_distribution, mixture_distribution.logits
+        )
+
+    @property
+    def batch_shape(self) -> Shape:
+        return self._mix.batch_shape
+
+    @property
+    def event_shape(self) -> Shape:
+        return self._mix.event_shape
+
+    def log_prob(self, x):
+        return self._mix.log_prob(x)
+
+    def sample(self, key, sample_shape: Shape = ()):
+        return self._mix.sample(key, sample_shape)
+
+    def expand(self, batch_shape: Shape):
+        K = self.component_distribution.batch_shape[-1]
+        return MixtureSameFamily(
+            Categorical(
+                jnp.broadcast_to(
+                    self.mixture_distribution.logits,
+                    tuple(batch_shape) + (K,),
+                )
+            ),
+            self.component_distribution.expand(tuple(batch_shape) + (K,)),
+        )
+
+    @property
+    def mean(self):
+        w = jax.nn.softmax(self.mixture_distribution.logits, axis=-1)
+        k = len(self.event_shape)
+        m = self.component_distribution.mean
+        w = w.reshape(w.shape + (1,) * k)
+        return jnp.sum(w * m, axis=-1 - k if k else -1)
+
+
+# The reference's distributions namespace also carries every transform
+# (zuko/distributions.py:23 wildcard-imports torch.distributions, whose
+# __init__ re-exports torch.distributions.transforms) — mirror that so
+# ported code reaching e.g. ``zuko.distributions.AffineTransform`` works.
+from .transforms import *  # noqa: E402,F401,F403
+from .transforms import __all__ as _transforms_all  # noqa: E402
+
+__all__ = __all__ + list(_transforms_all)

@@ -69,6 +69,14 @@ __all__ = [
     "ReshapeTransform",
     "StickBreakingTransform",
     "CatTransform",
+    "StackTransform",
+    "AbsTransform",
+    "SoftmaxTransform",
+    "LowerCholeskyTransform",
+    "PositiveDefiniteTransform",
+    "CorrCholeskyTransform",
+    "CumulativeDistributionTransform",
+    "ComposeTransform",
     "PermutationTransform",
     "RotationTransform",
     "LULinearTransform",
@@ -1447,3 +1455,204 @@ class CatTransform(Transform):
         for p in parts[1:]:
             total = total + p
         return total
+
+
+class StackTransform(Transform):
+    r"""Applies one transform per index of axis ``dim`` (torch-namespace
+    parity with ``torch.distributions.transforms.StackTransform``): slice
+    ``i`` of the input goes through ``tseq[i]``. The per-slice ladjs are
+    re-stacked along ``dim`` (torch semantics — no summation)."""
+
+    def __init__(self, tseq: Sequence, dim: int = 0):
+        self.transforms = list(tseq)
+        self.dim = int(dim)
+
+    def _slices(self, z):
+        return [jax.lax.index_in_dim(z, i, self.dim, keepdims=False)
+                for i in range(len(self.transforms))]
+
+    def forward(self, x):
+        assert x.shape[self.dim] == len(self.transforms), (
+            f"x.shape[{self.dim}] must equal len(transforms)"
+        )
+        return jnp.stack(
+            [t.forward(s) for t, s in zip(self.transforms, self._slices(x))],
+            axis=self.dim,
+        )
+
+    def inverse(self, y):
+        assert y.shape[self.dim] == len(self.transforms), (
+            f"y.shape[{self.dim}] must equal len(transforms)"
+        )
+        return jnp.stack(
+            [t.inverse(s) for t, s in zip(self.transforms, self._slices(y))],
+            axis=self.dim,
+        )
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.stack(
+            [t.log_abs_det_jacobian(sx, sy)
+             for t, sx, sy in zip(self.transforms, self._slices(x),
+                                  self._slices(y))],
+            axis=self.dim,
+        )
+
+    @property
+    def bijective(self) -> bool:
+        return all(t.bijective for t in self.transforms)
+
+
+class AbsTransform(Transform):
+    r""":math:`f(x) = |x|` (torch namespace parity). Not bijective; the
+    inverse picks the nonnegative branch, matching torch's use in
+    half-distribution constructions."""
+
+    bijective: bool = False
+
+    def forward(self, x):
+        return jnp.abs(x)
+
+    def inverse(self, y):
+        return y
+
+
+class SoftmaxTransform(Transform):
+    r""":math:`f(x) = \exp(x) / \sum_i \exp(x_i)` over the last axis (torch
+    namespace parity). Not bijective — coordinate-wise ``exp`` then
+    normalization, the torch ``transform_to(simplex)`` utility (for a
+    bijection use :class:`StickBreakingTransform`)."""
+
+    bijective: bool = False
+    domain_dim: int = 1
+    codomain_dim: int = 1
+
+    def forward(self, x):
+        return jax.nn.softmax(x, axis=-1)
+
+    def inverse(self, y):
+        return jnp.log(y)
+
+
+class LowerCholeskyTransform(Transform):
+    r"""Unconstrained matrices to lower-triangular matrices with positive
+    diagonal: ``tril(x, -1) + diag(exp(diag(x)))`` (torch namespace parity;
+    parameterizes Cholesky factors)."""
+
+    bijective: bool = False  # onto its image (torch marks it non-bijective)
+    domain_dim: int = 2
+    codomain_dim: int = 2
+
+    def forward(self, x):
+        diag = jnp.exp(jnp.diagonal(x, axis1=-2, axis2=-1))
+        return jnp.tril(x, -1) + jnp.zeros_like(x).at[..., 
+            jnp.arange(x.shape[-1]), jnp.arange(x.shape[-1])].set(diag)
+
+    def inverse(self, y):
+        diag = jnp.log(jnp.diagonal(y, axis1=-2, axis2=-1))
+        return jnp.tril(y, -1) + jnp.zeros_like(y).at[..., 
+            jnp.arange(y.shape[-1]), jnp.arange(y.shape[-1])].set(diag)
+
+
+class PositiveDefiniteTransform(Transform):
+    r"""Unconstrained matrices to positive-definite matrices via
+    :class:`LowerCholeskyTransform` and :math:`L L^\top` (torch namespace
+    parity)."""
+
+    bijective: bool = False
+    domain_dim: int = 2
+    codomain_dim: int = 2
+
+    def forward(self, x):
+        L = LowerCholeskyTransform().forward(x)
+        return L @ jnp.swapaxes(L, -1, -2)
+
+    def inverse(self, y):
+        L = jnp.linalg.cholesky(y)
+        return LowerCholeskyTransform().inverse(L)
+
+
+class CorrCholeskyTransform(Transform):
+    r"""Unconstrained vector of length :math:`D(D-1)/2` to the Cholesky
+    factor of a :math:`D \times D` correlation matrix (torch namespace
+    parity): ``tanh`` into :math:`(-1, 1)`, then a signed stick-breaking
+    over the squared entries so each row has unit Euclidean norm."""
+
+    domain_dim: int = 1
+    codomain_dim: int = 2
+
+    @staticmethod
+    def _dim(n: int) -> int:
+        d = round((0.25 + 2 * n) ** 0.5 + 0.5)
+        assert d * (d - 1) // 2 == n, (
+            "input is not a flattened lower-diagonal number"
+        )
+        return d
+
+    @staticmethod
+    def _tril_ix(d: int, diag: int):
+        return jnp.tril_indices(d, diag)
+
+    def forward(self, x):
+        d = self._dim(x.shape[-1])
+        eps = jnp.finfo(x.dtype).eps
+        r = jnp.clip(jnp.tanh(x), -1 + eps, 1 - eps)
+        i, j = jnp.tril_indices(d, -1)
+        R = jnp.zeros(x.shape[:-1] + (d, d), x.dtype).at[..., i, j].set(r)
+        cum = jnp.cumprod(jnp.sqrt(1.0 - R**2), axis=-1)
+        R = R + jnp.eye(d, dtype=x.dtype)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+        )
+        return jnp.tril(R * shifted)
+
+    def inverse(self, y):
+        d = y.shape[-1]
+        cumsum = 1.0 - jnp.cumsum(y * y, axis=-1)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(cumsum[..., :1]), cumsum[..., :-1]], axis=-1
+        )
+        i, j = jnp.tril_indices(d, -1)
+        t = y[..., i, j] / jnp.sqrt(shifted[..., i, j])
+        return (jnp.log1p(t) - jnp.log1p(-t)) / 2
+
+    def log_abs_det_jacobian(self, x, y):
+        d = y.shape[-1]
+        cumsum = 1.0 - jnp.cumsum(y * y, axis=-1)
+        i, j = jnp.tril_indices(d, -2)
+        sb = 0.5 * jnp.sum(jnp.log(cumsum[..., i, j]), axis=-1)
+        tanh_ladj = -2 * jnp.sum(
+            x + jax.nn.softplus(-2 * x) - math.log(2.0), axis=-1
+        )
+        return sb + tanh_ladj
+
+    def forward_shape(self, shape):
+        d = self._dim(shape[-1])
+        return tuple(shape[:-1]) + (d, d)
+
+    def inverse_shape(self, shape):
+        d = shape[-1]
+        return tuple(shape[:-2]) + (d * (d - 1) // 2,)
+
+
+class CumulativeDistributionTransform(Transform):
+    r"""Transform through a distribution's CDF (torch namespace parity):
+    forward is ``distribution.cdf``, inverse is ``distribution.icdf``, and
+    the log-Jacobian is ``distribution.log_prob`` — the Gaussian-copula
+    building block."""
+
+    def __init__(self, distribution):
+        self.distribution = distribution
+
+    def forward(self, x):
+        return self.distribution.cdf(x)
+
+    def inverse(self, y):
+        return self.distribution.icdf(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return self.distribution.log_prob(x)
+
+
+#: torch-namespace alias (torch calls the composition ``ComposeTransform``;
+#: the reference's own fused variant is :class:`ComposedTransform`).
+ComposeTransform = ComposedTransform
