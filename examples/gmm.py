@@ -9,6 +9,15 @@ import sys
 sys.path.insert(0, ".")
 
 import jax
+
+# honor an explicit JAX_PLATFORMS request: this environment pre-imports
+# jax from sitecustomize, which freezes platform selection before the env
+# var can act — re-assert it so `JAX_PLATFORMS=cpu python examples/...`
+# (the documented invocation) actually runs on CPU
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 import optax
