@@ -493,7 +493,7 @@ def test_torch_namespace_parity(key):
     assert np.allclose(s.sum(-1), 1.0, atol=1e-6)
     check("MixtureSameFamily",
           zd.MixtureSameFamily(
-              zd.Categorical(jnp.asarray([0.3, -0.4, 0.1])),
+              zd.Categorical(logits=jnp.asarray([0.3, -0.4, 0.1])),
               zd.Normal(jnp.asarray([-1.0, 0.0, 1.0]),
                         jnp.asarray([0.5, 1.0, 2.0]))),
           td.MixtureSameFamily(
@@ -550,3 +550,115 @@ def test_torch_namespace_parity(key):
     # re-export parity, zuko/distributions.py:23)
     assert zd.AffineTransform is zt.AffineTransform
     assert zd.ComposeTransform is zt.ComposedTransform
+
+
+def test_entropy_and_kl_divergence_torch_parity(key):
+    r"""``.entropy()`` and ``kl_divergence``/``register_kl`` (both part of
+    the torch namespace the reference wildcard-re-exports) pinned against
+    torch on CPU f64; Bernoulli/Categorical take probs as the FIRST
+    positional like torch (the silent-wrong-answer hazard for ports)."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+
+    torch.set_default_dtype(torch.float64)
+    L = np.linalg.cholesky(np.array([[2.0, 0.6], [0.6, 1.0]]))
+    L2 = np.linalg.cholesky(np.array([[1.5, -0.3], [-0.3, 0.8]]))
+
+    ent_cases = [
+        (zd.Normal(0.3, 1.7), td.Normal(0.3, 1.7)),
+        (zd.Uniform(-1.0, 2.5), td.Uniform(-1.0, 2.5)),
+        (zd.Laplace(0.0, 1.3), td.Laplace(0.0, 1.3)),
+        (zd.Exponential(2.1), td.Exponential(2.1)),
+        (zd.Cauchy(0.0, 1.4), td.Cauchy(0.0, 1.4)),
+        (zd.HalfCauchy(1.4), td.HalfCauchy(1.4)),
+        (zd.Gamma(2.5, 1.7), td.Gamma(2.5, 1.7)),
+        (zd.Chi2(3.0), td.Chi2(3.0)),
+        (zd.Beta(2.0, 3.5), td.Beta(2.0, 3.5)),
+        (zd.Gumbel(0.5, 1.2), td.Gumbel(0.5, 1.2)),
+        (zd.StudentT(4.0, 0.5, 2.0), td.StudentT(4.0, 0.5, 2.0)),
+        (zd.HalfNormal(1.5), td.HalfNormal(1.5)),
+        (zd.LogNormal(0.3, 0.8), td.LogNormal(0.3, 0.8)),
+        (zd.Weibull(2.0, 1.5), td.Weibull(2.0, 1.5)),
+        (zd.Pareto(2.0, 3.0), td.Pareto(2.0, 3.0)),
+        (zd.Bernoulli(0.3), td.Bernoulli(0.3)),  # probs-first, torch order
+        (zd.Geometric(0.3), td.Geometric(0.3)),
+        (zd.Categorical(jnp.asarray([0.2, 0.3, 0.5])),
+         td.Categorical(torch.tensor([0.2, 0.3, 0.5]))),
+        (zd.OneHotCategorical(logits=jnp.asarray([0.3, -0.4, 0.1])),
+         td.OneHotCategorical(logits=torch.tensor([0.3, -0.4, 0.1]))),
+        (zd.Dirichlet(jnp.asarray([1.5, 2.0, 3.0])),
+         td.Dirichlet(torch.tensor([1.5, 2.0, 3.0]))),
+        (zd.MultivariateNormal(jnp.zeros(2), scale_tril=jnp.asarray(L)),
+         td.MultivariateNormal(torch.zeros(2), scale_tril=torch.tensor(L))),
+        (zd.Independent(zd.Normal(jnp.zeros(3), jnp.ones(3) * 1.5), 1),
+         td.Independent(td.Normal(torch.zeros(3), torch.ones(3) * 1.5), 1)),
+    ]
+    for zdist, tdist in ent_cases:
+        e = float(np.asarray(zdist.entropy()))
+        et = float(tdist.entropy())
+        assert abs(e - et) < 1e-10, (type(zdist).__name__, e, et)
+
+    kl_cases = [
+        (zd.Normal(0.3, 1.7), zd.Normal(-0.5, 0.9),
+         td.Normal(0.3, 1.7), td.Normal(-0.5, 0.9)),
+        (zd.Bernoulli(0.3), zd.Bernoulli(0.6),
+         td.Bernoulli(0.3), td.Bernoulli(0.6)),
+        (zd.Gamma(2.5, 1.7), zd.Gamma(3.0, 1.1),
+         td.Gamma(2.5, 1.7), td.Gamma(3.0, 1.1)),
+        (zd.Beta(2.0, 3.5), zd.Beta(1.5, 2.0),
+         td.Beta(2.0, 3.5), td.Beta(1.5, 2.0)),
+        (zd.Dirichlet(jnp.asarray([1.5, 2.0, 3.0])),
+         zd.Dirichlet(jnp.asarray([2.0, 2.0, 2.0])),
+         td.Dirichlet(torch.tensor([1.5, 2.0, 3.0])),
+         td.Dirichlet(torch.tensor([2.0, 2.0, 2.0]))),
+        (zd.Exponential(2.1), zd.Exponential(0.7),
+         td.Exponential(2.1), td.Exponential(0.7)),
+        (zd.Laplace(0.2, 1.3), zd.Laplace(-0.4, 0.8),
+         td.Laplace(0.2, 1.3), td.Laplace(-0.4, 0.8)),
+        (zd.Uniform(0.0, 1.0), zd.Uniform(-0.5, 2.0),
+         td.Uniform(0.0, 1.0), td.Uniform(-0.5, 2.0)),
+        (zd.Poisson(3.5), zd.Poisson(2.0), td.Poisson(3.5), td.Poisson(2.0)),
+        (zd.Geometric(0.3), zd.Geometric(0.5),
+         td.Geometric(0.3), td.Geometric(0.5)),
+        (zd.Categorical(logits=jnp.asarray([0.3, -0.4, 0.1])),
+         zd.Categorical(logits=jnp.zeros(3)),
+         td.Categorical(logits=torch.tensor([0.3, -0.4, 0.1])),
+         td.Categorical(logits=torch.zeros(3))),
+        (zd.MultivariateNormal(jnp.zeros(2), scale_tril=jnp.asarray(L)),
+         zd.MultivariateNormal(jnp.ones(2) * 0.3, scale_tril=jnp.asarray(L2)),
+         td.MultivariateNormal(torch.zeros(2), scale_tril=torch.tensor(L)),
+         td.MultivariateNormal(torch.ones(2) * 0.3,
+                               scale_tril=torch.tensor(L2))),
+    ]
+    for zp, zq, tp, tq in kl_cases:
+        k = float(np.asarray(zd.kl_divergence(zp, zq)))
+        kt = float(td.kl_divergence(tp, tq))
+        assert abs(k - kt) < 1e-10, (type(zp).__name__, k, kt)
+
+    # MRO dispatch: DiagNormal resolves through (Independent, Independent)
+    kd = float(zd.kl_divergence(
+        zd.DiagNormal(jnp.zeros(3), jnp.ones(3)),
+        zd.DiagNormal(jnp.ones(3) * 0.2, jnp.ones(3) * 1.5)))
+    kt = float(td.kl_divergence(
+        td.Independent(td.Normal(torch.zeros(3), torch.ones(3)), 1),
+        td.Independent(td.Normal(torch.ones(3) * 0.2,
+                                 torch.ones(3) * 1.5), 1)))
+    assert abs(kd - kt) < 1e-10
+
+    # unregistered pairs raise, like torch
+    with pytest.raises(NotImplementedError):
+        zd.kl_divergence(zd.Normal(0.0, 1.0), zd.Gamma(2.0, 1.0))
+
+    # user registration works
+    from zuko_tpu.distributions import register_kl
+
+    @register_kl(zd.Chi2, zd.Chi2)
+    def _test_kl(p, q):
+        return jnp.zeros(())
+
+    try:
+        assert float(zd.kl_divergence(zd.Chi2(3.0), zd.Chi2(4.0))) == 0.0
+    finally:
+        del zd._KL_REGISTRY[(zd.Chi2, zd.Chi2)]

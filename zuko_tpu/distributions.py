@@ -79,6 +79,8 @@ __all__ = [
     "TransformedDistribution",
     "LogisticNormal",
     "MixtureSameFamily",
+    "kl_divergence",
+    "register_kl",
     "NormalizingFlow",
     "Joint",
     "Mixture",
@@ -283,7 +285,8 @@ class Bernoulli(Distribution):
 
     has_rsample: bool = False
 
-    def __init__(self, logits=None, probs=None):
+    def __init__(self, probs=None, logits=None):
+        # torch argument order: Bernoulli(p) means probs=p
         if logits is None:
             probs = jnp.asarray(probs)
             logits = jnp.log(probs) - jnp.log1p(-probs)
@@ -307,7 +310,7 @@ class Bernoulli(Distribution):
         return (u < self.probs).astype(self.logits.dtype)
 
     def expand(self, batch_shape: Shape):
-        return Bernoulli(jnp.broadcast_to(self.logits, batch_shape))
+        return Bernoulli(logits=jnp.broadcast_to(self.logits, batch_shape))
 
     @property
     def mean(self):
@@ -919,7 +922,8 @@ class Categorical(Distribution):
 
     has_rsample: bool = False
 
-    def __init__(self, logits=None, probs=None):
+    def __init__(self, probs=None, logits=None):
+        # torch argument order: Categorical(p) means probs=p
         if logits is None:
             logits = jnp.log(jnp.asarray(probs))
         self.logits = jnp.asarray(logits)
@@ -944,7 +948,7 @@ class Categorical(Distribution):
 
     def expand(self, batch_shape: Shape):
         return Categorical(
-            jnp.broadcast_to(
+            logits=jnp.broadcast_to(
                 self.logits, tuple(batch_shape) + (self.num_categories,)
             )
         )
@@ -1386,7 +1390,7 @@ class Mixture(Distribution):
     def sample(self, key, sample_shape: Shape = ()):
         k1, k2 = jax.random.split(key)
         xs = self.base.sample(k1, sample_shape)  # (*, batch, K, event)
-        idx = Categorical(self.logits).sample(k2, sample_shape)  # (*, batch)
+        idx = Categorical(logits=self.logits).sample(k2, sample_shape)  # (*, batch)
         k = len(self.event_shape)
         idx_exp = idx.reshape(idx.shape + (1,) * (k + 1))
         idx_exp = jnp.broadcast_to(
@@ -2631,7 +2635,7 @@ class MixtureSameFamily(Distribution):
         K = self.component_distribution.batch_shape[-1]
         return MixtureSameFamily(
             Categorical(
-                jnp.broadcast_to(
+                logits=jnp.broadcast_to(
                     self.mixture_distribution.logits,
                     tuple(batch_shape) + (K,),
                 )
@@ -2656,3 +2660,328 @@ from .transforms import *  # noqa: E402,F401,F403
 from .transforms import __all__ as _transforms_all  # noqa: E402
 
 __all__ = __all__ + list(_transforms_all)
+
+
+# ------------------------------------------------ entropy / KL registries
+# The reference's namespace carries torch's ``kl_divergence`` /
+# ``register_kl`` and every distribution's ``.entropy()``
+# (zuko/distributions.py:23 wildcard). Both are type-registry dispatched,
+# like torch: the most-derived registered (type(p), type(q)) pair wins.
+
+_ENTROPY_REGISTRY: dict = {}
+_KL_REGISTRY: dict = {}
+
+
+def register_entropy(cls):
+    def decorator(fn):
+        _ENTROPY_REGISTRY[cls] = fn
+        return fn
+    return decorator
+
+
+def register_kl(p_cls, q_cls):
+    r"""Register a closed-form KL for a (type(p), type(q)) pair (torch
+    namespace parity with ``torch.distributions.register_kl``)."""
+    def decorator(fn):
+        _KL_REGISTRY[(p_cls, q_cls)] = fn
+        return fn
+    return decorator
+
+
+def _entropy_impl(self):
+    for cls in type(self).__mro__:
+        fn = _ENTROPY_REGISTRY.get(cls)
+        if fn is not None:
+            return fn(self)
+    raise NotImplementedError(
+        f"entropy is not implemented for {type(self).__name__}"
+    )
+
+
+Distribution.entropy = _entropy_impl
+
+
+def kl_divergence(p: Distribution, q: Distribution) -> jax.Array:
+    r"""KL(p || q) via the registry (torch namespace parity with
+    ``torch.distributions.kl_divergence``): the most specific registered
+    (type(p), type(q)) pair by MRO order wins."""
+    matches = []
+    for pc in type(p).__mro__:
+        for qc in type(q).__mro__:
+            fn = _KL_REGISTRY.get((pc, qc))
+            if fn is not None:
+                matches.append((type(p).__mro__.index(pc)
+                                + type(q).__mro__.index(qc), fn))
+    if not matches:
+        raise NotImplementedError(
+            f"no KL(p || q) is registered for "
+            f"({type(p).__name__}, {type(q).__name__})"
+        )
+    return min(matches, key=lambda t: t[0])[1](p, q)
+
+
+_EULER = 0.5772156649015329
+_LOG_2PI = math.log(2 * math.pi)
+
+
+@register_entropy(Normal)
+def _(d):
+    return 0.5 + 0.5 * _LOG_2PI + jnp.log(
+        jnp.broadcast_to(d.scale, d.batch_shape))
+
+
+@register_entropy(Uniform)
+def _(d):
+    return jnp.broadcast_to(jnp.log(d.high - d.low), d.batch_shape)
+
+
+@register_entropy(Laplace)
+def _(d):
+    return 1 + jnp.log(2 * jnp.broadcast_to(d.scale, d.batch_shape))
+
+
+@register_entropy(Exponential)
+def _(d):
+    return 1 - jnp.log(d.rate)
+
+
+@register_entropy(Cauchy)
+def _(d):
+    return jnp.log(4 * math.pi * jnp.broadcast_to(d.scale, d.batch_shape))
+
+
+@register_entropy(HalfCauchy)
+def _(d):
+    return jnp.log(2 * math.pi * d.scale)
+
+
+@register_entropy(Gamma)
+def _(d):
+    a, r = d.concentration, d.rate
+    return a - jnp.log(r) + jsp.gammaln(a) + (1 - a) * jsp.digamma(a)
+
+
+@register_entropy(Beta)
+def _(d):
+    a, b = jnp.broadcast_arrays(d.alpha, d.beta)
+    lbeta = jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b)
+    return (
+        lbeta
+        - (a - 1) * jsp.digamma(a)
+        - (b - 1) * jsp.digamma(b)
+        + (a + b - 2) * jsp.digamma(a + b)
+    )
+
+
+@register_entropy(Gumbel)
+def _(d):
+    return jnp.log(jnp.broadcast_to(d.scale, d.batch_shape)) + 1 + _EULER
+
+
+@register_entropy(StudentT)
+def _(d):
+    v = jnp.broadcast_to(d.df, d.batch_shape)
+    s = jnp.broadcast_to(d.scale, d.batch_shape)
+    lbeta = (jsp.gammaln(0.5 * v) + jsp.gammaln(0.5)
+             - jsp.gammaln(0.5 * (v + 1)))
+    return (
+        jnp.log(s)
+        + 0.5 * (v + 1) * (jsp.digamma(0.5 * (v + 1)) - jsp.digamma(0.5 * v))
+        + 0.5 * jnp.log(v) + lbeta
+    )
+
+
+@register_entropy(HalfNormal)
+def _(d):
+    return 0.5 * jnp.log(math.pi * d.scale**2 / 2) + 0.5
+
+
+@register_entropy(LogNormal)
+def _(d):
+    return (jnp.broadcast_to(d.loc, d.batch_shape) + 0.5
+            + 0.5 * jnp.log(2 * math.pi * d.scale**2))
+
+
+@register_entropy(Weibull)
+def _(d):
+    lam, k = jnp.broadcast_arrays(d.scale, d.concentration)
+    return _EULER * (1 - 1 / k) + jnp.log(lam / k) + 1
+
+
+@register_entropy(Pareto)
+def _(d):
+    s, a = jnp.broadcast_arrays(d.scale, d.alpha)
+    return jnp.log(s / a) + 1 + 1 / a
+
+
+@register_entropy(Bernoulli)
+def _(d):
+    p = jnp.broadcast_to(d.probs, d.batch_shape)
+    return -(jsp.xlogy(p, p) + jsp.xlogy(1 - p, 1 - p))
+
+
+@register_entropy(Geometric)
+def _(d):
+    p = d.probs
+    return -(jsp.xlogy(1 - p, 1 - p) + jsp.xlogy(p, p)) / p
+
+
+@register_entropy(Categorical)
+def _(d):
+    logp = jax.nn.log_softmax(d.logits, axis=-1)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+@register_entropy(OneHotCategorical)
+def _(d):
+    logp = d.logits
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+@register_entropy(Dirichlet)
+def _(d):
+    a = d.concentration
+    a0 = jnp.sum(a, axis=-1)
+    K = a.shape[-1]
+    lnB = jnp.sum(jsp.gammaln(a), axis=-1) - jsp.gammaln(a0)
+    return (
+        lnB
+        + (a0 - K) * jsp.digamma(a0)
+        - jnp.sum((a - 1) * jsp.digamma(a), axis=-1)
+    )
+
+
+@register_entropy(MultivariateNormal)
+def _(d):
+    D = d.event_shape[-1]
+    halflogdet = jnp.sum(
+        jnp.log(jnp.diagonal(d.scale_tril, axis1=-2, axis2=-1)), axis=-1
+    )
+    return 0.5 * D * (1 + _LOG_2PI) + halflogdet
+
+
+@register_entropy(Independent)
+def _(d):
+    return _sum_rightmost(d.base.entropy(), d.ndims)
+
+
+@register_kl(Normal, Normal)
+def _(p, q):
+    var_ratio = (p.scale / q.scale) ** 2
+    t1 = ((p.loc - q.loc) / q.scale) ** 2
+    return 0.5 * (var_ratio + t1 - 1 - jnp.log(var_ratio))
+
+
+@register_kl(Independent, Independent)
+def _(p, q):
+    assert p.ndims == q.ndims
+    return _sum_rightmost(kl_divergence(p.base, q.base), p.ndims)
+
+
+@register_kl(Categorical, Categorical)
+def _(p, q):
+    lp = jax.nn.log_softmax(p.logits, axis=-1)
+    lq = jax.nn.log_softmax(q.logits, axis=-1)
+    return jnp.sum(jnp.exp(lp) * (lp - lq), axis=-1)
+
+
+@register_kl(OneHotCategorical, OneHotCategorical)
+def _(p, q):
+    return jnp.sum(jnp.exp(p.logits) * (p.logits - q.logits), axis=-1)
+
+
+@register_kl(Bernoulli, Bernoulli)
+def _(p, q):
+    pp = jnp.broadcast_to(p.probs, p.batch_shape)
+    qp = jnp.broadcast_to(q.probs, q.batch_shape)
+    t1 = jsp.xlogy(pp, pp) - jsp.xlogy(pp, qp)
+    t2 = jsp.xlogy(1 - pp, 1 - pp) - jsp.xlogy(1 - pp, 1 - qp)
+    return t1 + t2
+
+
+@register_kl(Gamma, Gamma)
+def _(p, q):
+    t1 = q.concentration * (jnp.log(p.rate) - jnp.log(q.rate))
+    t2 = jsp.gammaln(q.concentration) - jsp.gammaln(p.concentration)
+    t3 = (p.concentration - q.concentration) * jsp.digamma(p.concentration)
+    t4 = (q.rate - p.rate) * (p.concentration / p.rate)
+    return t1 + t2 + t3 + t4
+
+
+@register_kl(Beta, Beta)
+def _(p, q):
+    def lnB(a, b):
+        return jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b)
+    a1, b1 = p.alpha, p.beta
+    a2, b2 = q.alpha, q.beta
+    s1 = a1 + b1
+    return (
+        lnB(a2, b2) - lnB(a1, b1)
+        + (a1 - a2) * jsp.digamma(a1)
+        + (b1 - b2) * jsp.digamma(b1)
+        + (a2 - a1 + b2 - b1) * jsp.digamma(s1)
+    )
+
+
+@register_kl(Dirichlet, Dirichlet)
+def _(p, q):
+    a, b = p.concentration, q.concentration
+    a0 = jnp.sum(a, axis=-1)
+    lnB_a = jnp.sum(jsp.gammaln(a), axis=-1) - jsp.gammaln(a0)
+    lnB_b = (jnp.sum(jsp.gammaln(b), axis=-1)
+             - jsp.gammaln(jnp.sum(b, axis=-1)))
+    return (
+        lnB_b - lnB_a
+        + jnp.sum((a - b) * (jsp.digamma(a)
+                             - jsp.digamma(a0[..., None])), axis=-1)
+    )
+
+
+@register_kl(Exponential, Exponential)
+def _(p, q):
+    ratio = q.rate / p.rate
+    return ratio - 1 - jnp.log(ratio)
+
+
+@register_kl(Laplace, Laplace)
+def _(p, q):
+    sr = p.scale / q.scale
+    ad = jnp.abs(p.loc - q.loc)
+    return (-jnp.log(sr) + sr * jnp.exp(-ad / p.scale)
+            + ad / q.scale - 1)
+
+
+@register_kl(Uniform, Uniform)
+def _(p, q):
+    result = jnp.log((q.high - q.low) / (p.high - p.low))
+    return jnp.where((q.low <= p.low) & (p.high <= q.high), result, jnp.inf)
+
+
+@register_kl(Poisson, Poisson)
+def _(p, q):
+    return p.rate * (jnp.log(p.rate) - jnp.log(q.rate)) - (p.rate - q.rate)
+
+
+@register_kl(Geometric, Geometric)
+def _(p, q):
+    # KL = (1-p)/p * (log(1-p) - log(1-q)) + log p - log q
+    return ((1 - p.probs) / p.probs
+            * (jnp.log1p(-p.probs) - jnp.log1p(-q.probs))
+            + jnp.log(p.probs) - jnp.log(q.probs))
+
+
+@register_kl(MultivariateNormal, MultivariateNormal)
+def _(p, q):
+    D = p.event_shape[-1]
+    Lp, Lq = p.scale_tril, q.scale_tril
+    half_p = jnp.sum(jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
+    half_q = jnp.sum(jnp.log(jnp.diagonal(Lq, axis1=-2, axis2=-1)), axis=-1)
+    M = jax.scipy.linalg.solve_triangular(
+        jnp.broadcast_to(Lq, Lp.shape), Lp, lower=True)
+    trace = jnp.sum(M * M, axis=(-2, -1))
+    diff = p.loc - q.loc
+    y = jax.scipy.linalg.solve_triangular(
+        jnp.broadcast_to(Lq, diff.shape[:-1] + Lq.shape[-2:]),
+        diff[..., None], lower=True)[..., 0]
+    maha = jnp.sum(y * y, axis=-1)
+    return half_q - half_p + 0.5 * (trace + maha - D)
