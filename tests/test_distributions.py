@@ -662,3 +662,33 @@ def test_entropy_and_kl_divergence_torch_parity(key):
         assert float(zd.kl_divergence(zd.Chi2(3.0), zd.Chi2(4.0))) == 0.0
     finally:
         del zd._KL_REGISTRY[(zd.Chi2, zd.Chi2)]
+
+
+def test_torch_constructor_conventions(key):
+    r"""Constructor conventions a ported script relies on: MVN's torch
+    argument order (loc, covariance_matrix, precision_matrix, scale_tril
+    — the old scale_tril-second order silently Cholesky-skipped a
+    positional covariance), Beta/Independent torch keyword names, and
+    probs-first Bernoulli/Categorical (covered in the parity test)."""
+    from zuko_tpu import distributions as zd
+
+    S = jnp.asarray([[2.0, 0.6], [0.6, 1.0]])
+    L = jnp.linalg.cholesky(S)
+    P = jnp.linalg.inv(S)
+    x = jax.random.normal(key, (7, 2))
+    ref = zd.MultivariateNormal(jnp.zeros(2), scale_tril=L).log_prob(x)
+    for d in [
+        zd.MultivariateNormal(jnp.zeros(2), S),  # positional covariance
+        zd.MultivariateNormal(jnp.zeros(2), covariance_matrix=S),
+        zd.MultivariateNormal(jnp.zeros(2), precision_matrix=P),
+    ]:
+        assert jnp.allclose(d.log_prob(x), ref, atol=1e-9)
+
+    b = zd.Beta(concentration1=2.0, concentration0=3.5)
+    assert float(b.concentration1) == 2.0 and float(b.alpha) == 2.0
+    assert jnp.allclose(b.log_prob(jnp.asarray(0.4)),
+                        zd.Beta(2.0, 3.5).log_prob(jnp.asarray(0.4)))
+
+    i = zd.Independent(base_distribution=zd.Normal(jnp.zeros(3), jnp.ones(3)),
+                       reinterpreted_batch_ndims=1)
+    assert i.event_shape == (3,)

@@ -31,7 +31,7 @@ logits_np = rng.randn(K).astype(np.float32)
 from zuko_tpu.distributions import Mixture, MultivariateNormal
 
 dist = Mixture(
-    MultivariateNormal(jnp.asarray(loc_np), jnp.asarray(L_np)),
+    MultivariateNormal(jnp.asarray(loc_np), scale_tril=jnp.asarray(L_np)),
     jnp.asarray(logits_np),
 )
 x = jax.random.normal(jax.random.PRNGKey(1), (B, D))

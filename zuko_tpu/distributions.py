@@ -590,11 +590,26 @@ class Gamma(Distribution):
 
 class Beta(Distribution):
     r"""Beta distribution (reference usage: the Bernstein basis at
-    zuko/transforms.py:733 and doctests)."""
+    zuko/transforms.py:733 and doctests). torch calls the parameters
+    ``concentration1``/``concentration0`` (same positional order) — both
+    spellings are accepted and exposed."""
 
-    def __init__(self, alpha, beta):
+    def __init__(self, alpha=None, beta=None, *, concentration1=None,
+                 concentration0=None):
+        if alpha is None:
+            alpha = concentration1
+        if beta is None:
+            beta = concentration0
         self.alpha = jnp.asarray(alpha)
         self.beta = jnp.asarray(beta)
+
+    @property
+    def concentration1(self):
+        return self.alpha
+
+    @property
+    def concentration0(self):
+        return self.beta
 
     @property
     def batch_shape(self) -> Shape:
@@ -957,11 +972,25 @@ class Categorical(Distribution):
 class MultivariateNormal(Distribution):
     r"""Multivariate normal parameterized by ``loc`` and lower-triangular
     ``scale_tril`` (reference usage: GMM full covariance,
-    zuko/mixtures.py:86-93)."""
+    zuko/mixtures.py:86-93).
 
-    def __init__(self, loc, scale_tril=None, covariance_matrix=None):
+    Argument order matches torch (``loc, covariance_matrix,
+    precision_matrix, scale_tril``): ``MultivariateNormal(mu, Sigma)``
+    passes a COVARIANCE second, like a ported script expects — the
+    earlier scale_tril-second order silently Cholesky-skipped it."""
+
+    def __init__(self, loc, covariance_matrix=None, precision_matrix=None,
+                 scale_tril=None):
         self.loc = jnp.asarray(loc)
         if scale_tril is None:
+            if covariance_matrix is None:
+                # Sigma = P^-1; L = chol(Sigma) from chol(P) by inverse
+                Lp = jnp.linalg.cholesky(jnp.asarray(precision_matrix))
+                eye = jnp.broadcast_to(
+                    jnp.eye(Lp.shape[-1], dtype=Lp.dtype), Lp.shape)
+                Lp_inv = jax.scipy.linalg.solve_triangular(
+                    Lp, eye, lower=True)
+                covariance_matrix = jnp.swapaxes(Lp_inv, -1, -2) @ Lp_inv
             scale_tril = jnp.linalg.cholesky(jnp.asarray(covariance_matrix))
         self.scale_tril = jnp.asarray(scale_tril)
 
@@ -1015,7 +1044,8 @@ class MultivariateNormal(Distribution):
         d = self.event_shape[0]
         return MultivariateNormal(
             jnp.broadcast_to(self.loc, tuple(batch_shape) + (d,)),
-            jnp.broadcast_to(self.scale_tril, tuple(batch_shape) + (d, d)),
+            scale_tril=jnp.broadcast_to(
+                self.scale_tril, tuple(batch_shape) + (d, d)),
         )
 
     @property
@@ -1028,9 +1058,13 @@ class Independent(Distribution):
     event dimensions (the torch ``Independent`` the reference builds on, e.g.
     zuko/distributions.py:337-363)."""
 
-    def __init__(self, base: Distribution, ndims: int):
-        self.base = base
-        self.ndims = int(ndims)
+    def __init__(self, base_distribution: Distribution = None,
+                 reinterpreted_batch_ndims: int = None, *, base=None,
+                 ndims=None):
+        # torch keyword names accepted alongside the short local ones
+        self.base = base if base is not None else base_distribution
+        self.ndims = int(
+            ndims if ndims is not None else reinterpreted_batch_ndims)
 
     @property
     def has_rsample(self) -> bool:
