@@ -692,3 +692,51 @@ def test_torch_constructor_conventions(key):
     i = zd.Independent(base_distribution=zd.Normal(jnp.zeros(3), jnp.ones(3)),
                        reinterpreted_batch_ndims=1)
     assert i.event_shape == (3,)
+
+
+def test_constraints_and_transform_registries(key):
+    r"""``constraints`` + ``biject_to``/``transform_to``/
+    ``identity_transform`` (the torch functional namespace,
+    torch.distributions.__all__): biject_to output satisfies the
+    constraint and round-trips; simplex gets stick-breaking (bijective)
+    vs softmax (transform_to); cholesky parameterizations check out."""
+    from zuko_tpu import distributions as zd
+
+    C = zd.constraints
+    for c in [C.positive, C.unit_interval, C.simplex,
+              C.interval(-2.0, 3.0), C.greater_than(1.5), C.less_than(-0.5),
+              C.real, C.independent(C.positive, 1)]:
+        t = zd.biject_to(c)
+        x = jax.random.normal(key, (16, 4))
+        y = t.forward(x)
+        assert bool(jnp.all(c.check(y))), c
+        assert jnp.abs(t.inverse(y) - x).max() < 1e-5, c
+
+    y = zd.biject_to(C.simplex).forward(jax.random.normal(key, (8, 3)))
+    assert y.shape == (8, 4)
+    ys = zd.transform_to(C.simplex).forward(jax.random.normal(key, (8, 4)))
+    assert ys.shape == (8, 4) and jnp.allclose(ys.sum(-1), 1.0, atol=1e-6)
+
+    L = zd.transform_to(C.lower_cholesky).forward(
+        jax.random.normal(key, (4, 4)))
+    assert bool(C.lower_cholesky.check(L))
+    Lc = zd.biject_to(C.corr_cholesky).forward(jax.random.normal(key, (6,)))
+    assert bool(C.corr_cholesky.check(Lc))
+    P = zd.transform_to(C.positive_definite).forward(
+        jax.random.normal(key, (3, 3)))
+    assert bool(C.positive_definite.check(P))
+
+    assert float(zd.identity_transform(jnp.asarray(2.5))) == 2.5
+    with pytest.raises(NotImplementedError):
+        zd.biject_to(C.boolean)
+
+    # user registration
+    class MyConstraint(C.Constraint):
+        def check(self, x):
+            return x > 42
+
+    zd.biject_to.register(MyConstraint)(
+        lambda c: zd.ComposeTransform(
+            zd.ExpTransform(), zd.AffineTransform(42.0, 1.0)))
+    t = zd.biject_to(MyConstraint())
+    assert bool(jnp.all(t.forward(jax.random.normal(key, (8,))) > 42))

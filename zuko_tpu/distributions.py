@@ -3019,3 +3019,16 @@ def _(p, q):
         diff[..., None], lower=True)[..., 0]
     maha = jnp.sum(y * y, axis=-1)
     return half_q - half_p + 0.5 * (trace + maha - D)
+
+
+# torch-namespace functional surface: the constraints module and the
+# constraint -> transform registries (torch.distributions re-exports
+# biject_to / transform_to / identity_transform in its __all__).
+from . import constraints  # noqa: E402,F401
+from .constraints import biject_to, transform_to  # noqa: E402,F401
+from .transforms import IdentityTransform as _IdT  # noqa: E402
+
+identity_transform = _IdT()
+
+__all__ = __all__ + ["constraints", "biject_to", "transform_to",
+                     "identity_transform"]
