@@ -740,3 +740,73 @@ def test_constraints_and_transform_registries(key):
             zd.ExpTransform(), zd.AffineTransform(42.0, 1.0)))
     t = zd.biject_to(MyConstraint())
     assert bool(jnp.all(t.forward(jax.random.normal(key, (8,))) > 42))
+
+
+def test_support_variance_stddev(key):
+    r"""``d.support`` (constraint objects enabling ``biject_to(d.support)``,
+    the canonical torch VI pattern), ``d.variance``/``d.stddev`` — pinned
+    against torch on CPU f64."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+
+    torch.set_default_dtype(torch.float64)
+    L = np.linalg.cholesky(np.array([[2.0, 0.6], [0.6, 1.0]]))
+    pairs = [
+        (zd.Normal(0.3, 1.7), td.Normal(0.3, 1.7)),
+        (zd.Uniform(0.0, 2.0), td.Uniform(0.0, 2.0)),
+        (zd.Laplace(0.0, 1.3), td.Laplace(0.0, 1.3)),
+        (zd.Exponential(2.1), td.Exponential(2.1)),
+        (zd.Gamma(2.0, 1.5), td.Gamma(2.0, 1.5)),
+        (zd.Beta(2.0, 3.0), td.Beta(2.0, 3.0)),
+        (zd.Poisson(2.0), td.Poisson(2.0)),
+        (zd.Bernoulli(0.3), td.Bernoulli(0.3)),
+        (zd.Binomial(10, probs=0.3), td.Binomial(10, 0.3)),
+        (zd.Geometric(0.3), td.Geometric(0.3)),
+        (zd.NegativeBinomial(6.0, probs=0.4),
+         td.NegativeBinomial(6.0, probs=0.4)),
+        (zd.StudentT(4.0), td.StudentT(4.0)),
+        (zd.Gumbel(0.0, 1.2), td.Gumbel(0.0, 1.2)),
+        (zd.Weibull(1.0, 2.0), td.Weibull(1.0, 2.0)),
+        (zd.LogNormal(0.0, 1.0), td.LogNormal(0.0, 1.0)),
+        (zd.Pareto(2.0, 3.0), td.Pareto(2.0, 3.0)),
+        (zd.HalfNormal(1.0), td.HalfNormal(1.0)),
+        (zd.Dirichlet(jnp.ones(3)), td.Dirichlet(torch.ones(3))),
+        (zd.MultivariateNormal(jnp.zeros(2), scale_tril=jnp.asarray(L)),
+         td.MultivariateNormal(torch.zeros(2), scale_tril=torch.tensor(L))),
+        (zd.Independent(zd.Normal(jnp.zeros(3), jnp.ones(3) * 1.5), 1),
+         td.Independent(td.Normal(torch.zeros(3), torch.ones(3) * 1.5), 1)),
+    ]
+    for zdist, tdist in pairs:
+        v = np.asarray(zdist.variance)
+        vt = tdist.variance.numpy()
+        assert np.allclose(v, vt, atol=1e-10), (type(zdist).__name__, v, vt)
+        assert np.allclose(np.asarray(zdist.stddev), np.sqrt(vt), atol=1e-10)
+
+    # support objects feed biject_to and samples satisfy them
+    for d in [zd.Normal(0.0, 1.0), zd.Gamma(2.0, 1.0), zd.Uniform(0.0, 2.0),
+              zd.Beta(2.0, 3.0), zd.Dirichlet(jnp.ones(3)),
+              zd.DiagNormal(jnp.zeros(3), jnp.ones(3))]:
+        s = d.support
+        x = d.sample(key, (64,))
+        assert bool(jnp.all(s.check(x))), type(d).__name__
+        t = zd.biject_to(s)
+        u = jax.random.normal(key, (8, 3) if s.event_dim else (8,))
+        assert bool(jnp.all(s.check(t.forward(u)))), type(d).__name__
+
+    # discrete supports
+    assert bool(jnp.all(zd.Poisson(2.0).support.check(
+        zd.Poisson(2.0).sample(key, (64,)))))
+    assert not bool(zd.Binomial(10, probs=0.3).support.check(
+        jnp.asarray(11.0)))
+
+    # transform signs (torch parity)
+    from zuko_tpu import transforms as zt
+    assert zt.ExpTransform().sign == 1
+    assert float(zt.AffineTransform(0.0, -2.0).sign) == -1.0
+    assert float(zt.ComposedTransform(
+        zt.ExpTransform(), zt.AffineTransform(0.0, -1.0)).sign) == -1.0
+    assert zt.ExpTransform().inv.sign == 1
+    with pytest.raises(NotImplementedError):
+        zt.PermutationTransform(jnp.arange(3)).sign

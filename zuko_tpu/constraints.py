@@ -320,3 +320,60 @@ def _register_defaults():
 
 
 _register_defaults()
+
+
+class _IntegerGreaterThan(Constraint):
+    is_discrete = True
+
+    def __init__(self, lower_bound):
+        self.lower_bound = lower_bound
+
+    def check(self, x):
+        return (x >= self.lower_bound) & (x == jnp.floor(x))
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.lower_bound == other.lower_bound)
+
+    def __hash__(self):
+        return hash((type(self), self.lower_bound))
+
+
+class _IntegerInterval(Constraint):
+    is_discrete = True
+
+    def __init__(self, lower_bound, upper_bound):
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+
+    def check(self, x):
+        return ((x >= self.lower_bound) & (x <= self.upper_bound)
+                & (x == jnp.floor(x)))
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.lower_bound == other.lower_bound
+                and bool(jnp.all(jnp.asarray(self.upper_bound)
+                                 == jnp.asarray(other.upper_bound))))
+
+    def __hash__(self):
+        return hash((type(self), self.lower_bound, str(self.upper_bound)))
+
+
+class _OneHot(Constraint):
+    is_discrete = True
+    event_dim = 1
+
+    def check(self, x):
+        return jnp.all((x == 0) | (x == 1), axis=-1) & (
+            jnp.sum(x, axis=-1) == 1
+        )
+
+
+integer_interval = _IntegerInterval
+nonnegative_integer = _IntegerGreaterThan(0)
+positive_integer = _IntegerGreaterThan(1)
+one_hot = _OneHot()
+
+__all__ += ["integer_interval", "nonnegative_integer", "positive_integer",
+            "one_hot"]

@@ -3032,3 +3032,189 @@ identity_transform = _IdT()
 
 __all__ = __all__ + ["constraints", "biject_to", "transform_to",
                      "identity_transform"]
+
+
+# ------------------------------------------------ support / variance
+# ``d.support`` (a constraint — enables the canonical torch VI pattern
+# ``biject_to(d.support)``) and ``d.variance``/``d.stddev``, registry-
+# dispatched like entropy above. Support objects mirror torch's exactly
+# (GreaterThanEq vs GreaterThan distinctions included).
+
+_SUPPORT_REGISTRY: dict = {}
+_VARIANCE_REGISTRY: dict = {}
+
+
+def register_support(cls):
+    def decorator(fn):
+        _SUPPORT_REGISTRY[cls] = fn
+        return fn
+    return decorator
+
+
+def register_variance(cls):
+    def decorator(fn):
+        _VARIANCE_REGISTRY[cls] = fn
+        return fn
+    return decorator
+
+
+def _registry_prop(registry, what):
+    def prop(self):
+        for cls in type(self).__mro__:
+            fn = registry.get(cls)
+            if fn is not None:
+                return fn(self)
+        raise NotImplementedError(
+            f"{what} is not implemented for {type(self).__name__}"
+        )
+    return property(prop)
+
+
+Distribution.support = _registry_prop(_SUPPORT_REGISTRY, "support")
+Distribution.variance = _registry_prop(_VARIANCE_REGISTRY, "variance")
+Distribution.stddev = property(lambda self: jnp.sqrt(self.variance))
+
+from . import constraints as _C  # noqa: E402
+
+for _cls in (Normal, Cauchy, StudentT, Laplace, Gumbel, GeneralizedNormal):
+    register_support(_cls)(lambda d: _C.real)
+for _cls in (Gamma, Exponential, HalfNormal, HalfCauchy):
+    register_support(_cls)(lambda d: _C.greater_than_eq(0.0))
+for _cls in (LogNormal, Weibull, FisherSnedecor, InverseGamma):
+    register_support(_cls)(lambda d: _C.greater_than(0.0))
+for _cls in (Beta, Kumaraswamy, ContinuousBernoulli, RelaxedBernoulli):
+    register_support(_cls)(lambda d: _C.unit_interval)
+register_support(Uniform)(lambda d: _C.interval(d.low, d.high))
+register_support(Pareto)(lambda d: _C.greater_than_eq(d.scale))
+for _cls in (Poisson, Geometric, NegativeBinomial):
+    register_support(_cls)(lambda d: _C.nonnegative_integer)
+register_support(Binomial)(
+    lambda d: _C.integer_interval(0, d.total_count))
+register_support(Bernoulli)(lambda d: _C.boolean)
+register_support(Categorical)(
+    lambda d: _C.integer_interval(0, d.logits.shape[-1] - 1))
+for _cls in (Dirichlet, LogisticNormal, RelaxedOneHotCategorical):
+    register_support(_cls)(lambda d: _C.simplex)
+register_support(OneHotCategorical)(lambda d: _C.one_hot)
+for _cls in (MultivariateNormal, LowRankMultivariateNormal, NormalizingFlow):
+    register_support(_cls)(lambda d: _C.real_vector)
+register_support(Wishart)(lambda d: _C.positive_definite)
+register_support(LKJCholesky)(lambda d: _C.corr_cholesky)
+register_support(Independent)(
+    lambda d: _C.independent(d.base.support, d.ndims))
+
+
+@register_variance(Normal)
+def _(d):
+    return jnp.broadcast_to(d.scale**2, d.batch_shape)
+
+
+@register_variance(Uniform)
+def _(d):
+    return jnp.broadcast_to((d.high - d.low) ** 2 / 12, d.batch_shape)
+
+
+@register_variance(Laplace)
+def _(d):
+    return jnp.broadcast_to(2 * d.scale**2, d.batch_shape)
+
+
+@register_variance(Exponential)
+def _(d):
+    return 1 / d.rate**2
+
+
+@register_variance(Gamma)
+def _(d):
+    return d.concentration / d.rate**2
+
+
+@register_variance(Beta)
+def _(d):
+    a, b = d.alpha, d.beta
+    return a * b / ((a + b) ** 2 * (a + b + 1))
+
+
+@register_variance(Poisson)
+def _(d):
+    return d.rate
+
+
+@register_variance(Bernoulli)
+def _(d):
+    p = jnp.broadcast_to(d.probs, d.batch_shape)
+    return p * (1 - p)
+
+
+@register_variance(Binomial)
+def _(d):
+    return d.total_count * d.probs * (1 - d.probs)
+
+
+@register_variance(Geometric)
+def _(d):
+    return (1 - d.probs) / d.probs**2
+
+
+@register_variance(NegativeBinomial)
+def _(d):
+    return d.total_count * d.probs / (1 - d.probs) ** 2
+
+
+@register_variance(StudentT)
+def _(d):
+    v = jnp.broadcast_to(d.df, d.batch_shape)
+    s = jnp.broadcast_to(d.scale, d.batch_shape)
+    out = s**2 * v / (v - 2)
+    return jnp.where(v > 2, out, jnp.where(v > 1, jnp.inf, jnp.nan))
+
+
+@register_variance(Gumbel)
+def _(d):
+    return jnp.broadcast_to(
+        (math.pi**2 / 6) * d.scale**2, d.batch_shape)
+
+
+@register_variance(Weibull)
+def _(d):
+    lam, k = jnp.broadcast_arrays(d.scale, d.concentration)
+    g1 = jnp.exp(jsp.gammaln(1 + 1 / k))
+    g2 = jnp.exp(jsp.gammaln(1 + 2 / k))
+    return lam**2 * (g2 - g1**2)
+
+
+@register_variance(LogNormal)
+def _(d):
+    s2 = jnp.broadcast_to(d.scale**2, d.batch_shape)
+    mu = jnp.broadcast_to(d.loc, d.batch_shape)
+    return jnp.expm1(s2) * jnp.exp(2 * mu + s2)
+
+
+@register_variance(Pareto)
+def _(d):
+    s, a = jnp.broadcast_arrays(d.scale, d.alpha)
+    out = s**2 * a / ((a - 1) ** 2 * (a - 2))
+    return jnp.where(a > 2, out, jnp.inf)
+
+
+@register_variance(HalfNormal)
+def _(d):
+    return d.scale**2 * (1 - 2 / math.pi)
+
+
+@register_variance(Dirichlet)
+def _(d):
+    a = d.concentration
+    a0 = jnp.sum(a, axis=-1, keepdims=True)
+    return a * (a0 - a) / (a0**2 * (a0 + 1))
+
+
+@register_variance(MultivariateNormal)
+def _(d):
+    cov_diag = jnp.sum(d.scale_tril**2, axis=-1)
+    return jnp.broadcast_to(cov_diag, d.batch_shape + d.event_shape)
+
+
+@register_variance(Independent)
+def _(d):
+    return d.base.variance

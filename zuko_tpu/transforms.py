@@ -129,6 +129,15 @@ class Transform(Module):
     def inv(self) -> "Transform":
         return Inverse(self)
 
+    #: +1 for increasing, -1 for decreasing bijections (torch parity);
+    #: elementwise monotone transforms override. Non-monotone transforms
+    #: leave it undefined.
+    @property
+    def sign(self) -> int:
+        raise NotImplementedError(
+            f"sign is not defined for {type(self).__name__}"
+        )
+
     def forward_shape(self, shape: Shape) -> Shape:
         return tuple(shape)
 
@@ -173,6 +182,10 @@ class Inverse(Transform):
     def inv(self) -> Transform:
         return self.base
 
+    @property
+    def sign(self):
+        return self.base.sign
+
     def forward_shape(self, shape):
         return self.base.inverse_shape(shape)
 
@@ -200,6 +213,13 @@ class ComposedTransform(Transform):
             event_dim += t.codomain_dim - t.domain_dim
         self._codomain_dim = event_dim
         self.transforms = list(transforms)
+
+    @property
+    def sign(self):
+        s = 1
+        for t in self.transforms:
+            s = s * t.sign
+        return s
 
     @property
     def domain_dim(self) -> int:
@@ -434,6 +454,10 @@ class AffineTransform(Transform):
     def log_abs_det_jacobian(self, x, y):
         shape = jnp.broadcast_shapes(x.shape, self.scale.shape)
         return jnp.broadcast_to(jnp.log(jnp.abs(self.scale)), shape)
+
+    @property
+    def sign(self):
+        return jnp.sign(self.scale)
 
 
 class SoftclipTransform(Transform):
@@ -1656,3 +1680,18 @@ class CumulativeDistributionTransform(Transform):
 #: torch-namespace alias (torch calls the composition ``ComposeTransform``;
 #: the reference's own fused variant is :class:`ComposedTransform`).
 ComposeTransform = ComposedTransform
+
+
+# Monotone-increasing elementwise transforms carry sign = +1 (torch
+# parity; AffineTransform/ComposedTransform/Inverse compute theirs
+# dynamically, non-monotone transforms raise).
+for _cls in (IdentityTransform, ExpTransform, SigmoidTransform,
+             SoftplusTransform, TanhTransform, SoftclipTransform,
+             CircularShiftTransform, AdditiveTransform,
+             MonotonicAffineTransform, MonotonicRQSTransform,
+             MonotonicTransform, SignedPowerTransform, SinTransform,
+             CosTransform, PowerTransform, BernsteinTransform,
+             GaussianizationTransform, UnconstrainedMonotonicTransform,
+             SOSPolynomialTransform, CumulativeDistributionTransform):
+    _cls.sign = 1
+del _cls
