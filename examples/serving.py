@@ -7,7 +7,7 @@ fresh "serving" step, lay a ``(data, model)`` mesh over the available
 chips, and score a large dataset through the fused Pallas kernel under
 ``shard_map`` — each chip runs the whole-flow kernel on its shard of
 rows and XLA handles the gather-free output layout. On one v5e chip the
-fused density evaluates ~70M rows/s at D=6 (PERF.md); the mesh scales
+fused density evaluates ~144M rows/s at D=6 and production batch (PERF.md); the mesh scales
 rows across chips with no code change.
 
 Run:  python examples/serving.py            (TPU or CPU)
