@@ -810,3 +810,130 @@ def test_support_variance_stddev(key):
     assert zt.ExpTransform().inv.sign == 1
     with pytest.raises(NotImplementedError):
         zt.PermutationTransform(jnp.arange(3)).sign
+
+
+def test_mode_perplexity_enumerate_parity(key):
+    r"""``d.mode`` / ``d.perplexity()`` / ``d.enumerate_support()`` pinned
+    against torch (CPU f64) — the last slab of the implicit
+    ``torch.distributions`` surface (reference reach:
+    zuko/distributions.py:23 wildcard import)."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+
+    torch.set_default_dtype(torch.float64)
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    pairs = [
+        ("Normal", zd.Normal(1.5, 2.0), td.Normal(t(1.5), t(2.0))),
+        ("Uniform", zd.Uniform(0.0, 2.0), td.Uniform(t(0.0), t(2.0))),
+        ("Cauchy", zd.Cauchy(1.0, 2.0), td.Cauchy(t(1.0), t(2.0))),
+        ("StudentT", zd.StudentT(1.5, 1.0, 2.0),
+         td.StudentT(t(1.5), t(1.0), t(2.0))),
+        ("Laplace", zd.Laplace(1.0, 2.0), td.Laplace(t(1.0), t(2.0))),
+        ("Gumbel", zd.Gumbel(1.0, 2.0), td.Gumbel(t(1.0), t(2.0))),
+        ("VonMises", zd.VonMises(0.7, 2.0), td.VonMises(t(0.7), t(2.0))),
+        ("Exponential", zd.Exponential(2.0), td.Exponential(t(2.0))),
+        ("HalfNormal", zd.HalfNormal(1.5), td.HalfNormal(t(1.5))),
+        ("HalfCauchy", zd.HalfCauchy(1.5), td.HalfCauchy(t(1.5))),
+        ("Gamma hi", zd.Gamma(3.0, 2.0), td.Gamma(t(3.0), t(2.0))),
+        ("Gamma lo", zd.Gamma(0.5, 1.0), td.Gamma(t(0.5), t(1.0))),
+        ("Chi2", zd.Chi2(4.0), td.Chi2(t(4.0))),
+        ("LogNormal", zd.LogNormal(1.0, 0.5), td.LogNormal(t(1.0), t(0.5))),
+        ("Weibull hi", zd.Weibull(2.0, 3.0), td.Weibull(t(2.0), t(3.0))),
+        ("Pareto", zd.Pareto(2.0, 3.0), td.Pareto(t(2.0), t(3.0))),
+        ("Poisson", zd.Poisson(jnp.asarray([2.5, 3.0])),
+         td.Poisson(t([2.5, 3.0]))),
+        ("InverseGamma", zd.InverseGamma(3.0, 2.0),
+         td.InverseGamma(t(3.0), t(2.0))),
+        ("Geometric", zd.Geometric(0.3), td.Geometric(t(0.3))),
+        ("Bernoulli", zd.Bernoulli(jnp.asarray([0.3, 0.5, 0.7])),
+         td.Bernoulli(probs=t([0.3, 0.5, 0.7]))),
+        ("Binomial", zd.Binomial(10, probs=jnp.asarray([0.3, 0.99])),
+         td.Binomial(10, probs=t([0.3, 0.99]))),
+        ("NegativeBinomial", zd.NegativeBinomial(5.0, probs=0.3),
+         td.NegativeBinomial(t(5.0), probs=t(0.3))),
+        ("Categorical", zd.Categorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+         td.Categorical(probs=t([0.2, 0.5, 0.3]))),
+        ("OneHotCategorical",
+         zd.OneHotCategorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+         td.OneHotCategorical(probs=t([0.2, 0.5, 0.3]))),
+        ("Beta hi", zd.Beta(3.0, 2.0), td.Beta(t(3.0), t(2.0))),
+        ("Beta lo", zd.Beta(0.5, 0.5), td.Beta(t(0.5), t(0.5))),
+        ("Beta edge", zd.Beta(1.0, 1.0), td.Beta(t(1.0), t(1.0))),
+        ("Dirichlet hi", zd.Dirichlet(jnp.asarray([2.0, 3.0, 4.0])),
+         td.Dirichlet(t([2.0, 3.0, 4.0]))),
+        ("Dirichlet mix", zd.Dirichlet(jnp.asarray([0.5, 3.0, 4.0])),
+         td.Dirichlet(t([0.5, 3.0, 4.0]))),
+        ("FisherSnedecor hi", zd.FisherSnedecor(3.0, 4.0),
+         td.FisherSnedecor(t(3.0), t(4.0))),
+        ("FisherSnedecor lo", zd.FisherSnedecor(1.5, 4.0),
+         td.FisherSnedecor(t(1.5), t(4.0))),
+        ("MultivariateNormal",
+         zd.MultivariateNormal(jnp.asarray([1.0, -1.0]), jnp.eye(2) * 2.0),
+         td.MultivariateNormal(t([1.0, -1.0]), t(np.eye(2) * 2.0))),
+        ("Wishart hi",
+         zd.Wishart(5.0, covariance_matrix=jnp.eye(2) * 0.5),
+         td.Wishart(df=t(5.0), covariance_matrix=t(np.eye(2) * 0.5))),
+        ("Independent",
+         zd.Independent(zd.Normal(jnp.zeros(3), jnp.ones(3)), 1),
+         td.Independent(td.Normal(torch.zeros(3), torch.ones(3)), 1)),
+    ]
+    for name, zdist, tdist in pairs:
+        mz = np.asarray(zdist.mode, dtype=np.float64)
+        mt = tdist.mode.numpy().astype(np.float64)
+        both_nan = np.isnan(mz) & np.isnan(mt)
+        assert mz.shape == mt.shape, name
+        assert np.all(both_nan | (np.abs(mz - mt) < 1e-8)), (name, mz, mt)
+
+    # torch's Weibull.mode applies the k>1 formula unconditionally
+    # ((k-1)/k)^(1/k) is garbage for k<1); ours returns the true mode 0.
+    assert float(zd.Weibull(2.0, 0.5).mode) == 0.0
+
+    # torch's Kumaraswamy.mode log1p(-c0) NaNs for c0 > 1 (upstream
+    # anomaly); we pin the analytic mode instead.
+    km = float(zd.Kumaraswamy(2.0, 3.0).mode)
+    assert abs(km - (1.0 / 5.0) ** 0.5) < 1e-12
+    assert bool(jnp.isnan(zd.Kumaraswamy(0.5, 3.0).mode))
+
+    # perplexity = exp(entropy)
+    for name, zdist, tdist in [
+        ("Categorical", zd.Categorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+         td.Categorical(probs=t([0.2, 0.5, 0.3]))),
+        ("Normal", zd.Normal(0.0, 2.0), td.Normal(t(0.0), t(2.0))),
+    ]:
+        pz = float(zdist.perplexity())
+        pt = float(tdist.perplexity())
+        assert abs(pz - pt) < 1e-8, (name, pz, pt)
+
+    # enumerate_support: shapes, values, expand=False, flags
+    for name, zdist, tdist in [
+        ("Bernoulli", zd.Bernoulli(jnp.asarray([0.3, 0.7])),
+         td.Bernoulli(probs=t([0.3, 0.7]))),
+        ("Categorical",
+         zd.Categorical(probs=jnp.asarray([[0.2, 0.5, 0.3],
+                                           [0.1, 0.1, 0.8]])),
+         td.Categorical(probs=t([[0.2, 0.5, 0.3], [0.1, 0.1, 0.8]]))),
+        ("Binomial", zd.Binomial(3, probs=jnp.asarray([0.3])),
+         td.Binomial(3, probs=t([0.3]))),
+        ("OneHotCategorical",
+         zd.OneHotCategorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+         td.OneHotCategorical(probs=t([0.2, 0.5, 0.3]))),
+    ]:
+        assert zdist.has_enumerate_support, name
+        for expand in (True, False):
+            ez = np.asarray(zdist.enumerate_support(expand=expand),
+                            dtype=np.float64)
+            et = tdist.enumerate_support(expand=expand).numpy().astype(
+                np.float64)
+            assert ez.shape == et.shape, (name, expand)
+            assert np.abs(ez - et).max() == 0.0, (name, expand)
+        # every enumerated value scores a finite log_prob
+        lp = zdist.log_prob(zdist.enumerate_support())
+        assert bool(jnp.all(jnp.isfinite(lp))), name
+    assert not zd.Normal(0.0, 1.0).has_enumerate_support
+    with pytest.raises(NotImplementedError):
+        zd.Normal(0.0, 1.0).enumerate_support()

@@ -347,3 +347,8 @@ def test_deprecated_submodule_shims():
 
     assert CoreFlow is Flow
     assert ShimGMM is GMM
+
+    # reference top-level re-export (zuko/flows/__init__.py:15)
+    from zuko_tpu.flows import GMM as TopGMM
+
+    assert TopGMM is GMM

@@ -953,6 +953,10 @@ class Categorical(Distribution):
 
     def log_prob(self, x):
         logp = jax.nn.log_softmax(self.logits, axis=-1)
+        x = jnp.asarray(x)
+        shape = jnp.broadcast_shapes(x.shape, self.batch_shape)
+        logp = jnp.broadcast_to(logp, shape + (self.num_categories,))
+        x = jnp.broadcast_to(x, shape)
         return jnp.take_along_axis(
             logp, x[..., None].astype(jnp.int32), axis=-1
         )[..., 0]
@@ -3218,3 +3222,208 @@ def _(d):
 @register_variance(Independent)
 def _(d):
     return d.base.variance
+
+
+# ------------------------------------------------ mode / perplexity / enumeration
+# The remaining ``torch.distributions.Distribution`` surface (reference
+# reach: zuko/distributions.py:23 wildcard): ``d.mode`` (registry-
+# dispatched, torch's conventions — including clamps and NaN sentinels),
+# ``d.perplexity()`` = exp(entropy), and ``d.enumerate_support(expand=)``
+# for the discrete families (+ ``has_enumerate_support`` flags).
+
+_MODE_REGISTRY: dict = {}
+
+
+def register_mode(cls):
+    def decorator(fn):
+        _MODE_REGISTRY[cls] = fn
+        return fn
+    return decorator
+
+
+Distribution.mode = _registry_prop(_MODE_REGISTRY, "mode")
+Distribution.perplexity = lambda self: jnp.exp(self.entropy())
+Distribution.has_enumerate_support = False
+
+
+def _no_enumerate(self, expand: bool = True):
+    raise NotImplementedError(
+        f"enumerate_support is not implemented for {type(self).__name__}"
+    )
+
+
+Distribution.enumerate_support = _no_enumerate
+
+
+def _nanlike(x):
+    return jnp.full_like(x, jnp.nan)
+
+
+for _cls in (Cauchy, StudentT, Laplace, Gumbel, VonMises):
+    register_mode(_cls)(
+        lambda d: jnp.broadcast_to(d.loc, d.batch_shape))
+register_mode(GeneralizedNormal)(
+    lambda d: jnp.zeros(d.batch_shape))
+register_mode(Uniform)(
+    lambda d: _nanlike(jnp.broadcast_to(d.low, d.batch_shape)))
+for _cls in (Exponential, HalfNormal, HalfCauchy, Geometric):
+    register_mode(_cls)(
+        lambda d: jnp.zeros(d.batch_shape))
+register_mode(Gamma)(
+    lambda d: jnp.clip((d.concentration - 1) / d.rate, 0.0, None))
+register_mode(LogNormal)(lambda d: jnp.exp(d.loc - d.scale**2))
+register_mode(Weibull)(
+    lambda d: jnp.where(
+        d.concentration > 1,
+        d.scale
+        * ((d.concentration - 1) / d.concentration) ** (1 / d.concentration),
+        jnp.zeros_like(d.scale),
+    )
+)
+register_mode(Pareto)(
+    lambda d: jnp.broadcast_to(d.scale, d.batch_shape))
+register_mode(Poisson)(lambda d: jnp.floor(d.rate))
+register_mode(InverseGamma)(lambda d: d.rate / (d.concentration + 1))
+
+
+@register_mode(Bernoulli)
+def _(d):
+    p = d.probs
+    return jnp.where(p == 0.5, jnp.nan, (p >= 0.5).astype(p.dtype))
+
+
+@register_mode(Binomial)
+def _(d):
+    return jnp.clip(
+        jnp.floor((d.total_count + 1) * d.probs), None, d.total_count
+    )
+
+
+@register_mode(NegativeBinomial)
+def _(d):
+    return jnp.clip(
+        jnp.floor((d.total_count - 1) * d.probs / (1 - d.probs)), 0.0, None
+    )
+
+
+@register_mode(Categorical)
+def _(d):
+    return jnp.argmax(d.logits, axis=-1)
+
+
+@register_mode(OneHotCategorical)
+def _(d):
+    idx = jnp.argmax(d.logits_, axis=-1)
+    return jax.nn.one_hot(idx, d.logits_.shape[-1], dtype=d.logits_.dtype)
+
+
+@register_mode(Beta)
+def _(d):
+    # torch routes Beta.mode through Dirichlet([c1, c0]).mode: clamped
+    # (c-1) weights, and an all-concentrations-<1 batch entry collapses
+    # to the one-hot argmax (== 1.0 at index 0 for nan rows, torch's
+    # observed convention).
+    a, b = jnp.broadcast_arrays(d.alpha, d.beta)
+    cm1a = jnp.clip(a - 1, 0.0, None)
+    cm1b = jnp.clip(b - 1, 0.0, None)
+    m = cm1a / (cm1a + cm1b)
+    return jnp.where((a < 1) & (b < 1), 1.0, m)
+
+
+@register_mode(Dirichlet)
+def _(d):
+    cm1 = jnp.clip(d.concentration - 1, 0.0, None)
+    m = cm1 / jnp.sum(cm1, axis=-1, keepdims=True)
+    all_lt1 = jnp.all(d.concentration < 1, axis=-1, keepdims=True)
+    fallback = jax.nn.one_hot(
+        jnp.argmax(m, axis=-1), m.shape[-1], dtype=m.dtype
+    )
+    return jnp.where(all_lt1, fallback, m)
+
+
+@register_mode(Kumaraswamy)
+def _(d):
+    # Analytic mode ((a-1)/(ab-1))^(1/a), NaN outside a>1, b>1. (torch
+    # 2.x's log-space expression NaNs for any concentration0 > 1 —
+    # log1p(-c0) — so exact-torch pinning is skipped for this family.)
+    a, b = jnp.broadcast_arrays(d.concentration1, d.concentration0)
+    m = ((a - 1) / (a * b - 1)) ** (1 / a)
+    return jnp.where((a > 1) & (b > 1), m, jnp.nan)
+
+
+@register_mode(FisherSnedecor)
+def _(d):
+    d1, d2 = jnp.broadcast_arrays(d.df1, d.df2)
+    m = (d1 - 2) / d1 * d2 / (d2 + 2)
+    return jnp.where(d1 > 2, m, jnp.nan)
+
+
+@register_mode(MultivariateNormal)
+def _(d):
+    return jnp.broadcast_to(d.loc, d.batch_shape + d.event_shape)
+
+
+@register_mode(LowRankMultivariateNormal)
+def _(d):
+    return jnp.broadcast_to(d.loc, d.batch_shape + d.event_shape)
+
+
+@register_mode(Wishart)
+def _(d):
+    p = d.scale_tril.shape[-1]
+    cov = d.scale_tril @ jnp.swapaxes(d.scale_tril, -1, -2)
+    factor = d.df - p - 1
+    factor = jnp.where(factor <= 0, jnp.nan, factor)
+    return factor[..., None, None] * cov
+
+
+@register_mode(Independent)
+def _(d):
+    return d.base.mode
+
+
+def _arange_support(n, batch_shape, dtype, expand):
+    values = jnp.arange(n, dtype=dtype)
+    values = values.reshape((-1,) + (1,) * len(batch_shape))
+    if expand:
+        values = jnp.broadcast_to(values, (n,) + tuple(batch_shape))
+    return values
+
+
+def _bernoulli_enumerate(self, expand: bool = True):
+    return _arange_support(
+        2, self.batch_shape, self.probs.dtype, expand)
+
+
+def _categorical_enumerate(self, expand: bool = True):
+    return _arange_support(
+        self.num_categories, self.batch_shape, jnp.int32, expand)
+
+
+def _binomial_enumerate(self, expand: bool = True):
+    n = int(self.total_count) if jnp.ndim(self.total_count) == 0 else None
+    if n is None:
+        raise NotImplementedError(
+            "Inhomogeneous total count not supported by enumerate_support."
+        )
+    return _arange_support(n + 1, self.batch_shape, self.probs.dtype, expand)
+
+
+def _onehot_enumerate(self, expand: bool = True):
+    n = self.logits_.shape[-1]
+    values = jnp.eye(n, dtype=self.logits_.dtype)
+    values = values.reshape((n,) + (1,) * len(self.batch_shape) + (n,))
+    if expand:
+        values = jnp.broadcast_to(
+            values, (n,) + tuple(self.batch_shape) + (n,))
+    return values
+
+
+for _cls, _fn in (
+    (Bernoulli, _bernoulli_enumerate),
+    (Categorical, _categorical_enumerate),
+    (Binomial, _binomial_enumerate),
+    (OneHotCategorical, _onehot_enumerate),
+):
+    _cls.enumerate_support = _fn
+    _cls.has_enumerate_support = True

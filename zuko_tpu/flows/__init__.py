@@ -8,6 +8,7 @@ from .autoregressive import MAF, MaskedAutoregressiveTransform  # noqa: F401
 from .continuous import CNF, FFJTransform  # noqa: F401
 from .coupling import NICE, GeneralCouplingTransform, RealNVP  # noqa: F401
 from .gaussianization import GF, ElementWiseTransform  # noqa: F401
+from .mixture import GMM  # noqa: F401
 from .neural import MNN, NAF, UMNN, UNAF  # noqa: F401
 from .polynomial import BPF, SOSPF  # noqa: F401
 from .spline import NCSF, NSF  # noqa: F401
@@ -29,6 +30,7 @@ __all__ = [
     "FFJTransform",
     "Flow",
     "GF",
+    "GMM",
     "GeneralCouplingTransform",
     "LazyComposedTransform",
     "LazyDistribution",
