@@ -937,3 +937,86 @@ def test_mode_perplexity_enumerate_parity(key):
     assert not zd.Normal(0.0, 1.0).has_enumerate_support
     with pytest.raises(NotImplementedError):
         zd.Normal(0.0, 1.0).enumerate_support()
+
+
+def test_sample_shape_contract_sweep(key):
+    r"""Generic contract over EVERY public family with batch_shape (2,):
+    ``sample(key, (5,))`` has shape ``(5,) + batch + event``, ``log_prob``
+    of it has shape ``(5,) + batch``, and row 0 evaluated standalone
+    agrees — the sample-shape broadcast law torch guarantees implicitly
+    (the Categorical take_along_axis bug class)."""
+    import zuko_tpu.distributions as D
+
+    v2 = jnp.asarray([0.5, 1.5])
+    p2 = jnp.asarray([0.3, 0.7])
+    P2 = jnp.asarray([[0.2, 0.5, 0.3], [0.1, 0.1, 0.8]])
+    cases = {
+        "Normal": D.Normal(v2, v2),
+        "Uniform": D.Uniform(jnp.zeros(2), v2),
+        "Bernoulli": D.Bernoulli(p2),
+        "Laplace": D.Laplace(v2, v2),
+        "Exponential": D.Exponential(v2),
+        "LogNormal": D.LogNormal(v2, v2),
+        "Cauchy": D.Cauchy(v2, v2),
+        "StudentT": D.StudentT(3.0 + v2, v2, v2),
+        "Gumbel": D.Gumbel(v2, v2),
+        "Gamma": D.Gamma(v2 + 1, v2),
+        "Beta": D.Beta(v2 + 1, v2 + 1),
+        "HalfNormal": D.HalfNormal(v2),
+        "Chi2": D.Chi2(v2 + 2),
+        "Weibull": D.Weibull(v2, v2 + 1),
+        "Poisson": D.Poisson(v2 + 1),
+        "Binomial": D.Binomial(5, probs=p2),
+        "Dirichlet": D.Dirichlet(jnp.ones((2, 3)) + 1),
+        "VonMises": D.VonMises(v2, v2 + 1),
+        "Categorical": D.Categorical(probs=P2),
+        "MultivariateNormal": D.MultivariateNormal(
+            jnp.zeros((2, 3)), jnp.broadcast_to(jnp.eye(3), (2, 3, 3))),
+        "Independent": D.Independent(
+            D.Normal(jnp.zeros((2, 3)), jnp.ones((2, 3))), 1),
+        "GeneralizedNormal": D.GeneralizedNormal(v2 + 2),
+        "Geometric": D.Geometric(p2),
+        "Pareto": D.Pareto(v2, v2 + 2),
+        "HalfCauchy": D.HalfCauchy(v2),
+        "InverseGamma": D.InverseGamma(v2 + 2, v2),
+        "Kumaraswamy": D.Kumaraswamy(v2 + 1, v2 + 1),
+        "ContinuousBernoulli": D.ContinuousBernoulli(p2),
+        "FisherSnedecor": D.FisherSnedecor(v2 + 2, v2 + 3),
+        "GeneralizedPareto": D.GeneralizedPareto(jnp.zeros(2), v2, p2 * 0.3),
+        "NegativeBinomial": D.NegativeBinomial(5.0, probs=p2),
+        "Multinomial": D.Multinomial(4, probs=P2),
+        "OneHotCategorical": D.OneHotCategorical(probs=P2),
+        "RelaxedBernoulli": D.RelaxedBernoulli(0.7, probs=p2),
+        "RelaxedOneHotCategorical": D.RelaxedOneHotCategorical(
+            jnp.asarray(0.7), probs=P2),
+        "LowRankMultivariateNormal": D.LowRankMultivariateNormal(
+            jnp.zeros((2, 3)), jnp.ones((2, 3, 1)) * 0.3, jnp.ones((2, 3))),
+        "Wishart": D.Wishart(
+            jnp.asarray([5.0, 6.0]),
+            covariance_matrix=jnp.broadcast_to(jnp.eye(2), (2, 2, 2))),
+        "LKJCholesky": D.LKJCholesky(3, jnp.asarray([1.0, 2.0])),
+        "DiagNormal": D.DiagNormal(jnp.zeros((2, 3)), jnp.ones((2, 3))),
+        "BoxUniform": D.BoxUniform(jnp.zeros((2, 3)), jnp.ones((2, 3))),
+        "Truncated": D.Truncated(D.Normal(v2, v2), -1.0, 1.0),
+        "Sort": D.Sort(D.Normal(v2, v2), 3),
+        "TopK": D.TopK(D.Normal(v2, v2), 2, 3),
+        "Minimum": D.Minimum(D.Normal(v2, v2), 3),
+        "Maximum": D.Maximum(D.Normal(v2, v2), 3),
+        "Joint": D.Joint(D.Normal(v2, v2), D.Normal(v2, v2)),
+        "Mixture": D.Mixture(
+            D.Normal(jnp.zeros((2, 4)), jnp.ones((2, 4))), jnp.zeros((2, 4))),
+        "MixtureSameFamily": D.MixtureSameFamily(
+            D.Categorical(probs=jnp.ones((2, 4)) / 4),
+            D.Normal(jnp.zeros((2, 4)), jnp.ones((2, 4)))),
+        "LogisticNormal": D.LogisticNormal(jnp.zeros((2, 3)), jnp.ones((2, 3))),
+    }
+    for name, d in cases.items():
+        bs = tuple(d.batch_shape)
+        x = d.sample(key, (5,))
+        assert x.shape == (5,) + bs + tuple(d.event_shape), name
+        lp = d.log_prob(x)
+        assert lp.shape == (5,) + bs, (name, lp.shape)
+        lp0 = d.log_prob(x[0])
+        assert np.allclose(
+            np.asarray(lp0), np.asarray(lp[0]), atol=1e-10, equal_nan=True
+        ), name
