@@ -1020,3 +1020,18 @@ def test_sample_shape_contract_sweep(key):
         assert np.allclose(
             np.asarray(lp0), np.asarray(lp[0]), atol=1e-10, equal_nan=True
         ), name
+
+
+def test_torch_namespace_all_diff_empty():
+    r"""The whole implicit namespace the reference re-exports
+    (zuko/distributions.py:23, zuko/transforms.py:37 wildcard imports):
+    every name in ``torch.distributions.__all__`` and
+    ``torch.distributions.transforms.__all__`` resolves here."""
+    import torch.distributions as td
+    import torch.distributions.transforms as tt
+
+    from zuko_tpu import distributions as zd
+    from zuko_tpu import transforms as zt
+
+    assert [n for n in td.__all__ if not hasattr(zd, n)] == []
+    assert [n for n in tt.__all__ if not hasattr(zt, n)] == []

@@ -3030,9 +3030,7 @@ def _(p, q):
 # biject_to / transform_to / identity_transform in its __all__).
 from . import constraints  # noqa: E402,F401
 from .constraints import biject_to, transform_to  # noqa: E402,F401
-from .transforms import IdentityTransform as _IdT  # noqa: E402
-
-identity_transform = _IdT()
+from .transforms import identity_transform  # noqa: E402,F401
 
 __all__ = __all__ + ["constraints", "biject_to", "transform_to",
                      "identity_transform"]

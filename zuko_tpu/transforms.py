@@ -1695,3 +1695,6 @@ for _cls in (IdentityTransform, ExpTransform, SigmoidTransform,
              SOSPolynomialTransform, CumulativeDistributionTransform):
     _cls.sign = 1
 del _cls
+
+# torch.distributions.transforms parity: the module-level singleton.
+identity_transform = IdentityTransform()
