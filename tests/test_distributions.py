@@ -1035,3 +1035,93 @@ def test_torch_namespace_all_diff_empty():
 
     assert [n for n in td.__all__ if not hasattr(zd, n)] == []
     assert [n for n in tt.__all__ if not hasattr(zt, n)] == []
+
+
+def test_kl_divergence_extended_pairs():
+    r"""Round-4 KL breadth: the remaining same-family closed forms torch
+    registers (Cauchy, Gumbel, HalfNormal, Pareto, Binomial,
+    ContinuousBernoulli, LowRank/MVN Gaussians in all combinations) and
+    torch's (TransformedDistribution, TransformedDistribution)
+    same-transform contract — all pinned against torch on CPU f64."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+    from zuko_tpu import transforms as zt
+
+    torch.set_default_dtype(torch.float64)
+
+    def t(x):
+        return torch.tensor(np.asarray(x, dtype=np.float64))
+
+    W = np.asarray([[0.3], [0.7], [-0.2]])
+    dg = np.asarray([1.0, 0.5, 2.0])
+    mu = np.asarray([0.1, -0.3, 0.4])
+    L = np.linalg.cholesky(np.asarray(
+        [[2.0, 0.6, 0.0], [0.6, 1.0, 0.2], [0.0, 0.2, 1.5]]))
+
+    lr = lambda m: zd.LowRankMultivariateNormal(
+        jnp.asarray(m), jnp.asarray(W), jnp.asarray(dg))
+    tlr = lambda m: td.LowRankMultivariateNormal(t(m), t(W), t(dg))
+
+    cases = [
+        ("Cauchy", zd.Cauchy(0.3, 1.7), zd.Cauchy(-0.5, 0.9),
+         td.Cauchy(t(0.3), t(1.7)), td.Cauchy(t(-0.5), t(0.9))),
+        ("Gumbel", zd.Gumbel(0.3, 1.7), zd.Gumbel(-0.5, 0.9),
+         td.Gumbel(t(0.3), t(1.7)), td.Gumbel(t(-0.5), t(0.9))),
+        ("HalfNormal", zd.HalfNormal(1.3), zd.HalfNormal(0.6),
+         td.HalfNormal(t(1.3)), td.HalfNormal(t(0.6))),
+        ("Pareto", zd.Pareto(2.0, 3.0), zd.Pareto(1.5, 2.0),
+         td.Pareto(t(2.0), t(3.0)), td.Pareto(t(1.5), t(2.0))),
+        ("Binomial", zd.Binomial(10, probs=0.3), zd.Binomial(10, probs=0.6),
+         td.Binomial(10, probs=t(0.3)), td.Binomial(10, probs=t(0.6))),
+        ("ContinuousBernoulli",
+         zd.ContinuousBernoulli(0.3), zd.ContinuousBernoulli(0.7),
+         td.ContinuousBernoulli(t(0.3)), td.ContinuousBernoulli(t(0.7))),
+        ("LowRank-LowRank", lr(mu), lr(-mu), tlr(mu), tlr(-mu)),
+        ("LowRank-MVN", lr(mu),
+         zd.MultivariateNormal(jnp.zeros(3), scale_tril=jnp.asarray(L)),
+         tlr(mu), td.MultivariateNormal(torch.zeros(3), scale_tril=t(L))),
+        ("MVN-LowRank",
+         zd.MultivariateNormal(jnp.zeros(3), scale_tril=jnp.asarray(L)),
+         lr(mu),
+         td.MultivariateNormal(torch.zeros(3), scale_tril=t(L)), tlr(mu)),
+    ]
+    for name, zp, zq, tp, tq in cases:
+        k = float(np.asarray(zd.kl_divergence(zp, zq)))
+        kt = float(td.kl_divergence(tp, tq))
+        assert abs(k - kt) < 1e-9, (name, k, kt)
+        assert k >= 0.0, name
+
+    # Pareto support violation -> inf (torch convention)
+    assert np.isinf(float(zd.kl_divergence(
+        zd.Pareto(1.0, 3.0), zd.Pareto(1.5, 2.0))))
+
+    # TransformedDistribution: same transforms -> base KL; different -> raises
+    tr = zt.ExpTransform()
+    p = zd.TransformedDistribution(zd.Normal(0.0, 1.0), tr)
+    q = zd.TransformedDistribution(zd.Normal(0.5, 1.5), tr)
+    k = float(np.asarray(zd.kl_divergence(p, q)))
+    kt = float(td.kl_divergence(
+        td.TransformedDistribution(td.Normal(t(0.0), t(1.0)),
+                                   td.ExpTransform()),
+        td.TransformedDistribution(td.Normal(t(0.5), t(1.5)),
+                                   td.ExpTransform())))
+    assert abs(k - kt) < 1e-12
+
+    q2 = zd.TransformedDistribution(
+        zd.Normal(0.5, 1.5), zt.MonotonicAffineTransform(0.0, 2.0))
+    with pytest.raises(NotImplementedError):
+        zd.kl_divergence(p, q2)
+
+    # the flow surface inherits the contract: two NSF flows sharing params
+    from zuko_tpu.flows import NSF
+
+    f1 = NSF(2, 0, transforms=1, hidden_features=(8, 8),
+             key=jax.random.PRNGKey(0))
+    d1 = f1(None)
+    with pytest.raises(NotImplementedError):
+        # same class, different params -> transforms differ -> raises
+        f2 = NSF(2, 0, transforms=1, hidden_features=(8, 8),
+                 key=jax.random.PRNGKey(1))
+        zd.kl_divergence(d1, f2(None))

@@ -3010,19 +3010,125 @@ def _(p, q):
 
 @register_kl(MultivariateNormal, MultivariateNormal)
 def _(p, q):
-    D = p.event_shape[-1]
-    Lp, Lq = p.scale_tril, q.scale_tril
+    return _kl_gaussian(p.loc, p.scale_tril, q.loc, q.scale_tril)
+
+
+@register_kl(Cauchy, Cauchy)
+def _(p, q):
+    # Chyzak & Nielsen (2019), f-divergences between Cauchy distributions
+    t1 = jnp.log((p.scale + q.scale) ** 2 + (p.loc - q.loc) ** 2)
+    return t1 - jnp.log(4 * p.scale * q.scale)
+
+
+@register_kl(Gumbel, Gumbel)
+def _(p, q):
+    c = p.scale / q.scale
+    a = q.loc / q.scale
+    b = p.loc / q.scale
+    return (
+        -jnp.log(c) - a + b
+        + c * _EULER
+        + jnp.exp(a + jsp.gammaln(1 + c) - b)
+        - (1 + _EULER)
+    )
+
+
+@register_kl(HalfNormal, HalfNormal)
+def _(p, q):
+    # the folded normals share the 2x mass factor, so the KL is the
+    # underlying zero-mean normals'
+    sp, sq = jnp.broadcast_arrays(p.scale, q.scale)
+    return jnp.log(sq / sp) + sp**2 / (2 * sq**2) - 0.5
+
+
+@register_kl(Pareto, Pareto)
+def _(p, q):
+    t = q.alpha * jnp.log(p.scale / q.scale) + jnp.log(p.alpha / q.alpha)
+    result = t + q.alpha / p.alpha - 1
+    return jnp.where(p.scale < q.scale, jnp.inf, result)
+
+
+@register_kl(Binomial, Binomial)
+def _(p, q):
+    if bool(jnp.any(jnp.asarray(p.total_count) < jnp.asarray(q.total_count))):
+        raise NotImplementedError(
+            "KL between Binomials where q.total_count > p.total_count "
+            "is not implemented"
+        )
+    pl = jnp.log(p.probs) - jnp.log1p(-p.probs)
+    ql = jnp.log(q.probs) - jnp.log1p(-q.probs)
+    kl = p.total_count * (
+        p.probs * (pl - ql) + jnp.log1p(-p.probs) - jnp.log1p(-q.probs)
+    )
+    return jnp.where(
+        jnp.asarray(p.total_count) > jnp.asarray(q.total_count), jnp.inf, kl
+    )
+
+
+@register_kl(ContinuousBernoulli, ContinuousBernoulli)
+def _(p, q):
+    return (
+        p.mean * (p.logits - q.logits)
+        + p._log_norm() + jnp.log1p(-p.probs)
+        - q._log_norm() - jnp.log1p(-q.probs)
+    )
+
+
+def _lowrank_loc_tril(d):
+    # materialize W W^T + diag(v) (exact; trades the O(D k^2) Woodbury
+    # path for the already-registered MVN closed form)
+    cov = d.cov_factor @ jnp.swapaxes(d.cov_factor, -1, -2)
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    cov = cov + eye * d.cov_diag[..., None, :]
+    return d.loc, jnp.linalg.cholesky(cov)
+
+
+def _kl_gaussian(loc_p, Lp, loc_q, Lq):
+    D = Lp.shape[-1]
     half_p = jnp.sum(jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
     half_q = jnp.sum(jnp.log(jnp.diagonal(Lq, axis1=-2, axis2=-1)), axis=-1)
     M = jax.scipy.linalg.solve_triangular(
         jnp.broadcast_to(Lq, Lp.shape), Lp, lower=True)
     trace = jnp.sum(M * M, axis=(-2, -1))
-    diff = p.loc - q.loc
+    diff = loc_p - loc_q
     y = jax.scipy.linalg.solve_triangular(
         jnp.broadcast_to(Lq, diff.shape[:-1] + Lq.shape[-2:]),
         diff[..., None], lower=True)[..., 0]
     maha = jnp.sum(y * y, axis=-1)
     return half_q - half_p + 0.5 * (trace + maha - D)
+
+
+@register_kl(LowRankMultivariateNormal, LowRankMultivariateNormal)
+def _(p, q):
+    return _kl_gaussian(*_lowrank_loc_tril(p), *_lowrank_loc_tril(q))
+
+
+@register_kl(LowRankMultivariateNormal, MultivariateNormal)
+def _(p, q):
+    return _kl_gaussian(*_lowrank_loc_tril(p), q.loc, q.scale_tril)
+
+
+@register_kl(MultivariateNormal, LowRankMultivariateNormal)
+def _(p, q):
+    return _kl_gaussian(p.loc, p.scale_tril, *_lowrank_loc_tril(q))
+
+
+@register_kl(NormalizingFlow, NormalizingFlow)
+def _(p, q):
+    # torch's (TransformedDistribution, TransformedDistribution) contract:
+    # identical transforms cancel inside the integral, leaving the base KL.
+    # "Identical" = same pytree structure and equal leaves.
+    pt = jax.tree_util.tree_flatten(p.transform)
+    qt = jax.tree_util.tree_flatten(q.transform)
+    same = pt[1] == qt[1] and all(
+        jnp.shape(a) == jnp.shape(b) and bool(jnp.all(a == b))
+        for a, b in zip(pt[0], qt[0])
+    )
+    if not same:
+        raise NotImplementedError(
+            "KL between flows with differing transforms is not implemented"
+        )
+    return kl_divergence(p.base, q.base)
 
 
 # torch-namespace functional surface: the constraints module and the
