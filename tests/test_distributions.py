@@ -594,6 +594,19 @@ def test_entropy_and_kl_divergence_torch_parity(key):
          td.MultivariateNormal(torch.zeros(2), scale_tril=torch.tensor(L))),
         (zd.Independent(zd.Normal(jnp.zeros(3), jnp.ones(3) * 1.5), 1),
          td.Independent(td.Normal(torch.zeros(3), torch.ones(3) * 1.5), 1)),
+        (zd.Kumaraswamy(2.0, 3.0),
+         td.Kumaraswamy(torch.tensor(2.0), torch.tensor(3.0))),
+        (zd.InverseGamma(3.0, 2.0),
+         td.InverseGamma(torch.tensor(3.0), torch.tensor(2.0))),
+        (zd.ContinuousBernoulli(0.3),
+         td.ContinuousBernoulli(torch.tensor(0.3))),
+        (zd.LowRankMultivariateNormal(
+            jnp.zeros(3), jnp.ones((3, 1)) * 0.3, jnp.ones(3)),
+         td.LowRankMultivariateNormal(
+            torch.zeros(3), torch.ones(3, 1) * 0.3, torch.ones(3))),
+        (zd.Wishart(5.0, covariance_matrix=jnp.eye(2) * 0.7),
+         td.Wishart(df=torch.tensor(5.0),
+                    covariance_matrix=torch.eye(2) * 0.7)),
     ]
     for zdist, tdist in ent_cases:
         e = float(np.asarray(zdist.entropy()))

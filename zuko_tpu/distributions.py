@@ -3013,6 +3013,65 @@ def _(p, q):
     return _kl_gaussian(p.loc, p.scale_tril, q.loc, q.scale_tril)
 
 
+@register_entropy(Kumaraswamy)
+def _(d):
+    a, b = jnp.broadcast_arrays(d.concentration1, d.concentration0)
+    Hb = jsp.digamma(b + 1) + _EULER
+    return (1 - 1 / b) + (1 - 1 / a) * Hb - jnp.log(a) - jnp.log(b)
+
+
+@register_entropy(InverseGamma)
+def _(d):
+    a = d.concentration
+    return (a + jnp.log(d.rate) + jsp.gammaln(a)
+            - (1 + a) * jsp.digamma(a))
+
+
+@register_entropy(ContinuousBernoulli)
+def _(d):
+    lp0 = jnp.log1p(-d.probs)
+    lp1 = jnp.log(d.probs)
+    return d.mean * (lp0 - lp1) - d._log_norm() - lp0
+
+
+@register_entropy(LowRankMultivariateNormal)
+def _(d):
+    # logdet via the matrix determinant lemma: log|WW^T + D| =
+    # log|I + W^T D^-1 W| + sum log D
+    L = d._capacitance_tril()
+    log_det = 2 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    ) + jnp.sum(jnp.log(d.cov_diag), axis=-1)
+    D = d.event_shape[0]
+    H = 0.5 * (D * (1.0 + _LOG_2PI) + log_det)
+    return jnp.broadcast_to(H, d.batch_shape)
+
+
+def _mvdigamma(x, p):
+    i = jnp.arange(p, dtype=x.dtype if hasattr(x, "dtype") else None)
+    return jnp.sum(jsp.digamma(jnp.asarray(x)[..., None] - i / 2), axis=-1)
+
+
+def _mvgammaln(x, p):
+    i = jnp.arange(p)
+    return (p * (p - 1) / 4 * math.log(math.pi)
+            + jnp.sum(jsp.gammaln(jnp.asarray(x)[..., None] - i / 2), axis=-1))
+
+
+@register_entropy(Wishart)
+def _(d):
+    nu = jnp.asarray(d.df)
+    p = d.scale_tril.shape[-1]
+    half_logdet = jnp.sum(
+        jnp.log(jnp.diagonal(d.scale_tril, axis1=-2, axis2=-1)), axis=-1)
+    return (
+        (p + 1) * (p * math.log(2.0) / 2 + half_logdet)
+        + _mvgammaln(nu / 2, p)
+        - (nu - p - 1) / 2 * _mvdigamma(nu / 2, p)
+        + nu * p / 2
+    )
+
+
 @register_kl(Cauchy, Cauchy)
 def _(p, q):
     # Chyzak & Nielsen (2019), f-divergences between Cauchy distributions
