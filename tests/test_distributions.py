@@ -1182,3 +1182,81 @@ def test_cdf_icdf_roundtrip_sweep(key):
         cs = d.cdf(x)
         assert bool(jnp.all((cs >= 0) & (cs <= 1))), name
         assert bool(jnp.all(jnp.diff(cs) >= -1e-12)), name
+
+
+def test_mean_variance_completions_torch_parity():
+    r"""Round-4 mean/variance completions (Multinomial, InverseGamma,
+    Kumaraswamy, ContinuousBernoulli incl. the p~1/2 Taylor region,
+    FisherSnedecor, GeneralizedPareto, OneHotCategorical, Wishart,
+    LowRank-MVN, VonMises circular variance, StudentT mean NaN gate,
+    MixtureSameFamily total variance) pinned against torch CPU f64,
+    including the NaN/inf edge conventions."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+
+    torch.set_default_dtype(torch.float64)
+
+    def t(x):
+        return torch.tensor(np.asarray(x, dtype=np.float64))
+
+    P = jnp.asarray([0.2, 0.5, 0.3])
+    pairs = [
+        ("Multinomial.var", zd.Multinomial(4, probs=P).variance,
+         td.Multinomial(4, probs=t(P)).variance),
+        ("InverseGamma.var", zd.InverseGamma(3.0, 2.0).variance,
+         td.InverseGamma(t(3.0), t(2.0)).variance),
+        ("InverseGamma.var a<2", zd.InverseGamma(1.5, 2.0).variance,
+         td.InverseGamma(t(1.5), t(2.0)).variance),
+        ("Kumaraswamy.mean", zd.Kumaraswamy(2.0, 3.0).mean,
+         td.Kumaraswamy(t(2.0), t(3.0)).mean),
+        ("Kumaraswamy.var", zd.Kumaraswamy(2.0, 3.0).variance,
+         td.Kumaraswamy(t(2.0), t(3.0)).variance),
+        ("CB.var", zd.ContinuousBernoulli(0.3).variance,
+         td.ContinuousBernoulli(t(0.3)).variance),
+        ("CB.var near half", zd.ContinuousBernoulli(0.4999).variance,
+         td.ContinuousBernoulli(t(0.4999)).variance),
+        ("FisherSnedecor.var", zd.FisherSnedecor(5.0, 7.0).variance,
+         td.FisherSnedecor(t(5.0), t(7.0)).variance),
+        ("FisherSnedecor.var d2<4", zd.FisherSnedecor(5.0, 3.0).variance,
+         td.FisherSnedecor(t(5.0), t(3.0)).variance),
+        ("GenPareto.mean", zd.GeneralizedPareto(0.0, 1.0, 0.3).mean,
+         td.GeneralizedPareto(t(0.0), t(1.0), t(0.3)).mean),
+        ("GenPareto.var", zd.GeneralizedPareto(0.0, 1.0, 0.3).variance,
+         td.GeneralizedPareto(t(0.0), t(1.0), t(0.3)).variance),
+        ("GenPareto.var xi>.5", zd.GeneralizedPareto(0.0, 1.0, 0.7).variance,
+         td.GeneralizedPareto(t(0.0), t(1.0), t(0.7)).variance),
+        ("OneHot.var", zd.OneHotCategorical(probs=P).variance,
+         td.OneHotCategorical(probs=t(P)).variance),
+        ("Wishart.var",
+         zd.Wishart(5.0, covariance_matrix=jnp.eye(2) * 0.7 + 0.1).variance,
+         td.Wishart(df=t(5.0),
+                    covariance_matrix=torch.eye(2) * 0.7 + 0.1).variance),
+        ("LowRankMVN.var",
+         zd.LowRankMultivariateNormal(
+             jnp.zeros(3), jnp.ones((3, 1)) * 0.3, jnp.ones(3)).variance,
+         td.LowRankMultivariateNormal(
+             torch.zeros(3), torch.ones(3, 1) * 0.3, torch.ones(3)).variance),
+        ("VonMises.var", zd.VonMises(0.5, 2.0).variance,
+         td.VonMises(t(0.5), t(2.0)).variance),
+        ("StudentT.mean", zd.StudentT(4.0, 0.5, 1.5).mean,
+         td.StudentT(t(4.0), t(0.5), t(1.5)).mean),
+        ("StudentT.mean df<1", zd.StudentT(0.5, 0.5, 1.5).mean,
+         td.StudentT(t(0.5), t(0.5), t(1.5)).mean),
+        ("MixSF.var",
+         zd.MixtureSameFamily(
+             zd.Categorical(probs=jnp.ones(4) / 4),
+             zd.Normal(jnp.arange(4.0), jnp.ones(4))).variance,
+         td.MixtureSameFamily(
+             td.Categorical(probs=torch.ones(4) / 4),
+             td.Normal(torch.arange(4.0), torch.ones(4))).variance),
+    ]
+    for name, zo, to in pairs:
+        a = np.asarray(zo, dtype=np.float64)
+        b = to.numpy().astype(np.float64)
+        assert a.shape == b.shape, name
+        same_special = np.all(np.isinf(a) == np.isinf(b))
+        finite = ~np.isinf(a)
+        assert same_special and np.allclose(
+            a[finite], b[finite], atol=1e-9, equal_nan=True), (name, a, b)

@@ -3387,6 +3387,118 @@ def _(d):
     return d.base.variance
 
 
+@register_variance(Multinomial)
+def _(d):
+    p = d.probs
+    return d.total_count * p * (1 - p)
+
+
+@register_variance(InverseGamma)
+def _(d):
+    a = d.concentration
+    result = d.rate**2 / ((a - 1) ** 2 * (a - 2))
+    return jnp.where(a > 2, result, jnp.inf)
+
+
+def _kumaraswamy_moment(a, b, n):
+    # E[X^n] = b * B(1 + n/a, b)
+    return b * jnp.exp(
+        jsp.gammaln(1 + n / a) + jsp.gammaln(b) - jsp.gammaln(1 + n / a + b)
+    )
+
+
+@register_variance(Kumaraswamy)
+def _(d):
+    a, b = jnp.broadcast_arrays(d.concentration1, d.concentration0)
+    m1 = _kumaraswamy_moment(a, b, 1)
+    return _kumaraswamy_moment(a, b, 2) - m1**2
+
+
+@register_variance(ContinuousBernoulli)
+def _(d):
+    p = d.probs
+    safe = jnp.where(jnp.abs(p - 0.5) < 1e-3, 0.4, p)
+    v = safe * (safe - 1) / (1 - 2 * safe) ** 2 + 1 / (
+        jnp.log1p(-safe) - jnp.log(safe)
+    ) ** 2
+    x = (p - 0.5) ** 2
+    taylor = 1 / 12 - (1 / 15 - 128 / 945 * x) * x
+    return jnp.where(jnp.abs(p - 0.5) < 1e-3, taylor, v)
+
+
+@register_variance(FisherSnedecor)
+def _(d):
+    d1, d2 = jnp.broadcast_arrays(d.df1, d.df2)
+    safe = jnp.where(d2 > 4, d2, jnp.nan)
+    return (2 * safe**2 * (d1 + safe - 2)
+            / (d1 * (safe - 2) ** 2 * (safe - 4)))
+
+
+@register_variance(GeneralizedPareto)
+def _(d):
+    xi = d.concentration
+    safe = jnp.where(xi < 0.5, xi, 0.25)
+    result = d.scale**2 / ((1 - safe) ** 2 * (1 - 2 * safe))
+    return jnp.where(xi < 0.5, result, jnp.nan)
+
+
+@register_variance(OneHotCategorical)
+def _(d):
+    p = d.probs
+    return p * (1 - p)
+
+
+@register_variance(Wishart)
+def _(d):
+    V = d.scale_tril @ jnp.swapaxes(d.scale_tril, -1, -2)
+    diag_V = jnp.diagonal(V, axis1=-2, axis2=-1)
+    df = jnp.asarray(d.df)[..., None, None]
+    return df * (V**2 + diag_V[..., :, None] * diag_V[..., None, :])
+
+
+@register_variance(LowRankMultivariateNormal)
+def _(d):
+    v = jnp.sum(d.cov_factor**2, axis=-1) + d.cov_diag
+    return jnp.broadcast_to(v, d.batch_shape + d.event_shape)
+
+
+@register_variance(VonMises)
+def _(d):
+    # circular variance 1 - I1(k)/I0(k) (torch convention)
+    k = jnp.broadcast_to(d.concentration, d.batch_shape)
+    return 1 - jsp.i1e(k) / jsp.i0e(k)
+
+
+@register_variance(MixtureSameFamily)
+def _(d):
+    # law of total variance over the component axis
+    w = jax.nn.softmax(d.mixture_distribution.logits, axis=-1)
+    k = len(d.event_shape)
+    w = w.reshape(w.shape + (1,) * k)
+    axis = -1 - k
+    mean_cond_var = jnp.sum(w * d.component_distribution.variance, axis=axis)
+    mu = jnp.expand_dims(d.mean, axis)
+    var_cond_mean = jnp.sum(
+        w * (d.component_distribution.mean - mu) ** 2, axis=axis)
+    return mean_cond_var + var_cond_mean
+
+
+# mean completions (class properties, torch NaN conventions)
+StudentT.mean = property(
+    lambda d: jnp.where(
+        jnp.asarray(d.df) > 1,
+        jnp.broadcast_to(d.loc, d.batch_shape), jnp.nan))
+Kumaraswamy.mean = property(
+    lambda d: _kumaraswamy_moment(
+        *jnp.broadcast_arrays(d.concentration1, d.concentration0), 1))
+GeneralizedPareto.mean = property(
+    lambda d: jnp.where(
+        d.concentration < 1,
+        d.loc + d.scale / (1 - jnp.where(
+            d.concentration < 1, d.concentration, 0.5)),
+        jnp.nan))
+
+
 # ------------------------------------------------ mode / perplexity / enumeration
 # The remaining ``torch.distributions.Distribution`` surface (reference
 # reach: zuko/distributions.py:23 wildcard): ``d.mode`` (registry-
