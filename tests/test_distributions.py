@@ -1260,3 +1260,61 @@ def test_mean_variance_completions_torch_parity():
         finite = ~np.isinf(a)
         assert same_special and np.allclose(
             a[finite], b[finite], atol=1e-9, equal_nan=True), (name, a, b)
+
+
+def test_kl_and_enumerate_trace_safety(key):
+    r"""Review fixes: the Binomial and flow-flow KLs are trace-safe (the
+    only registered KLs that could crash at trace time), the wildcard
+    import surface carries ``identity_transform``, and expanded
+    homogeneous Binomials enumerate like torch's."""
+    from zuko_tpu import distributions as zd
+    from zuko_tpu.core import combine, partition
+    from zuko_tpu.flows import NSF
+
+    # Binomial KL under jit: closed form for n_p == n_q, NaN for the
+    # torch-raises case, inf for n_p > n_q
+    f = jax.jit(lambda n1, p1, n2, p2: zd.kl_divergence(
+        zd.Binomial(n1, probs=p1), zd.Binomial(n2, probs=p2)))
+    k = float(f(10.0, 0.3, 10.0, 0.4))
+    assert abs(k - 0.21600854143542625) < 1e-12  # torch f64 value
+    assert np.isnan(float(f(5.0, 0.3, 10.0, 0.4)))
+    assert np.isinf(float(f(12.0, 0.3, 10.0, 0.4)))
+    with pytest.raises(NotImplementedError):  # eager keeps torch's raise
+        zd.kl_divergence(zd.Binomial(5, probs=0.3),
+                         zd.Binomial(10, probs=0.4))
+
+    # flow-flow KL inside jit via the partition/combine pattern: shared
+    # transform leaves -> base KL; distinct tracers -> loud raise
+    flow = NSF(2, 0, transforms=1, hidden_features=(8, 8), key=key)
+    params, static = partition(flow)
+
+    @jax.jit
+    def shared(params):
+        m = combine(params, static)
+        return zd.kl_divergence(m(None), m(None))
+
+    assert float(shared(params)) == 0.0
+
+    flow2 = NSF(2, 0, transforms=1, hidden_features=(8, 8),
+                key=jax.random.split(key)[0])
+    params2, static2 = partition(flow2)
+
+    @jax.jit
+    def distinct(pa, pb):
+        return zd.kl_divergence(
+            combine(pa, static)(None), combine(pb, static2)(None))
+
+    with pytest.raises(NotImplementedError):
+        distinct(params, params2)
+
+    # wildcard surface
+    ns = {}
+    exec("from zuko_tpu.transforms import *", ns)
+    assert "identity_transform" in ns
+
+    # expanded homogeneous Binomial enumerates (torch contract)
+    ez = np.asarray(
+        zd.Binomial(3, probs=jnp.asarray(0.3)).expand((2,))
+        .enumerate_support())
+    assert ez.shape == (4, 2)
+    assert np.abs(ez - np.arange(4.0)[:, None]).max() == 0.0

@@ -1,93 +1,96 @@
-r"""r78: is the b=1M flagship headline still per-iteration-overhead-bound?
-
-The r73 fit said ~4.6 ns/row asymptotic (218M evals/s) with ~2.5 ms fixed
-per DISPATCH — but bench.py amortizes 10 iterations inside one jit scan,
-yet still reads 143.6M, implying ~2.4 ms of per-ITERATION overhead inside
-the scan (weight prep + launch + carry). If that is real, growing the
-per-iteration batch amortizes it directly: b=4M should read ~190M.
-
-Measures the bench.py loop (same program construction, fresh compile, no
-cache) at b = 1M / 2M / 4M, REPEATS scaled to hold total rows at 12M
-per call. Blocked per-run timings, one session, printed per run.
-"""
-
+r"""Batch 78 (round 4): production-batch re-pins for the remaining rows —
+GMM density (diag + full covariance; round-2 full-cov row was 41M
+evals/s at b=65536) and the INVERTED-flow reverse-KL train step (the
+reference tutorial recipe `Flow(flow.transform.inv, flow.base)`; r66
+pinned 10.9M samples/s at b=65536). Blocked per-run timings."""
+import os
 import sys
 import time
+from functools import partial as fpartial
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, ".")
 
-BATCHES = [(1048576, 12), (2097152, 6), (4194304, 3)]
-FEATURES = 6
-TRANSFORMS = 3
-HIDDEN = (64, 64)
-BINS = 8
+import jax
+import jax.numpy as jnp
+import numpy as np
 
+print("backend:", jax.default_backend(), flush=True)
+os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
 
-def main():
-    import jax
-    import jax.numpy as jnp
+import optax
 
-    from jax import lax
+from zuko_tpu import flows
+from zuko_tpu.core import combine, partition
+from zuko_tpu.data import ring_energy
+from zuko_tpu.lazy import Flow
+from zuko_tpu.mixtures import GMM
+from zuko_tpu.parallel.train import TrainState
 
-    from zuko_tpu.core import combine, partition
-    from zuko_tpu.flows import NSF
+D = 6
+KEY = jax.random.PRNGKey(0)
 
-    print(f"# devices: {jax.devices()}", flush=True)
+# ---------------- GMM density at scale
+for cov in ("diagonal", "full"):
+    gmm = GMM(43, 0, components=10, covariance_type=cov, key=KEY)
+    params, static = partition(gmm)
+    for B in (65536, 1048576):
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 43))
 
-    flow = NSF(
-        FEATURES, 0, transforms=TRANSFORMS, hidden_features=HIDDEN,
-        bins=BINS, key=jax.random.PRNGKey(0),
-    )
-    params, static = partition(flow)
-
-    results = {}
-    for batch, repeats in BATCHES:
-        @jax.jit
-        def log_prob_loop(params, x, repeats=repeats):
+        def dens(p, v):
             def body(carry, _):
-                model = combine(params, static)
-                return carry + jnp.sum(
-                    model(None).log_prob(x + 1e-9 * carry)), None
-
-            out, _ = lax.scan(body, 0.0, None, length=repeats)
-            return out
-
-        x = jax.random.normal(jax.random.PRNGKey(1), (batch, FEATURES))
-        t0 = time.perf_counter()
-        log_prob_loop(params, x).block_until_ready()
-        print(f"# b={batch}: compile+warmup {time.perf_counter()-t0:.1f}s",
-              flush=True)
-
-        best = 0.0
-        times = []
-        for r in range(4):
+                d = combine(p, static)(None)
+                return carry + jnp.sum(d.log_prob(v + 1e-9 * carry)), None
+            o, _ = jax.lax.scan(body, 0.0, None, length=5)
+            return o
+        fn = jax.jit(dens)
+        fn(params, x).block_until_ready()
+        for r in range(3):
             t0 = time.perf_counter()
-            log_prob_loop(params, x).block_until_ready()
+            fn(params, x).block_until_ready()
             dt = time.perf_counter() - t0
-            times.append(dt)
-            rate = batch * repeats / dt
-            print(f"# b={batch} run {r}: {1e3*dt:.1f} ms -> "
-                  f"{rate/1e6:.1f}M evals/s "
-                  f"({1e3*dt/repeats:.2f} ms/iter, "
-                  f"{1e9*dt/(batch*repeats):.2f} ns/row)", flush=True)
-            best = max(best, rate)
-        results[batch] = (best, min(times))
+            print(f"GMM({cov}) density D=43 K=10 b={B} run {r}: "
+                  f"{1e3*dt:.0f} ms -> {B*5/dt/1e6:.1f}M evals/s",
+                  flush=True)
 
-    # fit per-iteration fixed cost from the best (min-time) runs:
-    # t/iter = fixed + ns_per_row * batch
-    import numpy as np
-
-    bs = np.array([b for b, _ in BATCHES], dtype=np.float64)
-    t_iter = np.array(
-        [results[b][1] / r for b, r in BATCHES], dtype=np.float64)
-    A = np.stack([np.ones_like(bs), bs], axis=1)
-    (fixed, per_row), *_ = np.linalg.lstsq(A, t_iter, rcond=None)
-    print(f"\n# fit: {1e3*fixed:.2f} ms fixed/iter + "
-          f"{1e9*per_row:.2f} ns/row (asymptote "
-          f"{1/per_row/1e6:.0f}M evals/s)")
-    for b, _ in BATCHES:
-        print(f"b={b}: best {results[b][0]/1e6:.1f}M evals/s")
+# ---------------- inverted-flow reverse-KL step at scale
+nsf = flows.NSF(D, 0, transforms=3, key=KEY)
+inv = Flow(nsf.transform.inv, nsf.base)
+params0, static = partition(inv)
+opt = optax.adam(1e-3)
+STEPS = 3
 
 
-if __name__ == "__main__":
-    main()
+def fresh():
+    p = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params0)
+    return TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
+
+
+for B in (65536, 1048576):
+    def loss_fn(p, k):
+        d = combine(p, static)(None)
+        xs, lq = d.rsample_and_log_prob(k, (B,))
+        return jnp.mean(lq) - jnp.mean(ring_energy(xs))
+
+    @fpartial(jax.jit, donate_argnums=0)
+    def run(state, k):
+        def body(st, i):
+            loss, g = jax.value_and_grad(loss_fn)(
+                st.params, jax.random.fold_in(k, i))
+            u, o = opt.update(g, st.opt_state, st.params)
+            return TrainState(optax.apply_updates(st.params, u), o,
+                              st.step + 1), loss
+        return jax.lax.scan(body, state, jnp.arange(STEPS))
+
+    st, losses = run(fresh(), jax.random.PRNGKey(0))
+    jax.block_until_ready((st.params, losses))
+    for r in range(3):
+        st = fresh()
+        t0 = time.perf_counter()
+        st, losses = run(st, jax.random.PRNGKey(r))
+        jax.block_until_ready((st.params, losses))
+        dt = time.perf_counter() - t0
+        print(f"inverted-flow VI step b={B} run {r}: {1e3*dt:.0f} ms -> "
+              f"{B*STEPS/dt/1e6:.2f}M samples/s  "
+              f"losses {np.asarray(losses).round(3)}", flush=True)
+
+print("done", flush=True)

@@ -3052,12 +3052,6 @@ def _mvdigamma(x, p):
     return jnp.sum(jsp.digamma(jnp.asarray(x)[..., None] - i / 2), axis=-1)
 
 
-def _mvgammaln(x, p):
-    i = jnp.arange(p)
-    return (p * (p - 1) / 4 * math.log(math.pi)
-            + jnp.sum(jsp.gammaln(jnp.asarray(x)[..., None] - i / 2), axis=-1))
-
-
 @register_entropy(Wishart)
 def _(d):
     nu = jnp.asarray(d.df)
@@ -3066,7 +3060,7 @@ def _(d):
         jnp.log(jnp.diagonal(d.scale_tril, axis1=-2, axis2=-1)), axis=-1)
     return (
         (p + 1) * (p * math.log(2.0) / 2 + half_logdet)
-        + _mvgammaln(nu / 2, p)
+        + jsp.multigammaln(nu / 2, p)
         - (nu - p - 1) / 2 * _mvdigamma(nu / 2, p)
         + nu * p / 2
     )
@@ -3109,19 +3103,22 @@ def _(p, q):
 
 @register_kl(Binomial, Binomial)
 def _(p, q):
-    if bool(jnp.any(jnp.asarray(p.total_count) < jnp.asarray(q.total_count))):
-        raise NotImplementedError(
-            "KL between Binomials where q.total_count > p.total_count "
-            "is not implemented"
-        )
+    np_, nq = jnp.asarray(p.total_count), jnp.asarray(q.total_count)
+    # torch raises for q.total_count > p.total_count; only decidable for
+    # concrete counts — under jit the row emits NaN instead (loud, and
+    # the count is nearly always a static int anyway)
+    if not (isinstance(np_, jax.core.Tracer) or isinstance(nq, jax.core.Tracer)):
+        if bool(jnp.any(np_ < nq)):
+            raise NotImplementedError(
+                "KL between Binomials where q.total_count > p.total_count "
+                "is not implemented"
+            )
     pl = jnp.log(p.probs) - jnp.log1p(-p.probs)
     ql = jnp.log(q.probs) - jnp.log1p(-q.probs)
     kl = p.total_count * (
         p.probs * (pl - ql) + jnp.log1p(-p.probs) - jnp.log1p(-q.probs)
     )
-    return jnp.where(
-        jnp.asarray(p.total_count) > jnp.asarray(q.total_count), jnp.inf, kl
-    )
+    return jnp.where(np_ < nq, jnp.nan, jnp.where(np_ > nq, jnp.inf, kl))
 
 
 @register_kl(ContinuousBernoulli, ContinuousBernoulli)
@@ -3176,14 +3173,26 @@ def _(p, q):
 def _(p, q):
     # torch's (TransformedDistribution, TransformedDistribution) contract:
     # identical transforms cancel inside the integral, leaving the base KL.
-    # "Identical" = same pytree structure and equal leaves.
+    # "Identical" = same pytree structure and equal leaves. Under jit the
+    # leaves are tracers whose values cannot be compared — there, object
+    # identity (the two flows literally sharing the transform's arrays,
+    # the partition/combine pattern) decides; distinct tracers raise.
+    def leaf_eq(a, b):
+        if a is b:
+            return True
+        if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+            raise NotImplementedError(
+                "flow-flow KL under jit requires the two flows to share "
+                "their transform leaves (build both from the same params "
+                "pytree); value comparison is not possible while tracing"
+            )
+        return jnp.shape(a) == jnp.shape(b) and bool(jnp.all(a == b))
+
     pt = jax.tree_util.tree_flatten(p.transform)
     qt = jax.tree_util.tree_flatten(q.transform)
-    same = pt[1] == qt[1] and all(
-        jnp.shape(a) == jnp.shape(b) and bool(jnp.all(a == b))
-        for a, b in zip(pt[0], qt[0])
-    )
-    if not same:
+    if pt[1] != qt[1] or not all(
+        leaf_eq(a, b) for a, b in zip(pt[0], qt[0])
+    ):
         raise NotImplementedError(
             "KL between flows with differing transforms is not implemented"
         )
@@ -3676,11 +3685,13 @@ def _categorical_enumerate(self, expand: bool = True):
 
 
 def _binomial_enumerate(self, expand: bool = True):
-    n = int(self.total_count) if jnp.ndim(self.total_count) == 0 else None
-    if n is None:
+    tc = np.asarray(jax.device_get(self.total_count)).reshape(-1)
+    if tc.size > 1 and tc.min() != tc.max():
+        # torch's contract: homogeneous counts enumerate, mixed raise
         raise NotImplementedError(
             "Inhomogeneous total count not supported by enumerate_support."
         )
+    n = int(tc[0])
     return _arange_support(n + 1, self.batch_shape, self.probs.dtype, expand)
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "ComposedTransform",
     "DependentTransform",
     "IdentityTransform",
+    "identity_transform",
     "ExpTransform",
     "SigmoidTransform",
     "SoftplusTransform",
