@@ -39,3 +39,10 @@ def test_vae_example(capsys):
     _run("examples/vae.py", ["--epochs", "1"])
     out = capsys.readouterr().out
     assert "-ELBO" in out
+
+
+def test_ensembles_example(capsys):
+    _run("examples/ensembles.py",
+         ["--members", "3", "--epochs", "3", "--samples", "1024"])
+    out = capsys.readouterr().out
+    assert "epistemic signal separates" in out
