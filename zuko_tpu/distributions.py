@@ -81,6 +81,10 @@ __all__ = [
     "MixtureSameFamily",
     "kl_divergence",
     "register_kl",
+    "register_entropy",
+    "register_mode",
+    "register_support",
+    "register_variance",
     "NormalizingFlow",
     "Joint",
     "Mixture",
