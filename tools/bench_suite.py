@@ -1,10 +1,16 @@
-r"""Full benchmark suite — reproduces every number in PERF.md on the current
+r"""Full benchmark suite — reproduces the PERF.md headline rows on the current
 backend (TPU by default; transparently falls back to jnp paths on CPU).
+
+Default batch is the PRODUCTION batch (b=1M): the fused kernels are
+launch/dispatch-bound below ~100K rows (PERF.md round-4), so smaller
+batches — including --quick, meant only as a smoke run — under-report
+device capability by up to ~100x through the tunnel.
 
 Run: python tools/bench_suite.py [--quick]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -21,19 +27,24 @@ from zuko_tpu.ops.nsf_fused import fused_nsf_log_prob, fused_nsf_sample
 
 
 def timed(fn, *args, iters=3):
+    # Block EVERY run and take the best — queuing identical unblocked
+    # dispatches overlaps their dispatch overhead and inflates rates
+    # ~25% at b=1M (and up to 180x in the degenerate all-queued form;
+    # PERF.md "bench-harness hazards").
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
-    parser.add_argument("--batch", type=int, default=65536)
+    parser.add_argument("--batch", type=int, default=1048576)
     parser.add_argument("--repeats", type=int, default=10)
     args = parser.parse_args()
 
@@ -49,6 +60,11 @@ def main():
     x = jax.random.normal(key, (B, 6))
 
     # --- log_prob, XLA path --------------------------------------------------
+    # the public API auto-dispatches to the fused kernels on TPU, so the
+    # XLA rows must force the gate off; the gate is read at trace time,
+    # so it is set before this jit's warmup and restored after
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+
     @jax.jit
     def lp_xla(p, x):
         def body(carry, _):
@@ -58,6 +74,7 @@ def main():
         return lax.scan(body, 0.0, None, length=R)[0]
 
     dt = timed(lp_xla, params, x)
+    os.environ.pop("ZUKO_TPU_FUSED_DISPATCH", None)
     print(f"log_prob  XLA  : {B * R / dt / 1e6:8.1f} M evals/s")
 
     # --- log_prob, fused kernel ---------------------------------------------
@@ -73,6 +90,8 @@ def main():
     print(f"log_prob  fused: {B * R / dt / 1e6:8.1f} M evals/s")
 
     # --- sampling, XLA path --------------------------------------------------
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+
     @jax.jit
     def samp_xla(p, k):
         def body(carry, i):
@@ -82,6 +101,7 @@ def main():
         return lax.scan(body, 0.0, jnp.arange(R))[0]
 
     dt = timed(samp_xla, params, key)
+    os.environ.pop("ZUKO_TPU_FUSED_DISPATCH", None)
     print(f"sampling  XLA  : {B * R / dt / 1e6:8.2f} M samples/s")
 
     # --- sampling, fused kernel ---------------------------------------------
