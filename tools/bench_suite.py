@@ -164,7 +164,9 @@ def main():
 
     from zuko_tpu.flows import CNF, GF, NAF
 
-    Bs = min(B, 4096)  # solver-kernel batch (bisection / ODE per tile)
+    # solver-family batches: the r74/r82-r84 validated shapes (GF sampling
+    # runs fine at b=1M; NAF's solver tier at 262K; CNF's ODE tier at 262K)
+    Bs = min(B, 262144)
     Rs = max(R // 2, 2)
 
     def density_row(label, fl, BB=B):
@@ -194,13 +196,13 @@ def main():
     pg, sg = partition(gf)
     gf = combine(jtu.tree_map(lambda a: a * 0.3, pg), sg)
     density_row("GF  density fused", gf)
-    sample_row("GF  sampling fused", gf)
+    sample_row("GF  sampling fused", gf, BB=B)
 
     naf = NAF(6, transforms=3, signal=16, key=key)
     sample_row("NAF sampling fused", naf)
 
     cnf = CNF(6, key=key)
-    density_row("CNF density fused", cnf, BB=min(B, 16384))
+    density_row("CNF density fused", cnf, BB=min(B, 262144))
 
 
 if __name__ == "__main__":
