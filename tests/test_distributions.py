@@ -1318,3 +1318,29 @@ def test_kl_and_enumerate_trace_safety(key):
         .enumerate_support())
     assert ez.shape == (4, 2)
     assert np.abs(ez - np.arange(4.0)[:, None]).max() == 0.0
+
+
+def test_beyond_torch_cdfs_match_density():
+    r"""The three cdfs this package has BEYOND torch's surface
+    (Geometric, InverseGamma, FisherSnedecor) verified against their own
+    densities: cdf' == pdf by central differences (f64), and the
+    discrete cdf equals the pmf cumsum."""
+    import zuko_tpu.distributions as D
+
+    for name, d, xs in [
+        ("InverseGamma", D.InverseGamma(3.0, 2.0),
+         np.linspace(0.2, 5, 21)),
+        ("FisherSnedecor", D.FisherSnedecor(5.0, 7.0),
+         np.linspace(0.2, 5, 21)),
+    ]:
+        h = 1e-6
+        num = (np.asarray(d.cdf(jnp.asarray(xs + h)))
+               - np.asarray(d.cdf(jnp.asarray(xs - h)))) / (2 * h)
+        pdf = np.exp(np.asarray(d.log_prob(jnp.asarray(xs))))
+        err = np.max(np.abs(num - pdf) / np.maximum(pdf, 1e-12))
+        assert err < 1e-5, (name, err)
+
+    g = D.Geometric(0.3)
+    ks = jnp.arange(10.0)
+    csum = jnp.cumsum(jnp.exp(g.log_prob(ks)))
+    assert float(jnp.max(jnp.abs(g.cdf(ks) - csum))) < 1e-12
