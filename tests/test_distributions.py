@@ -1344,3 +1344,106 @@ def test_beyond_torch_cdfs_match_density():
     ks = jnp.arange(10.0)
     csum = jnp.cumsum(jnp.exp(g.log_prob(ks)))
     assert float(jnp.max(jnp.abs(g.cdf(ks) - csum))) < 1e-12
+
+
+def test_torch_constructor_compat_kwargs(key):
+    r"""Round-4 ctor-compatibility pass: the torch spellings a ported
+    script actually writes. ``validate_args=`` accepted (and ignored)
+    by every distribution; ``cache_size=`` by every transform;
+    AffineTransform's ``loc=``/``event_dim=``; ComposeTransform's list
+    argument; CatTransform/IndependentTransform/TransformedDistribution
+    keyword names; Wishart ``precision_matrix=``; torch-style
+    ``super().__init__(batch_shape, event_shape, validate_args)``
+    subclasses."""
+    import torch
+    import torch.distributions as td
+
+    from zuko_tpu import distributions as zd
+    from zuko_tpu import transforms as zt
+
+    torch.set_default_dtype(torch.float64)
+
+    # validate_args is accepted everywhere (spot sample)
+    zd.Normal(0.0, 1.0, validate_args=False)
+    zd.Gamma(2.0, 1.0, validate_args=True)
+    zd.Categorical(probs=jnp.ones(3) / 3, validate_args=False)
+    zd.MultivariateNormal(jnp.zeros(2), jnp.eye(2), validate_args=False)
+    zd.Independent(zd.Normal(jnp.zeros(3), jnp.ones(3)), 1,
+                   validate_args=False)
+
+    # cache_size is accepted on every transform (spot sample)
+    zt.ExpTransform(cache_size=1)
+    zt.SigmoidTransform(cache_size=0)
+    zt.PowerTransform(2.0, cache_size=1)
+    zt.StickBreakingTransform(cache_size=1)
+
+    # AffineTransform: torch spelling + event_dim ladj summing
+    a = zt.AffineTransform(loc=1.0, scale=-2.0, event_dim=1, cache_size=1)
+    at = td.transforms.AffineTransform(
+        torch.tensor(1.0), torch.tensor(-2.0), event_dim=1)
+    x = jnp.linspace(-1, 1, 12).reshape(4, 3)
+    xt = torch.tensor(np.asarray(x, dtype=np.float64))
+    assert np.allclose(np.asarray(a(x)), at(xt).numpy())
+    lj = a.log_abs_det_jacobian(x, a(x))
+    lt = at.log_abs_det_jacobian(xt, at(xt))
+    assert lj.shape == (4,) and np.allclose(np.asarray(lj), lt.numpy())
+
+    # ComposeTransform([..]) list spelling, equal to varargs
+    c1 = zt.ComposeTransform([zt.ExpTransform(),
+                              zt.AffineTransform(0.0, 2.0)])
+    c2 = zt.ComposedTransform(zt.ExpTransform(),
+                              zt.AffineTransform(0.0, 2.0))
+    v = jnp.asarray(0.7)
+    assert np.allclose(float(c1(v)), float(c2(v)))
+
+    # CatTransform / IndependentTransform torch keyword names
+    ct = zt.CatTransform(tseq=[zt.ExpTransform(), zt.IdentityTransform()],
+                         dim=-1, lengths=[1, 2])
+    assert ct(jnp.ones(3)).shape == (3,)
+    it = zt.IndependentTransform(base_transform=zt.ExpTransform(),
+                                 reinterpreted_batch_ndims=1)
+    assert it.domain_dim == 1
+    with pytest.raises(NotImplementedError):
+        zt.CatTransform([zt.ExpTransform()], dim=0, lengths=[1])
+
+    # TransformedDistribution keyword spelling
+    dd = zd.TransformedDistribution(
+        base_distribution=zd.Normal(0.0, 1.0),
+        transforms=zt.ExpTransform())
+    assert np.isfinite(float(dd.log_prob(jnp.asarray(1.5))))
+
+    # Wishart precision_matrix option == inverse covariance
+    P = jnp.asarray([[2.0, 0.5], [0.5, 1.0]])
+    w1 = zd.Wishart(5.0, precision_matrix=P)
+    w2 = zd.Wishart(5.0, covariance_matrix=jnp.linalg.inv(P))
+    xs = w2.sample(key, (4,))
+    assert np.allclose(np.asarray(w1.log_prob(xs)),
+                       np.asarray(w2.log_prob(xs)), atol=1e-9)
+
+    # torch-style custom subclass via super().__init__
+    class MyExp(zd.Distribution):
+        def __init__(self, rate, validate_args=None):
+            super().__init__(batch_shape=jnp.shape(rate),
+                             validate_args=validate_args)
+            self.rate = jnp.asarray(rate)
+
+        def log_prob(self, x):
+            return jnp.log(self.rate) - self.rate * x
+
+    m = MyExp(jnp.asarray([1.0, 2.0]), validate_args=False)
+    assert m.batch_shape == (2,) and m.event_shape == ()
+
+    # ContinuousBernoulli near p=1/2 matches torch (lims window wired)
+    for p in (0.3, 0.4995, 0.5):
+        aa = float(zd.ContinuousBernoulli(p).log_prob(jnp.asarray(0.3)))
+        bb = float(td.ContinuousBernoulli(
+            torch.tensor(p)).log_prob(torch.tensor(0.3)))
+        assert abs(aa - bb) < 1e-9, p
+
+    # TwoWayELU takes torch CELU args; alpha != 1 falls back off the
+    # fused NAF path (structure gate) rather than silently mis-fusing
+    from zuko_tpu.nn import TwoWayELU
+
+    e = TwoWayELU(2.0, inplace=True)
+    y = e(jnp.asarray([-1.0, 1.0]))
+    assert float(y[0]) == pytest.approx(2.0 * (np.exp(-1.0) - 1.0))

@@ -146,17 +146,31 @@ def _betaincinv(a: jax.Array, b: jax.Array, q: jax.Array) -> jax.Array:
 
 class Distribution(Module):
     r"""Abstract distribution: ``batch_shape`` of independent-but-not-identical
-    instances, each over events of shape ``event_shape``."""
+    instances, each over events of shape ``event_shape``.
+
+    torch-style custom subclasses may call
+    ``super().__init__(batch_shape, event_shape, validate_args)`` — the
+    shapes are stored and served by the default properties
+    (``validate_args`` is accepted and ignored: value validation cannot
+    raise on traced arrays)."""
 
     has_rsample: bool = True
 
+    def __init__(self, batch_shape: Shape = (), event_shape: Shape = (),
+                 validate_args=None):
+        self._batch_shape = tuple(batch_shape)
+        self._event_shape = tuple(event_shape)
+
     @property
     def batch_shape(self) -> Shape:
-        raise NotImplementedError
+        bs = self.__dict__.get("_batch_shape")
+        if bs is None:
+            raise NotImplementedError
+        return bs
 
     @property
     def event_shape(self) -> Shape:
-        return ()
+        return self.__dict__.get("_event_shape", ())
 
     def log_prob(self, x: jax.Array) -> jax.Array:
         raise NotImplementedError
@@ -1732,10 +1746,13 @@ class Geometric(Distribution):
 
     has_rsample: bool = False
 
-    def __init__(self, probs=None, logits=None):
+    def __init__(self, probs=None, logits=None, lims=(0.499, 0.501)):
         if probs is None:
             probs = jax.nn.sigmoid(jnp.asarray(logits))
         self.probs = jnp.asarray(probs)
+        # torch's unstable-region window: inside |p - 1/2| < lims[1] - 1/2
+        # the log-normalizer/cdf/mean switch to their Taylor forms
+        self._half = float(lims[1] - 0.5)
 
     @property
     def batch_shape(self) -> Shape:
@@ -1939,10 +1956,13 @@ class ContinuousBernoulli(Distribution):
     Loaiza-Ganem & Cunningham, 2019). Reparameterized through the
     closed-form quantile function."""
 
-    def __init__(self, probs=None, logits=None):
+    def __init__(self, probs=None, logits=None, lims=(0.499, 0.501)):
         if probs is None:
             probs = jax.nn.sigmoid(jnp.asarray(logits))
         self.probs = jnp.asarray(probs)
+        # torch's unstable-region window: inside |p - 1/2| < lims[1] - 1/2
+        # the log-normalizer/cdf/mean switch to their Taylor forms
+        self._half = float(lims[1] - 0.5)
 
     @property
     def batch_shape(self) -> Shape:
@@ -1955,14 +1975,14 @@ class ContinuousBernoulli(Distribution):
     def _log_norm(self):
         p = self.probs
         # C(p) = 2 atanh(1-2p) / (1-2p) for p != 1/2, C(1/2) = 2
-        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        safe = jnp.where(jnp.abs(p - 0.5) < self._half, 0.4, p)
         ln = jnp.log(2 * jnp.abs(jnp.arctanh(1 - 2 * safe))) - jnp.log(
             jnp.abs(1 - 2 * safe)
         )
         # quadratic Taylor expansion around p = 1/2: log 2 + 4/3 eps^2
         eps = p - 0.5
         taylor = math.log(2.0) + (4.0 / 3.0) * eps**2
-        return jnp.where(jnp.abs(p - 0.5) < 1e-6, taylor, ln)
+        return jnp.where(jnp.abs(p - 0.5) < self._half, taylor, ln)
 
     def log_prob(self, x):
         p = self.probs
@@ -1977,19 +1997,19 @@ class ContinuousBernoulli(Distribution):
 
     def cdf(self, x):
         p = self.probs
-        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        safe = jnp.where(jnp.abs(p - 0.5) < self._half, 0.4, p)
         num = safe**x * (1 - safe) ** (1 - x) + safe - 1
         out = num / (2 * safe - 1)
-        return jnp.clip(jnp.where(jnp.abs(p - 0.5) < 1e-6, x, out), 0.0, 1.0)
+        return jnp.clip(jnp.where(jnp.abs(p - 0.5) < self._half, x, out), 0.0, 1.0)
 
     def icdf(self, q):
         p = self.probs
-        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        safe = jnp.where(jnp.abs(p - 0.5) < self._half, 0.4, p)
         out = (
             jnp.log1p(q * (2 * safe - 1) / (1 - safe))
             / (jnp.log(safe) - jnp.log1p(-safe))
         )
-        return jnp.where(jnp.abs(p - 0.5) < 1e-6, q, out)
+        return jnp.where(jnp.abs(p - 0.5) < self._half, q, out)
 
     def expand(self, batch_shape: Shape):
         return ContinuousBernoulli(jnp.broadcast_to(self.probs, batch_shape))
@@ -1997,9 +2017,9 @@ class ContinuousBernoulli(Distribution):
     @property
     def mean(self):
         p = self.probs
-        safe = jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.4, p)
+        safe = jnp.where(jnp.abs(p - 0.5) < self._half, 0.4, p)
         out = safe / (2 * safe - 1) + 1 / (2 * jnp.arctanh(1 - 2 * safe))
-        return jnp.where(jnp.abs(p - 0.5) < 1e-6, 0.5, out)
+        return jnp.where(jnp.abs(p - 0.5) < self._half, 0.5, out)
 
 
 class FisherSnedecor(Distribution):
@@ -2469,8 +2489,17 @@ class Wishart(Distribution):
     (reparameterized through gamma/normal draws); requires
     ``df > D - 1``."""
 
-    def __init__(self, df, covariance_matrix=None, scale_tril=None):
+    def __init__(self, df, covariance_matrix=None, precision_matrix=None,
+                 scale_tril=None):
         if scale_tril is None:
+            if covariance_matrix is None:
+                # torch option: Sigma = inv(P); with P = Lp Lp^T,
+                # chol(Sigma) is the reversed-triangular solve of Lp
+                Lp = jnp.linalg.cholesky(jnp.asarray(precision_matrix))
+                eye = jnp.broadcast_to(
+                    jnp.eye(Lp.shape[-1], dtype=Lp.dtype), Lp.shape)
+                Lp_inv = jax.scipy.linalg.solve_triangular(Lp, eye, lower=True)
+                covariance_matrix = jnp.swapaxes(Lp_inv, -1, -2) @ Lp_inv
             scale_tril = jnp.linalg.cholesky(jnp.asarray(covariance_matrix))
         self.df = jnp.asarray(df, dtype=float)
         self.scale_tril = jnp.asarray(scale_tril)
@@ -2613,9 +2642,12 @@ class TransformedDistribution(NormalizingFlow):
     is :class:`NormalizingFlow` over the lazy inverse. Accepts a single
     transform or a list."""
 
-    def __init__(self, base: Distribution, transforms):
+    def __init__(self, base: Distribution = None, transforms=None,
+                 *, base_distribution: Distribution = None):
         from .transforms import ComposedTransform
 
+        if base is None:
+            base = base_distribution  # torch keyword spelling
         if isinstance(transforms, (list, tuple)):
             t = (
                 transforms[0]
@@ -3717,3 +3749,14 @@ for _cls, _fn in (
 ):
     _cls.enumerate_support = _fn
     _cls.has_enumerate_support = True
+
+
+# torch ctor compatibility: every torch distribution constructor accepts
+# ``validate_args=`` (argument validation cannot raise on traced arrays
+# under jit, so it is accepted and ignored — the documented no-op).
+from .transforms import _accept_noise_kwargs as _noise  # noqa: E402
+
+for _obj in list(globals().values()):
+    if isinstance(_obj, type) and issubclass(_obj, Distribution):
+        _noise(_obj, ("validate_args",))
+del _obj

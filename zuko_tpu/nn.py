@@ -61,12 +61,18 @@ class Activation(Module):
 class TwoWayELU(Module):
     r"""Splits channels in two and applies :math:`\text{ELU}(x)` /
     :math:`-\text{ELU}(-x)` — keeps :class:`MonotonicMLP` expressive
-    (reference: zuko/nn.py:335-353)."""
+    (reference: zuko/nn.py:335-353). Accepts torch's CELU constructor
+    arguments (``alpha``; ``inplace`` is meaningless under JAX and
+    ignored)."""
+
+    def __init__(self, alpha: float = 1.0, inplace: bool = False):
+        self.alpha = float(alpha)
 
     def __call__(self, x):
         x0, x1 = jnp.split(x, 2, axis=-1)
         return jnp.concatenate(
-            [jax.nn.elu(x0), -jax.nn.elu(-x1)], axis=-1
+            [jax.nn.elu(x0, self.alpha), -jax.nn.elu(-x1, self.alpha)],
+            axis=-1,
         )
 
 

@@ -177,7 +177,9 @@ def extract_naf_params(flow):
             # monotone net: [MonotonicLinear, TwoWayELU]* + MonotonicLinear
             mono_w, mono_b, mono_dims = _extract_stacked_net(
                 t.univariate.network, MonotonicLinear,
-                lambda l: type(l) is TwoWayELU, 1 + S, "NAF monotone",
+                lambda l: (type(l) is TwoWayELU
+                           and getattr(l, "alpha", 1.0) == 1.0),
+                1 + S, "NAF monotone",
             )
             if any(h % 2 for h in mono_dims[:-1]):
                 raise FusedStructureError("TwoWayELU needs an even hidden width")

@@ -204,6 +204,10 @@ class ComposedTransform(Transform):
     """
 
     def __init__(self, *transforms: Transform):
+        # torch's ComposeTransform takes a single list (`parts`); accept
+        # both spellings
+        if len(transforms) == 1 and isinstance(transforms[0], (list, tuple)):
+            transforms = tuple(transforms[0])
         assert transforms, "'transforms' cannot be empty"
 
         event_dim = 0
@@ -440,11 +444,25 @@ class TanhTransform(Transform):
 class AffineTransform(Transform):
     r""":math:`f(x) = a x + b` with fixed (unconstrained-sign) scale (torch
     namespace parity; for trainable flows use
-    :class:`MonotonicAffineTransform`)."""
+    :class:`MonotonicAffineTransform`). Accepts torch's keyword spelling
+    ``AffineTransform(loc=..., scale=..., event_dim=...)``; ``event_dim``
+    rightmost dimensions are treated as event dimensions (their
+    log-Jacobian sums)."""
 
-    def __init__(self, shift, scale):
+    def __init__(self, shift=None, scale=None, *, loc=None, event_dim=0):
+        if shift is None:
+            shift = loc
         self.shift = jnp.asarray(shift)
         self.scale = jnp.asarray(scale)
+        self.event_dim = int(event_dim)
+
+    @property
+    def domain_dim(self) -> int:
+        return self.event_dim
+
+    @property
+    def codomain_dim(self) -> int:
+        return self.event_dim
 
     def forward(self, x):
         return self.scale * x + self.shift
@@ -453,8 +471,19 @@ class AffineTransform(Transform):
         return (y - self.shift) / self.scale
 
     def log_abs_det_jacobian(self, x, y):
+        ladj = jnp.log(jnp.abs(self.scale))
+        if self.event_dim:
+            # torch semantics: sum over scale's own trailing event dims
+            # only (a scalar scale contributes log|a| once, NOT times the
+            # event size), then broadcast over the batch shape
+            k = min(self.event_dim, jnp.ndim(ladj))
+            if k:
+                ladj = jnp.sum(ladj, axis=tuple(range(-k, 0)))
+            batch = jnp.shape(x)[: jnp.ndim(x) - self.event_dim]
+            return jnp.broadcast_to(ladj, jnp.broadcast_shapes(
+                batch, jnp.shape(ladj)))
         shape = jnp.broadcast_shapes(x.shape, self.scale.shape)
-        return jnp.broadcast_to(jnp.log(jnp.abs(self.scale)), shape)
+        return jnp.broadcast_to(ladj, shape)
 
     @property
     def sign(self):
@@ -1296,7 +1325,14 @@ class IndependentTransform(Transform):
     ``torch.distributions.transforms.IndependentTransform``,
     zuko/transforms.py:37)."""
 
-    def __init__(self, base: Transform, reinterpreted: int):
+    def __init__(self, base: Transform = None, reinterpreted: int = None,
+                 *, base_transform: Transform = None,
+                 reinterpreted_batch_ndims: int = None):
+        # torch keyword spellings accepted
+        if base is None:
+            base = base_transform
+        if reinterpreted is None:
+            reinterpreted = reinterpreted_batch_ndims
         self.base = base
         self.reinterpreted = int(reinterpreted)
 
@@ -1439,7 +1475,14 @@ class CatTransform(Transform):
     domain_dim: int = 1
     codomain_dim: int = 1
 
-    def __init__(self, transforms: Sequence, lengths: Sequence = None):
+    def __init__(self, transforms: Sequence = None, lengths: Sequence = None,
+                 *, tseq: Sequence = None, dim: int = -1):
+        if transforms is None:
+            transforms = tseq  # torch keyword spelling
+        if dim != -1:
+            raise NotImplementedError(
+                "CatTransform supports the last event axis (dim=-1) only."
+            )
         transforms = list(transforms)
         if lengths is None:
             lengths = [1] * len(transforms)
@@ -1699,3 +1742,31 @@ del _cls
 
 # torch.distributions.transforms parity: the module-level singleton.
 identity_transform = IdentityTransform()
+
+
+# torch ctor compatibility: every torch transform constructor accepts
+# ``cache_size=`` (an autograd value-caching hint with no meaning under
+# JAX's functional execution) — accept and discard it everywhere so
+# ported ``SomeTransform(..., cache_size=1)`` calls work unchanged.
+import functools as _functools  # noqa: E402
+
+
+def _accept_noise_kwargs(cls, names):
+    orig = cls.__init__
+    if getattr(orig, "_noise_kwargs_wrapped", False):
+        return
+
+    @_functools.wraps(orig)
+    def __init__(self, *args, **kwargs):
+        for n in names:
+            kwargs.pop(n, None)
+        orig(self, *args, **kwargs)
+
+    __init__._noise_kwargs_wrapped = True
+    cls.__init__ = __init__
+
+
+for _obj in list(globals().values()):
+    if isinstance(_obj, type) and issubclass(_obj, Transform):
+        _accept_noise_kwargs(_obj, ("cache_size",))
+del _obj
