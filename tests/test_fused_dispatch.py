@@ -1566,3 +1566,58 @@ def _cast_params_module(flow, dtype):
         else a,
         flow,
     )
+
+
+def test_fused_sampling_batched_context(key, dispatch_on):
+    r"""Batched-context sampling through the fused tier: ``flow(c)`` with
+    ``c`` of shape (B, ctx) must sample with torch/XLA semantics
+    ``sample_shape + (B,) + event`` and match the XLA path row-for-row
+    (the old prep broadcast either crashed at sample_shape=() or, when
+    B == S, silently returned one draw per row at the WRONG shape)."""
+    import os
+
+    from zuko_tpu.flows import MAF, NAF, NSF
+
+    def xla(fn):
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+        try:
+            return fn()
+        finally:
+            os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+
+    kf, ks = jax.random.split(key)
+    for name, flow in [
+        ("NSF", NSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf)),
+        ("MAF", MAF(3, 2, transforms=2, hidden_features=(8, 8), key=kf)),
+        ("NAF", NAF(3, 2, transforms=2, signal=6, key=kf)),
+    ]:
+        for B, sshape in [(5, ()), (5, (4,)), (5, (2, 3))]:
+            c = jax.random.normal(jax.random.key(7), (B, 2))
+            d = flow(c)
+            x = d.sample(ks, sshape)
+            want = tuple(sshape) + (B, 3)
+            assert x.shape == want, (name, B, sshape, x.shape)
+            x_ref = xla(lambda: flow(c).sample(ks, sshape))
+            assert jnp.allclose(x, x_ref, atol=1e-5), (
+                name, B, sshape, float(jnp.abs(x - x_ref).max()))
+            xs, lq = d.sample_and_log_prob(ks, sshape)
+            assert xs.shape == want and lq.shape == want[:-1], name
+            lp = xla(lambda: flow(c).log_prob(xs))
+            assert jnp.allclose(lq, lp, atol=1e-5), name
+
+    # IFT rsample gradients with batched context match the XLA adjoint
+    from zuko_tpu.core import combine, partition
+
+    flow = NSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf)
+    params, static = partition(flow)
+    c = jax.random.normal(jax.random.key(8), (6, 2))
+
+    def loss(p):
+        xs, lq = combine(p, static)(c).rsample_and_log_prob(ks, ())
+        return jnp.sum(xs**2) + jnp.sum(lq)
+
+    g1 = jax.grad(loss)(params)
+    g2 = xla(lambda: jax.grad(loss)(params))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))) < 1e-5

@@ -959,13 +959,17 @@ def _prep_naf_sample(flow, key, sample_shape, c):
         dtype = jnp.asarray(flow.base.args[0]).dtype
     except (AttributeError, IndexError):  # pragma: no cover
         dtype = flat_params[0].dtype
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    # batched context contributes its batch dims after the draw shape,
+    # matching the XLA path's `sample_shape + batch_shape + event`
+    c = jnp.asarray(c) if c is not None else None
+    cbatch = tuple(c.shape[:-1]) if c is not None else ()
+    z = jax.random.normal(key, tuple(sample_shape) + cbatch + (F,), dtype)
     zf = z.reshape(-1, F)
 
     if c is not None:
-        c = jnp.asarray(c)
         C = c.shape[-1]
-        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
+        cf = jnp.broadcast_to(
+            c, tuple(sample_shape) + cbatch + (C,)).reshape(-1, C)
         zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
     else:
         C = 0

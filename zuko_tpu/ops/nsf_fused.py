@@ -1479,18 +1479,23 @@ def _prep_sample(flow, key, sample_shape, c=None):
         dtype = jnp.asarray(flow.base.args[0]).dtype
     except (AttributeError, IndexError):
         dtype = flat_params[0].dtype
+    # a batched context (*, C) contributes its batch dims AFTER the draw
+    # shape, matching the XLA path's `sample_shape + batch_shape + event`
+    cbatch = tuple(c.shape[:-1]) if c is not None else ()
+    shape = tuple(sample_shape) + cbatch + (F,)
     if base[0] == "box":
         # BoxUniform base (NCSF): low + (high - low) * U, exactly the
         # Uniform sampler (distributions.py Uniform.sample)
-        u = jax.random.uniform(key, tuple(sample_shape) + (F,), dtype)
+        u = jax.random.uniform(key, shape, dtype)
         z = base[1] + (base[2] - base[1]) * u
     else:
-        z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+        z = jax.random.normal(key, shape, dtype)
     zf = z.reshape(-1, F)
 
     if c is not None:
         C = c.shape[-1]
-        cf = jnp.broadcast_to(c, tuple(sample_shape) + (C,)).reshape(-1, C)
+        cf = jnp.broadcast_to(
+            c, tuple(sample_shape) + cbatch + (C,)).reshape(-1, C)
         zc = jnp.concatenate([zf, cf.astype(zf.dtype)], axis=-1)
     else:
         C = 0
