@@ -1377,16 +1377,24 @@ def test_torch_constructor_compat_kwargs(key):
     zt.PowerTransform(2.0, cache_size=1)
     zt.StickBreakingTransform(cache_size=1)
 
-    # AffineTransform: torch spelling + event_dim ladj summing
-    a = zt.AffineTransform(loc=1.0, scale=-2.0, event_dim=1, cache_size=1)
-    at = td.transforms.AffineTransform(
-        torch.tensor(1.0), torch.tensor(-2.0), event_dim=1)
+    # AffineTransform: torch spelling + event_dim ladj. torch's Number
+    # convention (float scale -> log|a| PER event element, the true
+    # |a|^D) and its 0-d-tensor convention (sum only scale's own
+    # trailing dims) both reproduce; positional event_dim works.
     x = jnp.linspace(-1, 1, 12).reshape(4, 3)
     xt = torch.tensor(np.asarray(x, dtype=np.float64))
+    a = zt.AffineTransform(loc=1.0, scale=-2.0, event_dim=1, cache_size=1)
+    at = td.transforms.AffineTransform(1.0, -2.0, event_dim=1)
     assert np.allclose(np.asarray(a(x)), at(xt).numpy())
     lj = a.log_abs_det_jacobian(x, a(x))
     lt = at.log_abs_det_jacobian(xt, at(xt))
     assert lj.shape == (4,) and np.allclose(np.asarray(lj), lt.numpy())
+    a2 = zt.AffineTransform(1.0, jnp.asarray(-2.0), 1)  # positional ed
+    at2 = td.transforms.AffineTransform(
+        torch.tensor(1.0), torch.tensor(-2.0), 1)
+    lj2 = a2.log_abs_det_jacobian(x, a2(x))
+    lt2 = at2.log_abs_det_jacobian(xt, at2(xt))
+    assert lj2.shape == (4,) and np.allclose(np.asarray(lj2), lt2.numpy())
 
     # ComposeTransform([..]) list spelling, equal to varargs
     c1 = zt.ComposeTransform([zt.ExpTransform(),

@@ -62,7 +62,16 @@ def main():
     # --- log_prob, XLA path --------------------------------------------------
     # the public API auto-dispatches to the fused kernels on TPU, so the
     # XLA rows must force the gate off; the gate is read at trace time,
-    # so it is set before this jit's warmup and restored after
+    # so it is set before this jit's warmup and the CALLER's value is
+    # restored after (pop would clobber an explicit =1 override on CPU)
+    _saved_gate = os.environ.get("ZUKO_TPU_FUSED_DISPATCH")
+
+    def _restore_gate():
+        if _saved_gate is None:
+            os.environ.pop("ZUKO_TPU_FUSED_DISPATCH", None)
+        else:
+            os.environ["ZUKO_TPU_FUSED_DISPATCH"] = _saved_gate
+
     os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
 
     @jax.jit
@@ -74,7 +83,7 @@ def main():
         return lax.scan(body, 0.0, None, length=R)[0]
 
     dt = timed(lp_xla, params, x)
-    os.environ.pop("ZUKO_TPU_FUSED_DISPATCH", None)
+    _restore_gate()
     print(f"log_prob  XLA  : {B * R / dt / 1e6:8.1f} M evals/s")
 
     # --- log_prob, fused kernel ---------------------------------------------
@@ -101,7 +110,7 @@ def main():
         return lax.scan(body, 0.0, jnp.arange(R))[0]
 
     dt = timed(samp_xla, params, key)
-    os.environ.pop("ZUKO_TPU_FUSED_DISPATCH", None)
+    _restore_gate()
     print(f"sampling  XLA  : {B * R / dt / 1e6:8.2f} M samples/s")
 
     # --- sampling, fused kernel ---------------------------------------------

@@ -46,6 +46,9 @@ def pin(name, flow, ctx):
         t0 = time.perf_counter(); s_loop(params, jax.random.PRNGKey(2), c).block_until_ready()
         dt = time.perf_counter() - t0
         best = max(best, BATCH*REPEATS/dt/1e6)
+        # per-run prints (CLAUDE.md timing discipline)
+        print(f"# {name} sample+logq run {r}: {1e3*dt:.1f} ms -> "
+              f"{BATCH*REPEATS/dt/1e6:.1f}M/s", flush=True)
     print(f"{name} conditional sample+logq BEST {best:.1f}M", flush=True)
 
 k = jax.random.PRNGKey(0)

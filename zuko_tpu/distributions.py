@@ -1746,13 +1746,10 @@ class Geometric(Distribution):
 
     has_rsample: bool = False
 
-    def __init__(self, probs=None, logits=None, lims=(0.499, 0.501)):
+    def __init__(self, probs=None, logits=None):
         if probs is None:
             probs = jax.nn.sigmoid(jnp.asarray(logits))
         self.probs = jnp.asarray(probs)
-        # torch's unstable-region window: inside |p - 1/2| < lims[1] - 1/2
-        # the log-normalizer/cdf/mean switch to their Taylor forms
-        self._half = float(lims[1] - 0.5)
 
     @property
     def batch_shape(self) -> Shape:
@@ -2012,7 +2009,10 @@ class ContinuousBernoulli(Distribution):
         return jnp.where(jnp.abs(p - 0.5) < self._half, q, out)
 
     def expand(self, batch_shape: Shape):
-        return ContinuousBernoulli(jnp.broadcast_to(self.probs, batch_shape))
+        return ContinuousBernoulli(
+            jnp.broadcast_to(self.probs, batch_shape),
+            lims=(0.5 - self._half, 0.5 + self._half),
+        )
 
     @property
     def mean(self):
@@ -3462,13 +3462,14 @@ def _(d):
 @register_variance(ContinuousBernoulli)
 def _(d):
     p = d.probs
-    safe = jnp.where(jnp.abs(p - 0.5) < 1e-3, 0.4, p)
+    half = d._half
+    safe = jnp.where(jnp.abs(p - 0.5) < half, 0.4, p)
     v = safe * (safe - 1) / (1 - 2 * safe) ** 2 + 1 / (
         jnp.log1p(-safe) - jnp.log(safe)
     ) ** 2
     x = (p - 0.5) ** 2
     taylor = 1 / 12 - (1 / 15 - 128 / 945 * x) * x
-    return jnp.where(jnp.abs(p - 0.5) < 1e-3, taylor, v)
+    return jnp.where(jnp.abs(p - 0.5) < half, taylor, v)
 
 
 @register_variance(FisherSnedecor)

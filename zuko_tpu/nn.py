@@ -61,9 +61,9 @@ class Activation(Module):
 class TwoWayELU(Module):
     r"""Splits channels in two and applies :math:`\text{ELU}(x)` /
     :math:`-\text{ELU}(-x)` — keeps :class:`MonotonicMLP` expressive
-    (reference: zuko/nn.py:335-353). Accepts torch's CELU constructor
-    arguments (``alpha``; ``inplace`` is meaningless under JAX and
-    ignored)."""
+    (reference: zuko/nn.py:335-353, which subclasses ``torch.nn.ELU`` —
+    so ``alpha`` follows ELU semantics, :math:`\alpha(e^x - 1)`).
+    ``inplace`` is meaningless under JAX and ignored."""
 
     def __init__(self, alpha: float = 1.0, inplace: bool = False):
         self.alpha = float(alpha)

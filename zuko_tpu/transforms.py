@@ -449,10 +449,14 @@ class AffineTransform(Transform):
     rightmost dimensions are treated as event dimensions (their
     log-Jacobian sums)."""
 
-    def __init__(self, shift=None, scale=None, *, loc=None, event_dim=0):
+    def __init__(self, shift=None, scale=None, event_dim=0, *, loc=None):
         if shift is None:
             shift = loc
         self.shift = jnp.asarray(shift)
+        # torch distinguishes Python-number scales from 0-d tensors in the
+        # event_dim ladj (a Number contributes log|a| PER event element,
+        # a tensor sums only its own trailing dims) — record which
+        self._scalar_scale = isinstance(scale, (int, float))
         self.scale = jnp.asarray(scale)
         self.event_dim = int(event_dim)
 
@@ -473,10 +477,18 @@ class AffineTransform(Transform):
     def log_abs_det_jacobian(self, x, y):
         ladj = jnp.log(jnp.abs(self.scale))
         if self.event_dim:
-            # torch semantics: sum over scale's own trailing event dims
-            # only (a scalar scale contributes log|a| once, NOT times the
-            # event size), then broadcast over the batch shape
-            k = min(self.event_dim, jnp.ndim(ladj))
+            # torch semantics: a Python-number scale contributes log|a|
+            # per event element (result filled like x, then summed — the
+            # mathematically correct |a|^D); an ARRAY scale sums only its
+            # own trailing event dims, then broadcasts over the batch
+            if self._scalar_scale:
+                n = 1
+                for d in jnp.shape(x)[jnp.ndim(x) - self.event_dim:]:
+                    n *= d
+                ladj = ladj * n
+                k = 0
+            else:
+                k = min(self.event_dim, jnp.ndim(ladj))
             if k:
                 ladj = jnp.sum(ladj, axis=tuple(range(-k, 0)))
             batch = jnp.shape(x)[: jnp.ndim(x) - self.event_dim]
