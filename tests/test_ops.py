@@ -125,9 +125,16 @@ def test_fused_nsf_conditional_and_vi(key):
     lp = fused_nsf_log_prob(flow, x, c)
     assert jnp.allclose(lp, flow(c).log_prob(x), atol=1e-5)
 
-    xs, lp = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(5), (32,), c=c)
+    # batched context contributes its batch dims after sample_shape
+    # (XLA/torch semantics, the r87 fix): one draw per context row is
+    # sample_shape=()
+    xs, lp = fused_nsf_sample_and_log_prob(flow, jax.random.PRNGKey(5), (), c=c)
     assert xs.shape == (32, 3)
     assert jnp.allclose(lp, flow(c).log_prob(xs), atol=1e-5)
+
+    xs2, lp2 = fused_nsf_sample_and_log_prob(
+        flow, jax.random.PRNGKey(5), (4,), c=c)
+    assert xs2.shape == (4, 32, 3) and lp2.shape == (4, 32)
 
     # conditional gradients through the fused path
     from zuko_tpu.core import combine, partition
