@@ -413,6 +413,14 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
 
     from ..core import combine, partition
 
+    if c is not None and jnp.ndim(c) > 1:
+        raise NotImplementedError(
+            "sharded_fused_sample shards the SAMPLE axis; a batched "
+            "context (B, ctx) would need context sharding instead — "
+            "shard the context batch over `data` yourself and call the "
+            "single-device sampler per shard (flow(c).sample under "
+            "shard_map), or flatten contexts into the sample axis."
+        )
     n = int(np.prod(sample_shape)) if sample_shape else 1
     d = mesh.shape["data"]
     assert n % d == 0, f"sample count {n} must divide the data axis {d}"
