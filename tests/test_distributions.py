@@ -1455,3 +1455,64 @@ def test_torch_constructor_compat_kwargs(key):
     e = TwoWayELU(2.0, inplace=True)
     y = e(jnp.asarray([-1.0, 1.0]))
     assert float(y[0]) == pytest.approx(2.0 * (np.exp(-1.0) - 1.0))
+
+
+def test_expand_preserves_statistics(key):
+    r"""``expand`` must preserve every statistic and constructor state —
+    the bug class where expand rebuilds the instance and silently drops
+    a kwarg (ContinuousBernoulli's ``lims`` did exactly this before the
+    round-4 fix). For every family: log_prob on a shared sample and
+    mean/variance/entropy agree between an instance and its expand."""
+    import zuko_tpu.distributions as D
+
+    cases = {
+        "Normal": D.Normal(0.5, 1.5),
+        "Uniform": D.Uniform(-1.0, 2.0),
+        "Bernoulli": D.Bernoulli(0.3),
+        "Gamma": D.Gamma(2.5, 1.5),
+        "Beta": D.Beta(2.0, 3.0),
+        "StudentT": D.StudentT(4.0, 0.5, 1.5),
+        "Weibull": D.Weibull(2.0, 1.5),
+        "Binomial": D.Binomial(5, probs=0.3),
+        "Dirichlet": D.Dirichlet(jnp.asarray([2.0, 3.0, 4.0])),
+        "VonMises": D.VonMises(0.5, 2.0),
+        "Categorical": D.Categorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+        "MultivariateNormal": D.MultivariateNormal(
+            jnp.zeros(3), jnp.eye(3) * 0.7),
+        "Kumaraswamy": D.Kumaraswamy(2.0, 3.0),
+        "ContinuousBernoulli": D.ContinuousBernoulli(
+            0.45, lims=(0.3, 0.7)),  # the custom window must survive
+        "GeneralizedPareto": D.GeneralizedPareto(0.0, 1.0, 0.3),
+        "NegativeBinomial": D.NegativeBinomial(5.0, probs=0.3),
+        "RelaxedBernoulli": D.RelaxedBernoulli(0.7, probs=0.3),
+        "LowRankMultivariateNormal": D.LowRankMultivariateNormal(
+            jnp.zeros(3), jnp.ones((3, 1)) * 0.3, jnp.ones(3)),
+        "Wishart": D.Wishart(5.0, covariance_matrix=jnp.eye(2) * 0.7),
+        "Truncated": D.Truncated(D.Normal(0.5, 1.5), -1.0, 1.0),
+        "MixtureSameFamily": D.MixtureSameFamily(
+            D.Categorical(probs=jnp.ones(4) / 4),
+            D.Normal(jnp.arange(4.0), jnp.ones(4))),
+    }
+    for name, d in cases.items():
+        de = d.expand((2,) + tuple(d.batch_shape))
+        x = d.sample(key, ())
+        xe = jnp.broadcast_to(
+            x, (2,) + tuple(d.batch_shape) + tuple(d.event_shape))
+        lp0 = np.asarray(d.log_prob(x), dtype=np.float64)
+        lpe = np.asarray(de.log_prob(xe), dtype=np.float64)
+        assert np.allclose(
+            np.broadcast_to(lp0, lpe.shape), lpe, atol=1e-12,
+            equal_nan=True), name
+        for stat in ("mean", "variance", "entropy"):
+            try:
+                s0 = np.asarray(
+                    getattr(d, stat)() if stat == "entropy"
+                    else getattr(d, stat), dtype=np.float64)
+                se = np.asarray(
+                    getattr(de, stat)() if stat == "entropy"
+                    else getattr(de, stat), dtype=np.float64)
+            except NotImplementedError:
+                continue
+            assert np.allclose(
+                np.broadcast_to(s0, se.shape), se, atol=1e-12,
+                equal_nan=True), (name, stat)
