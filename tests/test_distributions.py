@@ -1516,3 +1516,33 @@ def test_expand_preserves_statistics(key):
             assert np.allclose(
                 np.broadcast_to(s0, se.shape), se, atol=1e-12,
                 equal_nan=True), (name, stat)
+
+
+def test_samples_satisfy_declared_support(key):
+    r"""Every family's samples satisfy its own ``d.support`` constraint
+    (27 families) — ties the sampling tier to the constraints module."""
+    import zuko_tpu.distributions as D
+
+    cases = [
+        D.Normal(0.5, 1.5), D.Uniform(-1.0, 2.0), D.Bernoulli(0.3),
+        D.Gamma(2.5, 1.5), D.Beta(2.0, 3.0), D.Exponential(1.5),
+        D.LogNormal(0.2, 0.8), D.Weibull(2.0, 1.5), D.Poisson(2.5),
+        D.Binomial(5, probs=0.3), D.Dirichlet(jnp.asarray([2.0, 3.0, 4.0])),
+        D.Categorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+        D.MultivariateNormal(jnp.zeros(3), jnp.eye(3)),
+        D.Geometric(0.3), D.Pareto(2.0, 3.0), D.HalfNormal(1.5),
+        D.HalfCauchy(1.5), D.InverseGamma(3.0, 2.0),
+        D.Kumaraswamy(2.0, 3.0), D.ContinuousBernoulli(0.3),
+        D.NegativeBinomial(5.0, probs=0.3),
+        D.OneHotCategorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+        D.RelaxedOneHotCategorical(
+            jnp.asarray(0.7), probs=jnp.asarray([0.2, 0.5, 0.3])),
+        D.LowRankMultivariateNormal(
+            jnp.zeros(3), jnp.ones((3, 1)) * 0.3, jnp.ones(3)),
+        D.Wishart(5.0, covariance_matrix=jnp.eye(2) * 0.7),
+        D.LKJCholesky(3, 2.0),
+        D.LogisticNormal(jnp.zeros(2), jnp.ones(2)),
+    ]
+    for d in cases:
+        x = d.sample(key, (256,))
+        assert bool(jnp.all(d.support.check(x))), type(d).__name__
