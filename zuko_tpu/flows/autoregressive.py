@@ -76,6 +76,10 @@ class MaskedAutoregressiveTransform(LazyTransform):
         >>> y = t(c)(x)
         >>> bool(jnp.allclose(t(c).inv(y), x, atol=1e-5))
         True
+    
+    References:
+        | Masked Autoregressive Flow for Density Estimation (Papamakarios et al., 2017)
+        | https://arxiv.org/abs/1705.07057
     """
 
     def __new__(
@@ -187,6 +191,10 @@ class MAF(Flow):
         >>> x = flow(c).sample(jax.random.PRNGKey(1))
         >>> flow(c).log_prob(x).shape
         ()
+    
+    References:
+        | Masked Autoregressive Flow for Density Estimation (Papamakarios et al., 2017)
+        | https://arxiv.org/abs/1705.07057
     """
 
     def __init__(

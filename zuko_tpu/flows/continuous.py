@@ -48,6 +48,10 @@ class FFJTransform(LazyTransform):
         >>> y = t(c)(x)
         >>> bool(jnp.allclose(t(c).inv(y), x, atol=1e-4))
         True
+    
+    References:
+        | FFJORD: Free-form Continuous Dynamics for Scalable Reversible Generative Models (Grathwohl et al., 2018)
+        | https://arxiv.org/abs/1810.01367
     """
 
     def __init__(
@@ -104,6 +108,10 @@ class CNF(Flow):
         >>> x = jnp.asarray([[0.1, -0.2]])
         >>> flow(None).log_prob(x).shape
         (1,)
+    
+    References:
+        | Neural Ordinary Differential Equations (Chen et al., 2018)
+        | https://arxiv.org/abs/1806.07366
     """
 
     def __init__(self, features: int, context: int = 0, key: jax.Array = None, **kwargs):

@@ -42,6 +42,10 @@ class GeneralCouplingTransform(LazyTransform):
         >>> y = t(c)(x)
         >>> bool(jnp.allclose(t(c).inv(y), x, atol=1e-5))
         True
+    
+    References:
+        | NICE: Non-linear Independent Components Estimation (Dinh et al., 2014)
+        | https://arxiv.org/abs/1410.8516
     """
 
     def __new__(
@@ -114,6 +118,10 @@ class NICE(Flow):
         >>> x = flow(None).sample(jax.random.PRNGKey(1), (5,))
         >>> flow(None).log_prob(x).shape
         (5,)
+    
+    References:
+        | NICE: Non-linear Independent Components Estimation (Dinh et al., 2014)
+        | https://arxiv.org/abs/1410.8516
     """
 
     def __init__(

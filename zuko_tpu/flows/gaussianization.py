@@ -97,6 +97,10 @@ class GF(Flow):
         >>> x = flow(None).sample(jax.random.PRNGKey(1), (5,))
         >>> flow(None).log_prob(x).shape
         (5,)
+    
+    References:
+        | Gaussianization Flows (Meng et al., 2020)
+        | https://arxiv.org/abs/2003.01941
     """
 
     def __init__(

@@ -153,6 +153,10 @@ class NAF(Flow):
         >>> x = jnp.asarray([[0.1, -0.5, 0.3]])
         >>> flow(None).log_prob(x).shape
         (1,)
+    
+    References:
+        | Neural Autoregressive Flows (Huang et al., 2018)
+        | https://arxiv.org/abs/1804.00779
     """
 
     def __init__(
@@ -186,6 +190,10 @@ class UNAF(Flow):
         >>> x = jnp.asarray([[0.1, -0.5, 0.3]])
         >>> flow(None).log_prob(x).shape
         (1,)
+    
+    References:
+        | Unconstrained Monotonic Neural Networks (Wehenkel et al., 2019)
+        | https://arxiv.org/abs/1908.05164
     """
 
     def __init__(

@@ -54,6 +54,10 @@ class SOSPF(MAF):
         >>> flow = SOSPF(3, transforms=2, key=jax.random.PRNGKey(0))
         >>> flow(None).log_prob(jnp.zeros((5, 3))).shape
         (5,)
+    
+    References:
+        | Sum-of-Squares Polynomial Flow (Jaini et al., 2019)
+        | https://arxiv.org/abs/1905.02325
     """
 
     def __init__(self, features, context=0, degree=4, polynomials=3,
@@ -82,6 +86,10 @@ class BPF(MAF):
         >>> flow = BPF(3, transforms=2, key=jax.random.PRNGKey(0))
         >>> flow(None).log_prob(jnp.zeros((5, 3))).shape
         (5,)
+    
+    References:
+        | Deep transformation models (Sick et al., 2020)
+        | https://arxiv.org/abs/2004.00464
     """
 
     def __init__(self, features, context=0, degree=16, **kwargs):

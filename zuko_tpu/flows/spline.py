@@ -45,6 +45,10 @@ class NSF(MAF):
         >>> x = flow(c).sample(jax.random.PRNGKey(1))
         >>> flow(c).log_prob(x).shape
         ()
+    
+    References:
+        | Neural Spline Flows (Durkan et al., 2019)
+        | https://arxiv.org/abs/1906.04032
     """
 
     def __init__(self, features, context=0, bins=8, slope=1e-3, **kwargs):
@@ -76,6 +80,10 @@ class NCSF(MAF):
         >>> x = flow(None).sample(jax.random.PRNGKey(1), (5,))
         >>> flow(None).log_prob(x).shape
         (5,)
+    
+    References:
+        | Normalizing Flows on Tori and Spheres (Rezende et al., 2020)
+        | https://arxiv.org/abs/2002.02428
     """
 
     def __init__(self, features, context=0, bins=8, slope=1e-3, **kwargs):
