@@ -562,7 +562,11 @@ class SignedPowerTransform(Transform):
 
 class AdditiveTransform(Transform):
     r""":math:`f(x) = x + b` — the NICE coupling law
-    (reference: zuko/transforms.py:381-409)."""
+    (reference: zuko/transforms.py:381-409).
+    References:
+        | NICE: Non-linear Independent Components Estimation (Dinh et al., 2014)
+        | https://arxiv.org/abs/1410.8516
+    """
 
     def __init__(self, shift):
         self.shift = jnp.asarray(shift)
@@ -629,6 +633,10 @@ class MonotonicRQSTransform(Transform):
         >>> x = jnp.asarray(1.3)
         >>> bool(jnp.allclose(t.inverse(t(x)), x, atol=1e-6))
         True
+    
+    References:
+        | Neural Spline Flows (Durkan et al., 2019)
+        | https://arxiv.org/abs/1906.04032
     """
 
     def __init__(self, widths, heights, derivatives, bound: float = 5.0, slope: float = 1e-3):
@@ -795,6 +803,10 @@ class BernsteinTransform(MonotonicTransform):
     Arguments:
         theta: unconstrained coefficients, shape ``(*, M - 2)``.
         bound: the domain bound :math:`B`.
+    
+    References:
+        | Deep transformation models (Sick et al., 2020)
+        | https://arxiv.org/abs/2004.00464
     """
 
     def __init__(self, theta, bound: float = 5.0, eps: float = 1e-6):
@@ -903,6 +915,10 @@ class GaussianizationTransform(MonotonicTransform):
     Arguments:
         shift: shifts :math:`b`, shape ``(*, K)``.
         scale: unconstrained log-scales :math:`a`, shape ``(*, K)``.
+    
+    References:
+        | Gaussianization Flows (Meng et al., 2020)
+        | https://arxiv.org/abs/2003.01941
     """
 
     def __init__(self, shift, scale, **kwargs):
@@ -951,7 +967,11 @@ class UnconstrainedMonotonicTransform(MonotonicTransform):
     r""":math:`f(x) = \int_0^x g(u) du` with a positive integrand :math:`g`,
     estimated by n-point Gauss-Legendre quadrature; the log-Jacobian is exactly
     :math:`\log g(x)` (reference: zuko/transforms.py:878-924 — the UMNN/UNAF
-    ingredient)."""
+    ingredient).
+    References:
+        | Unconstrained Monotonic Neural Networks (Wehenkel et al., 2019)
+        | https://arxiv.org/abs/1908.05164
+    """
 
     def __init__(self, g: Callable = None, n: int = 32, **kwargs):
         super().__init__(None, **kwargs)
@@ -990,6 +1010,10 @@ class SOSPolynomialTransform(UnconstrainedMonotonicTransform):
     Arguments:
         a: polynomial coefficients, shape ``(*, K, L + 1)``.
         slope: minimum slope.
+    
+    References:
+        | Sum-of-Squares Polynomial Flow (Jaini et al., 2019)
+        | https://arxiv.org/abs/1905.02325
     """
 
     def __init__(self, a, slope: float = 1e-3, **kwargs):
@@ -1125,6 +1149,10 @@ class FreeFormJacobianTransform(Transform):
         key: PRNG key for the Hutchinson estimator.
         max_steps: accepted-step budget of the integrator; exhaustion
             NaN-poisons the output (see :func:`zuko_tpu.utils.odeint`).
+    
+    References:
+        | FFJORD: Free-form Continuous Dynamics for Scalable Reversible Generative Models (Grathwohl et al., 2018)
+        | https://arxiv.org/abs/1810.01367
     """
 
     domain_dim = 1
