@@ -4,6 +4,7 @@ Capability parity with the reference's ``zuko/flows/`` package
 (reference: zuko/flows/__init__.py:3-18).
 """
 
+from . import core, mixture  # noqa: F401  (attribute parity: zuko.flows.core)
 from .autoregressive import MAF, MaskedAutoregressiveTransform  # noqa: F401
 from .continuous import CNF, FFJTransform  # noqa: F401
 from .coupling import NICE, GeneralCouplingTransform, RealNVP  # noqa: F401
