@@ -54,11 +54,93 @@ def test_archive_layout_power_columns():
     assert train.shape[1] == 6
 
 
-def test_archive_layout_other_requires_presplit(tmp_path):
+def test_archive_layout_gas(tmp_path):
+    # real schema: ethylene_CO.pickle is a DataFrame with Time/Meth/Eth +
+    # 16 sensor columns of which 8 are >0.98-correlated duplicates; the
+    # published pruning recipe must land on exactly D=8
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(500, 8)
+    dup = base + 1e-3 * rng.randn(500, 8)  # corr > 0.98 pairs
+    cols = {"Time": np.arange(500.0), "Meth": rng.rand(500), "Eth": rng.rand(500)}
+    for i in range(8):
+        cols[f"S{i}"] = base[:, i]
+    for i in range(8):
+        cols[f"S{i + 8}"] = dup[:, i]
     (tmp_path / "gas").mkdir()
-    np.save(tmp_path / "gas" / "data.npy", np.zeros((10, 8)))
-    with pytest.raises(ValueError, match="power"):
-        uci_dataset("gas", str(tmp_path))
+    pd.DataFrame(cols).to_pickle(tmp_path / "gas" / "ethylene_CO.pickle")
+
+    train, val, test = uci_dataset("gas", str(tmp_path))
+    assert train.shape[1] == val.shape[1] == test.shape[1] == 8
+    assert test.shape[0] == 50 and val.shape[0] == 45 and train.shape[0] == 405
+    # z-scored with whole-data moments (the published recipe)
+    alld = np.vstack((train, val, test))
+    assert np.allclose(alld.mean(0), 0.0, atol=1e-4)
+
+
+def test_archive_layout_hepmass(tmp_path):
+    # real schema: 1000_{train,test}.csv with a leading class label, 27
+    # features of which 6 have a too-frequent smallest value (dropped),
+    # and a spurious extra last column in the test file
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    n = 400
+    feats = rng.randn(n, 27)
+    # 6 "discrete-ish" features: smallest value re-occurs > 5 times
+    for j in range(6):
+        feats[: n // 2, 3 + 4 * j] = -5.0 - j
+    label = np.array([1.0, 0.0] * (n // 2))
+    (tmp_path / "hepmass").mkdir()
+    dftr = pd.DataFrame(
+        np.column_stack([label, feats]),
+        columns=["# label"] + [f"f{j}" for j in range(27)],
+    )
+    dftr.to_csv(tmp_path / "hepmass" / "1000_train.csv", index=False)
+    dfte = pd.DataFrame(
+        np.column_stack([label, feats + 0.1, np.zeros(n)]),
+        columns=["# label"] + [f"f{j}" for j in range(27)] + ["junk"],
+    )
+    dfte.to_csv(tmp_path / "hepmass" / "1000_test.csv", index=False)
+
+    train, val, test = uci_dataset("hepmass", str(tmp_path))
+    assert train.shape[1] == val.shape[1] == test.shape[1] == 21
+    # only class-1 rows survive
+    assert train.shape[0] + val.shape[0] == n // 2
+    assert test.shape[0] == n // 2
+
+
+def test_archive_layout_miniboone(tmp_path):
+    rng = np.random.RandomState(0)
+    (tmp_path / "miniboone").mkdir()
+    np.save(tmp_path / "miniboone" / "data.npy",
+            rng.randn(1000, 43).astype(np.float64))
+    train, val, test = uci_dataset("miniboone", str(tmp_path))
+    assert test.shape == (100, 43)
+    assert val.shape == (90, 43)
+    assert train.shape == (810, 43)
+    tv = np.vstack((train, val))
+    assert np.allclose(tv.mean(0), 0.0, atol=1e-5)
+    assert np.allclose(tv.std(0), 1.0, atol=1e-4)
+
+
+def test_archive_data_subdir_root(tmp_path):
+    # the tarball unpacks to data/{name}/... — the loader must find it when
+    # pointed at the unpack root
+    rng = np.random.RandomState(0)
+    (tmp_path / "data" / "miniboone").mkdir(parents=True)
+    np.save(tmp_path / "data" / "miniboone" / "data.npy", rng.randn(200, 43))
+    train, _, _ = uci_dataset("miniboone", str(tmp_path))
+    assert train.shape[1] == 43
+
+
+def test_archive_schema_mismatch_is_loud(tmp_path):
+    # wrong raw column count must raise, not silently return wrong-D splits
+    (tmp_path / "miniboone").mkdir()
+    np.save(tmp_path / "miniboone" / "data.npy", np.zeros((100, 17)))
+    with pytest.raises(AssertionError, match="schema"):
+        uci_dataset("miniboone", str(tmp_path))
 
 
 def test_missing_path_errors(tmp_path):

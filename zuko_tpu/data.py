@@ -109,6 +109,130 @@ def _power_preprocess(data: np.ndarray):
     )
 
 
+def _gas_preprocess(df):
+    """The standard GAS preprocessing (MAF repo ``datasets/gas.py``, reused
+    verbatim by the NSF paper) on the archive's ``gas/ethylene_CO.pickle``
+    DataFrame: drop Meth/Eth/Time, iteratively drop any column whose
+    absolute correlation with another exceeds 0.98 (leaving D=8), z-score
+    with WHOLE-data moments, then split 10% test and 10% validation (no
+    shuffle, no dequantization — the published recipe)."""
+    for col in ("Meth", "Eth", "Time"):
+        if col in df.columns:
+            df = df.drop(col, axis=1)
+
+    def correlation_numbers(d):
+        c = d.corr()
+        return (c.abs() > 0.98).sum(axis=1).to_numpy()
+
+    b = correlation_numbers(df)
+    while np.any(b > 1):
+        df = df.drop(df.columns[int(np.where(b > 1)[0][0])], axis=1)
+        b = correlation_numbers(df)
+
+    data = (df - df.mean()) / df.std()
+    data = data.to_numpy()
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    data = data[:-n_test]
+    n_val = int(0.1 * data.shape[0])
+    return (
+        data[:-n_val].astype(np.float32),
+        data[-n_val:].astype(np.float32),
+        test.astype(np.float32),
+    )
+
+
+def _hepmass_preprocess(df_train, df_test):
+    """The standard HEPMASS preprocessing (MAF repo ``datasets/hepmass.py``)
+    on the archive's ``hepmass/1000_{train,test}.csv`` DataFrames: keep
+    class-1 (signal) rows and drop the label column, drop the test file's
+    spurious last column, z-score with TRAIN moments, drop features with
+    too many re-occurring values (the repo counts occurrences of each
+    feature's smallest value and drops it when > 5 — reproduced as-is,
+    it is what yields D=21), then split 10% of train as validation."""
+    df_train = df_train[df_train[df_train.columns[0]] == 1]
+    df_train = df_train.drop(df_train.columns[0], axis=1)
+    df_test = df_test[df_test[df_test.columns[0]] == 1]
+    df_test = df_test.drop(df_test.columns[0], axis=1)
+    if df_test.shape[1] == df_train.shape[1] + 1:
+        # "Because the data set is messed up!" — the test csv carries one
+        # extra unnamed column
+        df_test = df_test.drop(df_test.columns[-1], axis=1)
+
+    mu, sd = df_train.mean(), df_train.std()
+    train = ((df_train - mu) / sd).to_numpy()
+    test = ((df_test - mu) / sd).to_numpy()
+
+    from collections import Counter
+
+    drop = []
+    for i, feature in enumerate(train.T):
+        c = Counter(feature)
+        min_value_count = np.array([v for k, v in sorted(c.items())])[0]
+        if min_value_count > 5:
+            drop.append(i)
+    keep = np.array([i for i in range(train.shape[1]) if i not in drop])
+    train, test = train[:, keep], test[:, keep]
+
+    n_val = int(0.1 * train.shape[0])
+    return (
+        train[:-n_val].astype(np.float32),
+        train[-n_val:].astype(np.float32),
+        test.astype(np.float32),
+    )
+
+
+def _miniboone_preprocess(data):
+    """The standard MINIBOONE preprocessing (MAF repo
+    ``datasets/miniboone.py``) on the archive's ``miniboone/data.npy``
+    (already outlier-cleaned, D=43): split 10% test then 10% validation,
+    z-score with train+val moments."""
+    n_test = int(0.1 * data.shape[0])
+    test = data[-n_test:]
+    data = data[:-n_test]
+    n_val = int(0.1 * data.shape[0])
+    val = data[-n_val:]
+    train = data[:-n_val]
+
+    tv = np.vstack((train, val))
+    mu, sd = tv.mean(axis=0), tv.std(axis=0)
+    sd = np.where(sd > 0, sd, 1.0)
+    return tuple(
+        ((s - mu) / sd).astype(np.float32) for s in (train, val, test)
+    )
+
+
+def _load_archive(name: str, root: str):
+    """Load + preprocess dataset ``name`` from the MAF archive layout rooted
+    at ``root`` (``{root}/{name}/...``). Returns None when the archive files
+    for ``name`` are absent."""
+    d = os.path.join(root, name)
+    if name == "power":
+        f = os.path.join(d, "data.npy")
+        return _power_preprocess(np.load(f)) if os.path.exists(f) else None
+    if name == "miniboone":
+        f = os.path.join(d, "data.npy")
+        return _miniboone_preprocess(np.load(f)) if os.path.exists(f) else None
+    if name == "gas":
+        f = os.path.join(d, "ethylene_CO.pickle")
+        if not os.path.exists(f):
+            return None
+        import pandas as pd
+
+        return _gas_preprocess(pd.read_pickle(f))
+    if name == "hepmass":
+        ftr = os.path.join(d, "1000_train.csv")
+        fte = os.path.join(d, "1000_test.csv")
+        if not (os.path.exists(ftr) and os.path.exists(fte)):
+            return None
+        import pandas as pd
+
+        return _hepmass_preprocess(
+            pd.read_csv(ftr, index_col=False), pd.read_csv(fte, index_col=False)
+        )
+    return None
+
+
 def _uci_surrogate(name: str, n: int, seed: int):
     """Synthetic surrogate with the real dataset's dimensionality — a
     3-component correlated Gaussian mixture. CLEARLY NOT the real data: use
@@ -166,18 +290,22 @@ def uci_dataset(name: str, path: str = None, n: int = 65536, seed: int = 0):
         ]
         if all(os.path.exists(f) for f in split_files):
             return tuple(np.load(f) for f in split_files)
-        raw = os.path.join(path, name, "data.npy")
-        if os.path.exists(raw):
-            if name != "power":
-                raise ValueError(
-                    f"raw-archive preprocessing is implemented for 'power'"
-                    f" only; pre-split {name} with the original scripts and"
-                    f" drop {name}_{{train,val,test}}.npy files instead"
+        # the MAF archive layout, rooted at `path` or at `path/data` (the
+        # tarball unpacks to a `data/` directory)
+        for root in (path, os.path.join(path, "data")):
+            splits = _load_archive(name, root)
+            if splits is not None:
+                D = splits[0].shape[1]
+                assert D == _UCI_DIMS[name], (
+                    f"{name} preprocessing produced D={D}, expected "
+                    f"{_UCI_DIMS[name]} — raw file schema mismatch"
                 )
-            return _power_preprocess(np.load(raw))
+                return splits
         raise FileNotFoundError(
-            f"no {name} data under {path!r}; expected {name}_train.npy etc."
-            f" or {name}/data.npy — download from {_UCI_URL}"
+            f"no {name} data under {path!r}; expected {name}_train.npy etc. "
+            f"or the MAF archive layout ({name}/data.npy, "
+            f"gas/ethylene_CO.pickle, hepmass/1000_{{train,test}}.csv) "
+            f"— download from {_UCI_URL}"
         )
 
     return _uci_surrogate(name, n, seed)
