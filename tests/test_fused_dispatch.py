@@ -563,10 +563,75 @@ def test_gf_fused_sampling(key, dispatch_on):
     assert jnp.allclose(r, d.sample(ks, (16,)), atol=0.0)
 
 
+def test_gf_fused_batched_context(key, dispatch_on):
+    r"""Batched-context GF (round 5): the per-row hyper outputs stream
+    through the kernel as parameter columns concatenated to the data rows
+    (gf_fused._flatten_gf). Density/sampling parity with the XLA path,
+    sample/log q self-consistency, and IFT rsample gradients matching the
+    XLA backward. Reference: zuko/flows/gaussianization.py:74-77."""
+    import os
+
+    from zuko_tpu.flows import GF
+    from zuko_tpu.ops.dispatch import FusedGaussianizationFlow
+    from zuko_tpu.ops.gf_fused import fused_gf_log_prob
+
+    kf, kx, kc, ks = jax.random.split(key, 4)
+    flow = GF(4, 3, transforms=2, components=5, key=kf)
+    B = 9
+    c = jax.random.normal(kc, (B, 3))
+    x = jax.random.normal(kx, (B, 4))
+
+    d = flow(c)
+    assert type(d) is FusedGaussianizationFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(c).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == (B,)
+    assert jnp.allclose(lp, lp_ref, atol=5e-4), jnp.abs(lp - lp_ref).max()
+
+    # x broadcasting over the context batch (extra sample dims)
+    xs3 = jax.random.normal(kx, (5, B, 4))
+    lp3 = d.log_prob(xs3)
+    assert lp3.shape == (5, B)
+
+    # sampling: sample_shape + context batch + event; log q matches the
+    # fused density at the drawn points
+    xs, lq = d.sample_and_log_prob(ks, (7,))
+    assert xs.shape == (7, B, 4) and lq.shape == (7, B)
+    es = jnp.abs(lq - fused_gf_log_prob(flow, xs, c))
+    assert jnp.median(es) < 1e-4, jnp.median(es)
+    # rsample runs the same fused solve: bit-identical draws
+    assert jnp.allclose(d.rsample(ks, (7,)), d.sample(ks, (7,)), atol=0.0)
+
+    # IFT rsample gradients vs the XLA backward (damped params — the GF
+    # plateau gradient contract, PERF.md r71)
+    params, static = partition(flow)
+    params = jax.tree_util.tree_map(lambda a: a * 0.2, params)
+
+    def vi(p):
+        xs, lq = combine(p, static)(c).rsample_and_log_prob(ks, (8,))
+        return jnp.mean(lq) + jnp.mean(xs**2)
+
+    v_fused, g_fused = jax.value_and_grad(vi)(params)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        v_ref, g_ref = jax.value_and_grad(vi)(params)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(v_fused, v_ref, atol=2e-3)
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=1e-3), (n, jnp.abs(a - b).max())
+
+
 def test_gf_fused_structure_rejection(key, dispatch_on):
-    r"""Structures the GF kernels cannot represent fall back to the XLA path
-    (batched context) or raise from the extractor (non-gaussianization
-    univariates) rather than silently computing a wrong density."""
+    r"""Non-GF structures raise from the extractor rather than silently
+    computing a wrong density; a batched context (representable since
+    round 5 — per-row hyper outputs stream through the kernel) routes
+    through the fused class and matches the XLA path."""
     from zuko_tpu.flows import GF
     from zuko_tpu.ops.gf_fused import extract_gf_params, fused_gf_log_prob
     from zuko_tpu.ops.dispatch import FusedGaussianizationFlow
@@ -574,11 +639,13 @@ def test_gf_fused_structure_rejection(key, dispatch_on):
     kf, kc = jax.random.split(key)
     flow = GF(3, 2, transforms=2, key=kf)
 
-    # batched context -> XLA fallback through the public API
+    # batched context -> fused dispatch, matching the XLA path
     cb = jax.random.normal(kc, (5, 2))
-    assert type(flow(cb)) is NormalizingFlow
-    with pytest.raises(FusedStructureError):
-        fused_gf_log_prob(flow, jnp.zeros((5, 3)), cb)
+    assert type(flow(cb)) is FusedGaussianizationFlow
+    x = jax.random.normal(kc, (5, 3))
+    got = fused_gf_log_prob(flow, x, cb)
+    ref = NormalizingFlow(flow.transform(cb), flow.base(cb).expand((5,))).log_prob(x)
+    assert jnp.allclose(got, ref, atol=5e-4), jnp.max(jnp.abs(got - ref))
 
     # a non-GF structure is rejected by the extractor
     from zuko_tpu.flows import NSF
@@ -677,10 +744,69 @@ def test_cnf_fused_structure_rejection(key, dispatch_on):
     flow_relu = CNF(3, activation=jax.nn.relu, key=kf)
     assert type(flow_relu(None)) is NormalizingFlow
 
-    # batched context -> fallback
+    # batched context is representable since round 5 (the per-row folded
+    # first bias streams with the data rows) -> fused dispatch
+    from zuko_tpu.ops.dispatch import FusedContinuousFlow
+
     flow_c = CNF(3, 2, key=kf)
     cb = jax.random.normal(kc, (5, 2))
-    assert type(flow_c(cb)) is NormalizingFlow
+    assert type(flow_c(cb)) is FusedContinuousFlow
+
+
+def test_cnf_fused_batched_context(key, dispatch_on):
+    r"""Batched-context CNF (round 5): the per-row folded first bias
+    streams through the kernel with the data rows (cnf_fused._batched_aug).
+    Density/sampling parity with the XLA path and density gradients
+    (including the context gradient) matching the XLA backward.
+    Reference: zuko/flows/continuous.py:88-97."""
+    import os
+
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.dispatch import FusedContinuousFlow
+    from zuko_tpu.ops.cnf_fused import fused_cnf_log_prob
+
+    kf, kx, kc, ks = jax.random.split(key, 4)
+    flow = CNF(3, 2, hidden_features=(16, 16), key=kf)
+    B = 5
+    c = 0.5 * jax.random.normal(kc, (B, 2))
+    x = jax.random.normal(kx, (B, 3))
+
+    d = flow(c)
+    assert type(d) is FusedContinuousFlow, type(d)
+    lp = d.log_prob(x)
+
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(c).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == (B,)
+    assert jnp.allclose(lp, lp_ref, atol=1e-4), jnp.abs(lp - lp_ref).max()
+
+    # sampling: sample_shape + context batch + event; log q matches the
+    # fused density at the drawn points
+    xs, lq = d.sample_and_log_prob(ks, (4,))
+    assert xs.shape == (4, B, 3) and lq.shape == (4, B)
+    es = jnp.abs(lq - fused_cnf_log_prob(flow, flow.transform(c), xs, c))
+    assert jnp.median(es) < 1e-3, jnp.median(es)
+
+    # density gradients incl. the context gradient track the XLA path
+    params, static = partition(flow)
+
+    def loss(p, c):
+        return -jnp.mean(combine(p, static)(c).log_prob(x))
+
+    g_fused, gc_fused = jax.grad(loss, argnums=(0, 1))(params, c)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        g_ref, gc_ref = jax.grad(loss, argnums=(0, 1))(params, c)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert jnp.allclose(gc_fused, gc_ref, atol=1e-4), (
+        jnp.abs(gc_fused - gc_ref).max()
+    )
+    for (n, a), (_, b) in zip(named_parameters(g_fused), named_parameters(g_ref)):
+        assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())
 
 
 def test_cnf_fused_exhaustion_poisons(key):
@@ -1335,7 +1461,7 @@ def _cnf_rkl_loss_pair(flow, c, hk, k, n=8):
     return params, loss_fused, loss_xla
 
 
-@pytest.mark.parametrize("case", ["exact", "exact-cond", "hutch"])
+@pytest.mark.parametrize("case", ["exact", "exact-cond", "exact-bcond", "hutch"])
 def test_cnf_rsample_gradients_match_xla_f64(case, key, dispatch_on):
     r"""fused_cnf_rsample's continuous-adjoint gradients match
     differentiating the XLA path's stored-step discrete adjoint
@@ -1360,6 +1486,11 @@ def test_cnf_rsample_gradients_match_xla_f64(case, key, dispatch_on):
     elif case == "exact-cond":
         flow = CNF(3, 2, exact=True, key=kf, **tols)
         c = jax.random.normal(kc, (2,), dtype=jnp.float64)
+    elif case == "exact-bcond":
+        # batched context (round 5): the per-row folded bias rides the
+        # adjoint; the context gradient comes back per row
+        flow = CNF(3, 2, exact=True, key=kf, **tols)
+        c = jax.random.normal(kc, (3, 2), dtype=jnp.float64)
     else:
         flow = CNF(3, exact=False, key=kf, **tols)
         hk = kh
@@ -1494,7 +1625,7 @@ def test_gf_saturated_ladj_stays_finite(key, dispatch_on):
     assert jnp.allclose(l2, jnp.log(dy3), atol=1e-12)
 
 
-@pytest.mark.parametrize("case", ["exact", "exact-cond", "hutch"])
+@pytest.mark.parametrize("case", ["exact", "exact-cond", "exact-bcond", "hutch"])
 def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
     r"""The IN-KERNEL continuous adjoint (`_cnf_tile_adjoint`, the TPU
     backward of fused_cnf_rsample) integrates the same (u, a, g_theta)
@@ -1514,6 +1645,9 @@ def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
     elif case == "exact-cond":
         flow = CNF(3, 2, exact=True, key=kf, **tols)
         c = jax.random.normal(kc, (2,), dtype=jnp.float64)
+    elif case == "exact-bcond":
+        flow = CNF(3, 2, exact=True, key=kf, **tols)
+        c = jax.random.normal(kc, (3, 2), dtype=jnp.float64)
     else:
         flow = CNF(3, exact=False, key=kf, **tols)
         hk = kh
@@ -1536,17 +1670,38 @@ def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
     bs = [flat[2 * i + 1] for i in range(nw)]
     params = cf._kernel_params(ws, bs, c_phi, cfg)
     epsT = None if cfg["exact"] else eps.reshape(-1, F).T
+    bc = params[2].ndim > 1
+    if bc:  # batched context: per-row folded bias in the adjoint theta
+        H = params[2].shape[-1]
+        b1_rows = jnp.broadcast_to(
+            params[2], z.shape[:-1] + (H,)
+        ).reshape(-1, H)
+        params = params[:2] + [b1_rows.T] + params[3:]
+        cfg = {**cfg, "bc": H}
     u1, a1, gth = cf._cnf_tile_adjoint(
         x.reshape(-1, F).T, gx.reshape(-1, F).T,
         glq.reshape(1, -1), epsT, params, cfg, True,
     )
-    gW1_x, gW1_te, gb1 = gth[0], gth[1], gth[2]
-    cols = [gW1_te, gW1_x]
-    if cfg["C"]:
-        cols.append(gb1[:, None] * c_phi[None, :])
+    gW1_x, gW1_te = gth[0], gth[1]
+    W1_c = flat[0][:, 2 * cfg["nf"] + F :]
+    if bc:
+        gb1_rows = gth[2].T                       # (n, H)
+        gb1 = jnp.sum(gb1_rows, axis=0)
+        c_rows = jnp.broadcast_to(
+            c_phi, z.shape[:-1] + c_phi.shape[-1:]
+        ).reshape(-1, c_phi.shape[-1])
+        cols = [gW1_te, gW1_x, gb1_rows.T @ c_rows]
+        gc = (gb1_rows @ W1_c).reshape(z.shape[:-1] + c_phi.shape[-1:])
+        gc = jnp.sum(gc, axis=0)                  # reduce the sample dim
+    else:
+        gb1 = gth[2]
+        cols = [gW1_te, gW1_x]
+        if cfg["C"]:
+            cols.append(gb1[:, None] * c_phi[None, :])
+            gc = W1_c.T @ gb1
     gW1 = jnp.concatenate(cols, axis=1)
 
-    tol = 1e-5 if case == "exact-cond" else 1e-10
+    tol = 1e-5 if case in ("exact-cond", "exact-bcond") else 1e-10
     err = jnp.max(jnp.abs(u1.T - z.reshape(-1, F)), axis=-1)
     assert bool(jnp.all(err <= cf._REINT_ATOL))  # gate passes
     dz_tile = a1.T - glq.reshape(-1)[:, None] * z.reshape(-1, F)
@@ -1555,7 +1710,6 @@ def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
     assert jnp.allclose(gb1, outs_xla[4], atol=tol)
     assert jnp.allclose(gth[3], outs_xla[5], atol=tol)
     if cfg["C"]:
-        gc = flat[0][:, 2 * cfg["nf"] + F :].T @ gb1
         assert jnp.allclose(gc, outs_xla[2], atol=tol)
 
 

@@ -104,10 +104,6 @@ def extract_cnf_params(module, transform, c=None):
 
     phi = t.phi
     ode, freqs, c_phi = phi["ode"], phi["freqs"], phi["c"]
-    if c_phi is not None and jnp.ndim(c_phi) > 1:
-        raise FusedStructureError(
-            "fused CNF kernels support unbatched context only"
-        )
     if isinstance(freqs, jax.core.Tracer):
         raise FusedStructureError("traced time-embedding frequencies")
     freqs = np.asarray(freqs)
@@ -319,13 +315,17 @@ def _cnf_tile_integrate(xT, epsT, params, cfg, reverse=False, with_trace=True):
         normalized time s (t = 1 - s and a -1 Jacobian factor when
         integrating in reverse — exactly utils.odeint's normalization)."""
         t = 1.0 - s if reverse else s
-        # time-embedding bias: nf cos + nf sin scalar-weighted columns
-        te_b = b1
+        # time-embedding bias: nf cos + nf sin scalar-weighted columns;
+        # b1 is (H,) or per-row (H, TB) (batched context)
+        te_b = None
         for k, fk in enumerate(freqs):
-            te_b = te_b + W1_te[:, k] * jnp.cos(fk * t)
-            te_b = te_b + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
-
-        h = _dot(W1_x, xt) + te_b[:, None]
+            term = (
+                W1_te[:, k] * jnp.cos(fk * t)
+                + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
+            )
+            te_b = term if te_b is None else te_b + term
+        b1c = b1[:, None] if b1.ndim == 1 else b1
+        h = _dot(W1_x, xt) + b1c + te_b[:, None]
         v = None if V0 is None else _dot(W1_x, V0)
         n = len(rest) // 2
         for i in range(n):
@@ -430,12 +430,15 @@ def _tile_f_and_tr(t, u, theta, epsT, cfg, want_tr):
     W1_x, W1_te, b1 = theta[0], theta[1], theta[2]
     rest = theta[3:]
 
-    te_b = b1
+    te_b = None
     for k, fk in enumerate(freqs):
-        te_b = te_b + W1_te[:, k] * jnp.cos(fk * t)
-        te_b = te_b + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
-
-    h = _dot(W1_x, u) + te_b[:, None]
+        term = (
+            W1_te[:, k] * jnp.cos(fk * t)
+            + W1_te[:, len(freqs) + k] * jnp.sin(fk * t)
+        )
+        te_b = term if te_b is None else te_b + term
+    b1c = b1[:, None] if b1.ndim == 1 else b1
+    h = _dot(W1_x, u) + b1c + te_b[:, None]
     v = None
     n_tan = 1
     if want_tr:
@@ -581,8 +584,9 @@ def _cnf_tile_adjoint(xT, aT, glq, epsT, params, cfg, want_lp):
 
 def _cnf_adjoint_kernel(*refs, n_params, cfg, want_lp):
     """Pallas wrapper of `_cnf_tile_adjoint`: inputs
-    [x, a, (glq), (eps), params...]; outputs [u1, dz, gtheta...] (the
-    bias-shaped gradient outputs carry a leading length-1 axis)."""
+    [x, a, (glq), (eps), (b1 tile — batched context), params...]; outputs
+    [u1, dz, gtheta...] (the bias-shaped gradient outputs carry a leading
+    length-1 axis; a batched b1's gradient is a per-row (H, TB) tile)."""
     i = 0
     xT = refs[i][...]; i += 1
     aT = refs[i][...]; i += 1
@@ -592,8 +596,13 @@ def _cnf_adjoint_kernel(*refs, n_params, cfg, want_lp):
     epsT = None
     if not cfg["exact"]:
         epsT = refs[i][...]; i += 1
+    b1T = None
+    if cfg.get("bc"):
+        b1T = refs[i][...]; i += 1
     params = [refs[i + k][...] for k in range(n_params)]
     i += n_params
+    if b1T is not None:
+        params = params[:2] + [b1T] + params[2:]
     u1, a1, gth = _cnf_tile_adjoint(xT, aT, glq, epsT, params, cfg, want_lp)
     refs[i][...] = u1
     refs[i + 1][...] = a1
@@ -626,28 +635,44 @@ def _cnf_tile_sample_math(zT, epsT, params, cfg, want_log_prob):
     return x, lp - l / scale
 
 
+def _split_aug(tile, params, cfg):
+    """Split a kernel data tile into (x rows, params-with-b1): with a
+    batched context (``cfg["bc"] = H``) the tile carries the per-row folded
+    first bias below the F data rows and the streamed params list has no
+    b1 entry (see `_kernel_params`)."""
+    F = cfg["F"]
+    H = cfg.get("bc", 0)
+    if not H:
+        return tile, params
+    return tile[:F], params[:2] + [tile[F : F + H]] + params[2:]
+
+
 def _cnf_kernel(*refs, n_params, cfg):
     if cfg["exact"]:
         x_ref, params = refs[0], [refs[1 + i][...] for i in range(n_params)]
         out_ref = refs[1 + n_params]
-        out_ref[...] = _cnf_tile_math(x_ref[...], None, params, cfg)
+        xt, params = _split_aug(x_ref[...], params, cfg)
+        out_ref[...] = _cnf_tile_math(xt, None, params, cfg)
     else:
         x_ref, eps_ref = refs[0], refs[1]
         params = [refs[2 + i][...] for i in range(n_params)]
         out_ref = refs[2 + n_params]
-        out_ref[...] = _cnf_tile_math(x_ref[...], eps_ref[...], params, cfg)
+        xt, params = _split_aug(x_ref[...], params, cfg)
+        out_ref[...] = _cnf_tile_math(xt, eps_ref[...], params, cfg)
 
 
 def _cnf_sample_kernel(*refs, n_params, cfg, want_log_prob):
     if cfg["exact"]:
         z_ref, params = refs[0], [refs[1 + i][...] for i in range(n_params)]
-        out = _cnf_tile_sample_math(z_ref[...], None, params, cfg, want_log_prob)
+        zt, params = _split_aug(z_ref[...], params, cfg)
+        out = _cnf_tile_sample_math(zt, None, params, cfg, want_log_prob)
         base = 1 + n_params
     else:
         z_ref, eps_ref = refs[0], refs[1]
         params = [refs[2 + i][...] for i in range(n_params)]
+        zt, params = _split_aug(z_ref[...], params, cfg)
         out = _cnf_tile_sample_math(
-            z_ref[...], eps_ref[...], params, cfg, want_log_prob
+            zt, eps_ref[...], params, cfg, want_log_prob
         )
         base = 2 + n_params
     if want_log_prob:
@@ -729,18 +754,38 @@ _cnf_op.defvjp(_cnf_fwd, _cnf_bwd)
 def _kernel_params(ws, bs, c, cfg):
     """Split the first layer into x / time-embedding / context columns
     (dynamics input order: [te, x, c] — zuko_tpu/flows/continuous.py:30-34);
-    the context contribution folds into the first bias."""
+    the context contribution folds into the first bias. With a BATCHED
+    context the folded bias is per-row ``(*B, H)`` — the callers then
+    stream it through the kernel alongside the data rows instead of
+    pinning it in VMEM."""
     F, C, nf = cfg["F"], cfg["C"], cfg["nf"]
     W1 = ws[0]
     W1_te = W1[:, : 2 * nf]
     W1_x = W1[:, 2 * nf : 2 * nf + F]
     b1_eff = bs[0]
     if C:
-        b1_eff = b1_eff + W1[:, 2 * nf + F :] @ c.astype(W1.dtype)
+        b1_eff = b1_eff + c.astype(W1.dtype) @ W1[:, 2 * nf + F :].T
     params = [W1_x, W1_te, b1_eff]
     for W, b in zip(ws[1:], bs[1:]):
         params += [W, b]
     return params
+
+
+def _batched_aug(xf, b1):
+    """Kernel-path preamble for a batched context: broadcast the data rows
+    against the per-row folded bias, flatten both, and concatenate the bias
+    columns below the data columns (rows and their parameters then tile —
+    and row-chunk — together). Returns
+    ``(aug (n, F+H), batch_shape, H)``."""
+    F = xf.shape[-1]
+    H = b1.shape[-1]
+    xb = jnp.broadcast_shapes(xf.shape[:-1], b1.shape[:-1])
+    xf = jnp.broadcast_to(xf, xb + (F,))
+    b1f = jnp.broadcast_to(b1, xb + (H,)).astype(xf.dtype)
+    aug = jnp.concatenate(
+        [xf.reshape(-1, F), b1f.reshape(-1, H)], axis=-1
+    )
+    return aug, xb, H
 
 
 def _cnf_impl(static, x, eps, c, *flat):
@@ -755,7 +800,15 @@ def _cnf_impl(static, x, eps, c, *flat):
     params = _kernel_params(ws, bs, c, cfg)
 
     batch_shape = x.shape[:-1]
-    xf = x.reshape(-1, F)
+    xf = x.reshape(-1, F) if params[2].ndim == 1 else x
+    W = F
+    if params[2].ndim > 1:  # batched context: stream b1 rows with the data
+        xf, batch_shape, H = _batched_aug(x, params[2])
+        if not cfg["exact"]:
+            eps = jnp.broadcast_to(eps, batch_shape + (F,))
+        params = params[:2] + params[3:]
+        cfg = {**cfg, "bc": H}
+        W = F + H
     n = xf.shape[0]
     pad = (-n) % _TB_CNF
     if pad:
@@ -767,7 +820,7 @@ def _cnf_impl(static, x, eps, c, *flat):
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for p in params
     ]
-    in_specs = [pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((W, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
     args = [xf.T]
     if not cfg["exact"]:
         ef = eps.reshape(-1, F)
@@ -799,7 +852,10 @@ def _prep_cnf_sample(module, transform, key, sample_shape, c, want_log_prob):
         dtype = jnp.asarray(module.base.args[0]).dtype
     except (AttributeError, IndexError):
         dtype = ws[0].dtype
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
+    # a batched context (*, C) contributes its batch dims AFTER the draw
+    # shape, matching the XLA path's `sample_shape + batch_shape + event`
+    cbatch = tuple(c_phi.shape[:-1]) if c_phi is not None else ()
+    z = jax.random.normal(key, tuple(sample_shape) + cbatch + (F,), dtype)
     if cfg["exact"]:
         eps = jnp.zeros((), dtype)  # unused placeholder
     else:
@@ -881,16 +937,29 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
     ws = [flat[2 * i] for i in range(nw)]
     bs = [flat[2 * i + 1] for i in range(nw)]
     params = _kernel_params(ws, bs, c, cfg)
-    n_params = len(params)
     dtype = x.dtype
 
     xf = x.reshape(-1, F)
     af = gx.reshape(-1, F).astype(dtype)
     n = xf.shape[0]
     pad = (-n) % _TB_CNF
+
+    bc = params[2].ndim > 1  # batched context: per-row folded first bias
+    b1f = None
+    if bc:
+        H = params[2].shape[-1]
+        b1f = jnp.broadcast_to(
+            params[2], x.shape[:-1] + (H,)
+        ).reshape(-1, H).astype(dtype)
+        params = params[:2] + params[3:]
+        cfg = {**cfg, "bc": H}
+    n_params = len(params)
+
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
         af = jnp.pad(af, ((0, pad), (0, 0)))
+        if bc:
+            b1f = jnp.pad(b1f, ((0, pad), (0, 0)))
     m = xf.shape[0]
     G = m // _TB_CNF
 
@@ -906,11 +975,17 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
                                      memory_space=pltpu.VMEM))
         args.append(lqf[None, :])
     if not cfg["exact"]:
-        ef = eps.reshape(-1, F)
+        ef = jnp.broadcast_to(eps, x.shape).reshape(-1, F)
         if pad:
             ef = jnp.pad(ef, ((0, pad), (0, 0)))
         in_specs.append(tile_spec)
         args.append(ef.T)
+    b1_spec = None
+    if bc:
+        b1_spec = pl.BlockSpec((H, _TB_CNF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        in_specs.append(b1_spec)
+        args.append(b1f.T)
     in_specs += [
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -920,10 +995,18 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
     out_specs = [tile_spec, tile_spec]
     out_shape = [jax.ShapeDtypeStruct((F, m), dtype),
                  jax.ShapeDtypeStruct((F, m), dtype)]
-    for p in params:
+    # gtheta outputs follow the kernel's theta order: [W1_x, W1_te,
+    # (b1 per-row tile when batched), rest...]; unbatched entries are
+    # per-tile partials summed after the call
+    theta_like = params[:2] + ([b1f] if bc else []) + params[2:]
+    for j, p in enumerate(theta_like):
+        if bc and j == 2:
+            out_specs.append(b1_spec)
+            out_shape.append(jax.ShapeDtypeStruct((H, m), dtype))
+            continue
         shp = p.shape if p.ndim == 2 else (1,) + p.shape
         out_specs.append(pl.BlockSpec(
-            (1,) + shp, lambda i: (i,) + (0,) * len(shp),
+            (1,) + shp, lambda i, nd=len(shp): (i,) + (0,) * nd,
             memory_space=pltpu.VMEM,
         ))
         out_shape.append(jax.ShapeDtypeStruct((G,) + shp, dtype))
@@ -939,23 +1022,50 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
 
     u1 = out[0].T[:n]
     a1 = out[1].T[:n]
-    gks = [jnp.sum(o, axis=0).reshape(p.shape)
-           for o, p in zip(out[2:], params)]
 
-    gW1_x, gW1_te, gb1 = gks[0], gks[1], gks[2]
-    cols = [gW1_te, gW1_x]
-    gc = None
-    if C:
-        cvec = c.astype(dtype)
-        cols.append(gb1[:, None] * cvec[None, :])
-        gc = flat[0][:, 2 * nf + F :].T.astype(dtype) @ gb1
-    gw = [jnp.concatenate(cols, axis=1)] + [gks[3 + 2 * i]
-                                            for i in range(nw - 1)]
-    gb = [gb1] + [gks[4 + 2 * i] for i in range(nw - 1)]
-    gth = {"w": gw, "b": gb}
-    if c is not None:
-        gth["c"] = gc
-    return u1, a1, gth
+    if not bc:
+        gks = [jnp.sum(o, axis=0).reshape(p.shape)
+               for o, p in zip(out[2:], params)]
+        gW1_x, gW1_te, gb1 = gks[0], gks[1], gks[2]
+        cols = [gW1_te, gW1_x]
+        gc = None
+        if C:
+            cvec = c.astype(dtype)
+            cols.append(gb1[:, None] * cvec[None, :])
+            gc = flat[0][:, 2 * nf + F :].T.astype(dtype) @ gb1
+        gw = [jnp.concatenate(cols, axis=1)] + [gks[3 + 2 * i]
+                                                for i in range(nw - 1)]
+        gb = [gb1] + [gks[4 + 2 * i] for i in range(nw - 1)]
+        gth = {"w": gw, "b": gb}
+        if c is not None:
+            gth["c"] = gc
+        return u1, a1, gth
+
+    # batched context: the per-row b1 gradient unfolds into gb1 (summed),
+    # the W1 context columns, and the per-row context gradient
+    gW1_x = jnp.sum(out[2], axis=0).reshape(params[0].shape)
+    gW1_te = jnp.sum(out[3], axis=0).reshape(params[1].shape)
+    gb1_rows = out[4].T[:n]                           # (n, H)
+    gks_rest = [jnp.sum(o, axis=0).reshape(p.shape)
+                for o, p in zip(out[5:], params[2:])]
+    W1_c = flat[0][:, 2 * nf + F :].astype(dtype)     # (H, C)
+    c_rows = jnp.broadcast_to(
+        c, x.shape[:-1] + (C,)
+    ).reshape(-1, C).astype(dtype)
+    gb1 = jnp.sum(gb1_rows, axis=0)
+    gW1_c = jnp.matmul(gb1_rows.T, c_rows,
+                       precision=jax.lax.Precision.HIGHEST)
+    gc_rows = jnp.matmul(gb1_rows, W1_c,
+                         precision=jax.lax.Precision.HIGHEST)
+    gc = gc_rows.reshape(x.shape[:-1] + (C,))
+    k = (x.ndim - 1) - (jnp.ndim(c) - 1)
+    if k:
+        gc = jnp.sum(gc, axis=tuple(range(k)))
+    gw = [jnp.concatenate([gW1_te, gW1_x, gW1_c], axis=1)] + [
+        gks_rest[2 * i] for i in range(nw - 1)
+    ]
+    gb = [gb1] + [gks_rest[2 * i + 1] for i in range(nw - 1)]
+    return u1, a1, {"w": gw, "b": gb, "c": gc}
 
 
 # In-kernel vs XLA-odeint continuous-adjoint backward (TPU only; the
@@ -995,8 +1105,16 @@ def _cnf_sample_bwd(static, res, g):
         "w": [flat[2 * i] for i in range(nw)],
         "b": [flat[2 * i + 1] for i in range(nw)],
     }
+    bc = c is not None and jnp.ndim(c) > 1
     if c is not None:
-        theta["c"] = c
+        # a batched context flattens to per-row vectors alongside x; its
+        # per-row gradient is reduced back to c's shape below
+        theta["c"] = (
+            jnp.broadcast_to(c, x.shape[:-1] + c.shape[-1:]).reshape(
+                -1, c.shape[-1]
+            )
+            if bc else c
+        )
 
     xf = x.reshape(-1, F)
     af = gx.reshape(-1, F).astype(xf.dtype)
@@ -1055,6 +1173,10 @@ def _cnf_sample_bwd(static, res, g):
         adj_dyn, (xf, af, gth0), 0.0, 1.0, phi=phi,
         atol=cfg["atol"], rtol=cfg["rtol"], max_steps=cfg["max_steps"],
     )
+    if bc:
+        gc = gth["c"].reshape(x.shape[:-1] + c.shape[-1:])
+        k = (x.ndim - 1) - (jnp.ndim(c) - 1)
+        gth["c"] = jnp.sum(gc, axis=tuple(range(k))) if k else gc
 
     return _cnf_bwd_finish(z, eps, c, flat, cfg, want_lp, glq, u1, a1, gth)
 
@@ -1111,7 +1233,14 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
         return _ref_sample(z, eps_in, ws, bs, c, cfg, want_log_prob)
 
     params = _kernel_params(ws, bs, c, cfg)
-    zf = z.reshape(-1, F)
+    W = F
+    if params[2].ndim > 1:  # batched context: stream b1 rows with the draws
+        zf, _, H = _batched_aug(z, params[2])
+        params = params[:2] + params[3:]
+        cfg = {**cfg, "bc": H}
+        W = F + H
+    else:
+        zf = z.reshape(-1, F)
     n = zf.shape[0]
     pad = (-n) % _TB_CNF
     if pad:
@@ -1123,7 +1252,7 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for p in params
     ]
-    in_specs = [pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((W, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
     args = [zf.T]
     if not cfg["exact"]:
         ef = eps.reshape(-1, F)

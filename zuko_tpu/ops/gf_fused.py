@@ -112,11 +112,14 @@ def extract_gf_params(flow, c=None):
     """Validate a GF structure and pull its parameters into kernel form.
 
     Returns ``(stages, features)`` with stages a list of
-    ``("gauss", shift (F,K), raw_scale (F,K))`` / ``("rot", A (F,F))``
-    entries, in forward order. Conditional element-wise layers are supported
-    for *unbatched* context only (the per-feature parameters are then computed
-    by the hyper MLP outside the kernel — they do not depend on x); anything
-    else raises :class:`FusedStructureError`.
+    ``("gauss", shift (F,K), raw_scale (F,K))`` /
+    ``("gaussb", shift (*B,F,K), raw_scale (*B,F,K))`` / ``("rot", A (F,F))``
+    entries, in forward order. Conditional element-wise layers compute their
+    per-feature parameters with the hyper MLP OUTSIDE the kernel (they do
+    not depend on x); with a *batched* context the per-row parameters are
+    marked ``gaussb`` and stream through the kernel alongside the data rows
+    (see :func:`_flatten_gf`). Anything non-representable raises
+    :class:`FusedStructureError`.
     """
     from ..flows.gaussianization import ElementWiseTransform
     from ..lazy import LazyComposedTransform, UnconditionalTransform
@@ -162,22 +165,20 @@ def extract_gf_params(flow, c=None):
         if t.hyper is not None:
             if c is None:
                 raise FusedStructureError("conditional GF called without context")
-            if jnp.ndim(c) != 1:
-                raise FusedStructureError(
-                    "fused GF kernels support unbatched context only"
-                )
+            batched = jnp.ndim(c) > 1
             phi = t.hyper(c)
-            phi = phi.reshape((-1, t.total))
+            phi = phi.reshape(phi.shape[:-1] + (-1, t.total))
             shift, raw = unpack(phi, t.shapes)
         else:
+            batched = False
             shift, raw = t.phi
         if features is None:
-            features = shift.shape[0]
-        if shift.shape != (features, t.shapes[0][0]):
+            features = shift.shape[-2]
+        if shift.shape[-2:] != (features, t.shapes[0][0]):
             raise FusedStructureError(
                 f"inconsistent GF layer shapes: {shift.shape}"
             )
-        stages.append(("gauss", shift, raw))
+        stages.append(("gaussb" if batched else "gauss", shift, raw))
 
     if features is None:
         raise FusedStructureError("flow has no gaussianization layers")
@@ -192,22 +193,48 @@ def extract_gf_params(flow, c=None):
 
 
 def _flatten_gf(flow, c=None):
-    """stages -> (flat kernel params, static layout). The non-kernel math —
-    ``scale = exp(raw)`` (zuko/transforms.py:833) and ``R = expm(A - A^T)``
-    (zuko/transforms.py:1165) — happens here, OUTSIDE the custom-VJP boundary,
-    so gradients to ``raw``/``A`` flow through XLA's own expm/exp rules."""
+    """stages -> (flat kernel params, static layout, features, data_cols).
+
+    The non-kernel math — ``scale = exp(raw)`` (zuko/transforms.py:833) and
+    ``R = expm(A - A^T)`` (zuko/transforms.py:1165) — happens here, OUTSIDE
+    the custom-VJP boundary, so gradients to ``raw``/``A`` flow through
+    XLA's own expm/exp rules.
+
+    Batched-context layers (``gaussb``) do not land in the flat params:
+    their per-ROW parameters are laid out as ``data_cols (*B, 2*K*F)``
+    column blocks (K-major: component k of feature f at column ``k*F + f``,
+    shifts then scales) to be CONCATENATED to the data rows by the caller —
+    so they stream through the kernel per batch tile exactly like x, and
+    the custom-VJP row chunking keeps rows and their parameters together.
+    ``data_cols`` is None for a fully unbatched flow."""
     stages, features = extract_gf_params(flow, c)
-    flat, layout = [], []
+    flat, layout, cols = [], [], []
     for kind, *arrs in stages:
         if kind == "gauss":
             shift, raw = arrs
             flat += [shift, jnp.exp(raw)]
             layout.append(("gauss", shift.shape[1]))
+        elif kind == "gaussb":
+            shift, raw = arrs
+            K = shift.shape[-1]
+            B = shift.shape[:-2]
+            cols.append(jnp.swapaxes(shift, -1, -2).reshape(B + (K * features,)))
+            cols.append(
+                jnp.swapaxes(jnp.exp(raw), -1, -2).reshape(B + (K * features,))
+            )
+            layout.append(("gaussb", K))
         else:
             (A,) = arrs
             flat.append(jax.scipy.linalg.expm(A - A.T))
             layout.append(("rot",))
-    return flat, tuple(layout), features
+    data_cols = jnp.concatenate(cols, axis=-1) if cols else None
+    return flat, tuple(layout), features, data_cols
+
+
+def _aug_width(layout, F):
+    """Width of the kernel's streamed rows: F data features plus every
+    batched layer's 2*K*F per-row parameter columns."""
+    return F + sum(2 * e[1] * F for e in layout if e[0] == "gaussb")
 
 
 # ------------------------------------------------------------ transposed math
@@ -223,10 +250,23 @@ def _dot_rot(R, x):
     )
 
 
+def _comp(arr, i):
+    """Component ``i`` of a per-layer parameter: a column of an unbatched
+    ``(F, K)`` array, or the pre-sliced per-row ``(F, TB)`` block when the
+    layer's parameters are batched (a tuple built by :func:`_gf_stages_T`)."""
+    if isinstance(arr, tuple):
+        return arr[i]
+    return arr[:, i : i + 1]
+
+
 def _gauss_mean_F(x, shift, scale, K, want_deriv=True):
     """m(x) = (1-eps) mean_i erf((s_i x + b_i)/sqrt 2) and the LOG of the
     un-normalized derivative sum,
     ``logS = logsumexp_i(log s_i - (s_i x + b_i)^2 / 2)``, both (F, TB).
+
+    ``shift``/``scale`` are either unbatched ``(F, K)`` arrays (components
+    broadcast over the tile) or K-tuples of per-row ``(F, TB)`` blocks (a
+    batched-context layer — every row carries its own mixture).
 
     The log-sum-exp is streamed (running max + rescaled sum) instead of
     ``log(sum_i s_i exp(-z_i^2/2))``: the naive sum UNDERFLOWS to exactly 0
@@ -240,8 +280,8 @@ def _gauss_mean_F(x, shift, scale, K, want_deriv=True):
     lmax = None
     acc = None
     for i in range(K):
-        s = scale[:, i : i + 1]
-        z = s * x + shift[:, i : i + 1]
+        s = _comp(scale, i)
+        z = s * x + _comp(shift, i)
         e = _erf(z * _INV_SQRT2)
         m = e if m is None else m + e
         if want_deriv:
@@ -267,30 +307,54 @@ def _gauss_forward_F(x, shift, scale, K):
     return y, ladj
 
 
-def _gf_split(flat_params, layout):
-    out, idx = [], 0
+def _gf_stages_T(augT, flat_params, layout, F):
+    """Walk ``layout`` into concrete per-layer stages:
+    ``("gauss", shift, scale, K, loc)`` / ``("rot", R, loc)`` where batched
+    layers' shift/scale are K-tuples of per-row ``(F, TB)`` blocks sliced
+    from the augmented tile ``augT (W, TB)`` (rows beyond F are the streamed
+    per-row parameter columns of :func:`_flatten_gf`). ``loc`` records where
+    the layer's parameters live — ``("p", flat_idx)`` or ``("a", row_off)``
+    — for backward passes that assemble parameter cotangents."""
+    out = []
+    idx, off = 0, F
     for entry in layout:
         if entry[0] == "gauss":
-            out.append(("gauss", flat_params[idx], flat_params[idx + 1], entry[1]))
+            out.append((
+                "gauss", flat_params[idx], flat_params[idx + 1], entry[1],
+                ("p", idx),
+            ))
             idx += 2
+        elif entry[0] == "gaussb":
+            K = entry[1]
+            shift = tuple(
+                augT[off + i * F : off + (i + 1) * F] for i in range(K)
+            )
+            scale = tuple(
+                augT[off + (K + i) * F : off + (K + i + 1) * F]
+                for i in range(K)
+            )
+            out.append(("gauss", shift, scale, K, ("a", off)))
+            off += 2 * K * F
         else:
-            out.append(("rot", flat_params[idx]))
+            out.append(("rot", flat_params[idx], ("p", idx)))
             idx += 1
     return out
 
 
 def _gf_math_T(xT, flat_params, layout, F):
-    """Transposed whole-flow density: xT (F, TB) -> log_prob (1, TB)."""
+    """Transposed whole-flow density: xT (W, TB) — data rows first, then any
+    streamed per-row parameter columns — -> log_prob (1, TB)."""
     acc = None
-    for st in _gf_split(flat_params, layout):
+    cur = xT[:F]
+    for st in _gf_stages_T(xT, flat_params, layout, F):
         if st[0] == "gauss":
-            _, shift, scale, K = st
-            xT, ladj = _gauss_forward_F(xT, shift, scale, K)
+            _, shift, scale, K, _ = st
+            cur, ladj = _gauss_forward_F(cur, shift, scale, K)
             s = jnp.sum(ladj, axis=0, keepdims=True)
             acc = s if acc is None else acc + s
         else:
-            xT = _dot_rot(st[1], xT)
-    lp = -0.5 * jnp.sum(xT * xT, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+            cur = _dot_rot(st[1], cur)
+    lp = -0.5 * jnp.sum(cur * cur, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
     return lp if acc is None else lp + acc
 
 
@@ -333,17 +397,19 @@ def _gauss_inverse_F(y, shift, scale, K):
 
 
 def _gf_sample_math_T(zT, flat_params, layout, F, want_log_prob=False):
-    """Transposed whole-flow sampling: zT (F, TB) base draws -> x (F, TB)
+    """Transposed whole-flow sampling: zT (W, TB) — base draws in the first
+    F rows, then any streamed per-row parameter columns — -> x (F, TB)
     (+ optional log q(x) (1, TB): base density plus forward ladj at the
     recovered x, reference: zuko/distributions.py:129-138)."""
+    z = zT[:F]
     acc = None
     if want_log_prob:
-        acc = -0.5 * jnp.sum(zT * zT, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
+        acc = -0.5 * jnp.sum(z * z, axis=0, keepdims=True) - 0.5 * F * _LOG_2PI
 
-    y = zT
-    for st in reversed(_gf_split(flat_params, layout)):
+    y = z
+    for st in reversed(_gf_stages_T(zT, flat_params, layout, F)):
         if st[0] == "gauss":
-            _, shift, scale, K = st
+            _, shift, scale, K, _ = st
             x = _gauss_inverse_F(y, shift, scale, K)
             if want_log_prob:
                 _, ladj = _gauss_forward_F(x, shift, scale, K)
@@ -386,12 +452,19 @@ def fused_gf_log_prob(flow, x, c=None):
     r"""Compute ``flow(c).log_prob(x)`` for a GF with one fused Pallas kernel
     per batch tile (jnp fallback off-TPU), analytic gaussianization ladj
     instead of the XLA path's jvp. Differentiable via a custom VJP whose
-    backward runs the identical jnp math."""
-    flat_params, layout, F = _flatten_gf(flow, c)
+    backward runs the identical jnp math. With a batched context the per-row
+    hyper outputs stream through the kernel alongside x (see
+    :func:`_flatten_gf`)."""
+    flat_params, layout, F, cols = _flatten_gf(flow, c)
     if x.shape[-1] != F:
         raise FusedStructureError(
             f"x has {x.shape[-1]} features, flow has {F}"
         )
+    if cols is not None:
+        xb = jnp.broadcast_shapes(x.shape[:-1], cols.shape[:-1])
+        x = jnp.broadcast_to(x, xb + (F,))
+        cols = jnp.broadcast_to(cols, xb + cols.shape[-1:]).astype(x.dtype)
+        x = jnp.concatenate([x, cols], axis=-1)
     return _gf_op(layout, F, x, *flat_params)
 
 
@@ -406,16 +479,19 @@ def _gf_fwd(layout, F, x, *flat_params):
 
 def _gf_bwd(layout, F, res, g):
     x, flat_params = res
+    W = _aug_width(layout, F)
 
     def ref_math(x, fp):
-        xf = x.reshape(-1, F)
+        xf = x.reshape(-1, W)
         return _gf_math_T(xf.T, list(fp), layout, F)[0, :].reshape(x.shape[:-1])
 
     # row-chunked backward on TPU (same reasoning and ~15% pipelining win
-    # as the NSF backward, nsf_fused._fused_bwd / tpu_validate_r42)
+    # as the NSF backward, nsf_fused._fused_bwd / tpu_validate_r42); any
+    # streamed per-row parameter columns chunk WITH their rows, and their
+    # cotangents ride back inside dx (the caller's concat splits them)
     rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
     if rows > _BWD_CHUNK and jax.default_backend() not in ("cpu", "gpu"):
-        flat_x = x.reshape(rows, F)
+        flat_x = x.reshape(rows, W)
         flat_g = g.reshape(rows)
         n_chunks = -(-rows // _BWD_CHUNK)
         pad = n_chunks * _BWD_CHUNK - rows
@@ -423,7 +499,7 @@ def _gf_bwd(layout, F, res, g):
             flat_x = jnp.concatenate([flat_x, flat_x[:pad]], axis=0)
             flat_g = jnp.concatenate(
                 [flat_g, jnp.zeros((pad,), flat_g.dtype)], axis=0)
-        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, F)
+        xch = flat_x.reshape(n_chunks, _BWD_CHUNK, W)
         gch = flat_g.reshape(n_chunks, _BWD_CHUNK)
 
         def one(chunk):
@@ -432,7 +508,7 @@ def _gf_bwd(layout, F, res, g):
             return vjp(gc)
 
         dx_ch, dfp_ch = jax.lax.map(one, (xch, gch))
-        dx = dx_ch.reshape(n_chunks * _BWD_CHUNK, F)[:rows].reshape(x.shape)
+        dx = dx_ch.reshape(n_chunks * _BWD_CHUNK, W)[:rows].reshape(x.shape)
         dfp = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dfp_ch)
         return (dx, *dfp)
 
@@ -445,8 +521,9 @@ _gf_op.defvjp(_gf_fwd, _gf_bwd)
 
 
 def _gf_impl(layout, F, x, *flat_params):
+    W = _aug_width(layout, F)
     batch_shape = x.shape[:-1]
-    xf = x.reshape(-1, F)
+    xf = x.reshape(-1, W)
 
     if not _use_pallas_fused(x.dtype):
         return _gf_math_T(xf.T, list(flat_params), layout, F)[0, :].reshape(
@@ -468,7 +545,7 @@ def _gf_impl(layout, F, x, *flat_params):
         functools.partial(_gf_kernel_T, layout=layout, F=F, n_params=n_params),
         grid=(m // _TB,),
         in_specs=[
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -478,27 +555,51 @@ def _gf_impl(layout, F, x, *flat_params):
     return out.reshape(batch_shape)
 
 
+def _gf_prep_sample(flow, key, sample_shape, c=None):
+    """Shared GF sampling preamble: flatten, draw base samples (a batched
+    context contributes its batch dims AFTER the draw shape, matching the
+    XLA path's ``sample_shape + batch_shape + event``), and append any
+    streamed per-row parameter columns. Returns
+    ``(flat_params, layout, F, zf (n, W), out_shape)``."""
+    flat_params, layout, F, cols = _flatten_gf(flow, c)
+    dtype = flat_params[0].dtype if flat_params else (
+        cols.dtype if cols is not None else jnp.float32
+    )
+    cbatch = tuple(cols.shape[:-1]) if cols is not None else ()
+    shape = tuple(sample_shape) + cbatch + (F,)
+    z = jax.random.normal(key, shape, dtype)
+    zf = z.reshape(-1, F)
+    if cols is not None:
+        cf = jnp.broadcast_to(
+            cols, tuple(sample_shape) + cbatch + cols.shape[-1:]
+        ).reshape(-1, cols.shape[-1])
+        zf = jnp.concatenate([zf, cf.astype(dtype)], axis=-1)
+    return flat_params, layout, F, zf, z.shape
+
+
 def fused_gf_sample(flow, key, sample_shape, c=None, want_log_prob=False):
     r"""Draw GF samples with one fused kernel: base draws, every rotation
     inverse and every per-feature gaussianization bisection run per batch
-    tile with the parameters resident in VMEM (jnp fallback off-TPU).
+    tile with the parameters resident in VMEM — batched-context per-row
+    parameters stream per tile alongside the draws (jnp fallback off-TPU).
 
     Sampling only (no gradients) — use ``rsample`` on the flow for the
     differentiable path (:mod:`zuko_tpu.ops.ift`)."""
-    flat_params, layout, F = _flatten_gf(flow, c)
-    dtype = flat_params[0].dtype if flat_params else jnp.float32
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
-    zf = z.reshape(-1, F)
+    flat_params, layout, F, zf, z_shape = _gf_prep_sample(
+        flow, key, sample_shape, c
+    )
     out = _gf_sample_core(layout, F, want_log_prob, zf, list(flat_params))
     if want_log_prob:
         x, lp = out
-        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
-    return out.reshape(z.shape)
+        return x.reshape(z_shape), lp.reshape(z_shape[:-1])
+    return out.reshape(z_shape)
 
 
 def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
-    """Flat-row GF sampling core: ``zf (n, F)`` -> ``x (n, F)`` (and
-    ``log q (n,)``)."""
+    """Flat-row GF sampling core: ``zf (n, W)`` — base draws in the first F
+    columns, then any streamed per-row parameter columns — -> ``x (n, F)``
+    (and ``log q (n,)``)."""
+    W = _aug_width(layout, F)
     dtype = zf.dtype
     n = zf.shape[0]
 
@@ -541,7 +642,7 @@ def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
         ),
         grid=(m // _TB,),
         in_specs=[
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=out_specs,

@@ -666,18 +666,20 @@ def fused_gf_rsample(flow, key, sample_shape, c=None,
                      want_log_prob: bool = False):
     r"""Differentiable fused GF sampling: the fused bisection kernel
     forward (`gf_fused.fused_gf_sample`), an IFT custom VJP backward of
-    diagonal solves + orthogonal-rotation transposes."""
+    diagonal solves + orthogonal-rotation transposes. Batched-context
+    per-row parameters ride in the augmented draw rows (the
+    `gf_fused._flatten_gf` column layout), so gradients to the hyper
+    outputs come back through the zf cotangent's parameter columns."""
     from . import gf_fused as gfm
 
-    flat_params, layout, F = gfm._flatten_gf(flow, c)
-    dtype = flat_params[0].dtype if flat_params else jnp.float32
-    z = jax.random.normal(key, tuple(sample_shape) + (F,), dtype)
-    zf = z.reshape(-1, F)
+    flat_params, layout, F, zf, z_shape = gfm._gf_prep_sample(
+        flow, key, sample_shape, c
+    )
     out = _gf_ift_op(layout, F, want_log_prob, zf, *flat_params)
     if want_log_prob:
         x, lp = out
-        return x.reshape(z.shape), lp.reshape(z.shape[:-1])
-    return out.reshape(z.shape)
+        return x.reshape(z_shape), lp.reshape(z_shape[:-1])
+    return out.reshape(z_shape)
 
 
 def fused_gf_rsample_and_log_prob(flow, key, sample_shape, c=None):
@@ -712,31 +714,35 @@ _gf_ift_op.defvjp(_gf_ift_fwd, _gf_ift_bwd)
 
 
 def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
-    """The IFT backward over GF layers (diagonal gauss + orthogonal rot)."""
+    """The IFT backward over GF layers (diagonal gauss + orthogonal rot).
+
+    ``zc`` is the augmented draw matrix ``(n, W)``: base draws in the first
+    F columns, then any batched layers' streamed per-row parameter columns
+    (the `gf_fused._flatten_gf` layout). Batched layers' parameter
+    cotangents are assembled back into the matching columns of the returned
+    ``zc`` cotangent; unbatched layers' land in ``dfp``."""
     from . import gf_fused as gfm
 
+    augT = zc.T
     xT = x.T
     dfp = [jnp.zeros_like(p) for p in flat_params]
+    dcols = {}  # row offset in augT -> (2*K*F, n) parameter-column cotangent
 
     # ---- march ---------------------------------------------------------
     recs = []
     xcur = xT
-    idx = 0
-    for entry in layout:
-        if entry[0] == "gauss":
-            K = entry[1]
-            shift, scale = flat_params[idx], flat_params[idx + 1]
+    for st in gfm._gf_stages_T(augT, flat_params, layout, F):
+        if st[0] == "gauss":
+            _, shift, scale, K, loc = st
             (ynext, ladj), pull = jax.vjp(
                 lambda xx, sh, sc, K=K: gfm._gauss_forward_F(xx, sh, sc, K),
                 xcur, shift, scale,
             )
-            recs.append(("gauss", pull, ladj, idx))
-            idx += 2
+            recs.append(("gauss", pull, ladj, loc))
             xcur = ynext
         else:
-            R = flat_params[idx]
-            recs.append(("rot", R, xcur, idx))
-            idx += 1
+            _, R, loc = st
+            recs.append(("rot", R, xcur, loc))
             xcur = gfm._dot_rot(R, xcur)
 
     def rot_T(R, g):  # R^T g, f32-exact like the kernel's rotation inverse
@@ -746,7 +752,7 @@ def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    xbarT, lrow = _solve_consistency_mask(xcur, zc.T, xbar, lbar)
+    xbarT, lrow = _solve_consistency_mask(xcur, augT[:F], xbar, lbar)
 
     # ---- density backward ----------------------------------------------
     g_out = [None] * len(recs)
@@ -767,7 +773,7 @@ def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
     v = xbarT if g0 is None else xbarT + g0
     for i, rec in enumerate(recs):
         if rec[0] == "gauss":
-            pull, ladj, idx0 = rec[1], rec[2], rec[3]
+            pull, ladj, loc = rec[1], rec[2], rec[3]
             u = v / jnp.exp(ladj)               # diagonal solve
             ycot = g_out[i] - u if g_out[i] is not None else -u
             lcot = (
@@ -775,19 +781,25 @@ def _gf_ift_bwd_math(layout, F, zc, x, xbar, lbar, flat_params):
                 if lbar is not None else jnp.zeros_like(ladj)
             )
             _, gsh, gsc = pull((ycot, lcot))
-            dfp[idx0] = dfp[idx0] + gsh
-            dfp[idx0 + 1] = dfp[idx0 + 1] + gsc
+            if loc[0] == "p":
+                dfp[loc[1]] = dfp[loc[1]] + gsh
+                dfp[loc[1] + 1] = dfp[loc[1] + 1] + gsc
+            else:  # batched: back into the streamed parameter columns
+                dcols[loc[1]] = jnp.concatenate(list(gsh) + list(gsc), axis=0)
             v = u
         else:
-            R, xin, idx0 = rec[1], rec[2], rec[3]
+            R, xin, loc = rec[1], rec[2], rec[3]
             u = gfm._dot_rot(R, v)              # J^{-T} v = R v (orthogonal)
             ycot = g_out[i] - u if g_out[i] is not None else -u
             # (d(Rx)/dR)^T ycot = ycot x^T
-            dfp[idx0] = dfp[idx0] + jnp.matmul(
+            dfp[loc[1]] = dfp[loc[1]] + jnp.matmul(
                 ycot, xin.T, precision=jax.lax.Precision.HIGHEST
             )
             v = u
 
+    if dcols:
+        blocks = [v] + [dcols[off] for off in sorted(dcols)]
+        return jnp.concatenate(blocks, axis=0).T, tuple(dfp)
     return v.T, tuple(dfp)
 
 
