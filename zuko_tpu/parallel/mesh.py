@@ -408,30 +408,45 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
     :func:`jax.random.fold_in` on the device's ``data``-axis index, so the
     global draw set is deterministic for a given ``key`` and mesh shape.
     With ``want_log_prob`` also returns the per-sample ``log q(x)`` (the
-    reverse-KL quantity, reference: zuko/distributions.py:129-138)."""
+    reverse-KL quantity, reference: zuko/distributions.py:129-138).
+
+    With a BATCHED context ``c (B, ctx)`` the CONTEXT batch shards over
+    ``data`` instead: each device draws the full ``sample_shape`` for its
+    own context rows (every fused family streams per-row parameters since
+    round 5), and the result has the single-device fused semantics
+    ``sample_shape + (B,) + event``."""
     import weakref
 
     from ..core import combine, partition
 
-    if c is not None and jnp.ndim(c) > 1:
-        raise NotImplementedError(
-            "sharded_fused_sample shards the SAMPLE axis; a batched "
-            "context (B, ctx) would need context sharding instead — "
-            "shard the context batch over `data` yourself and call the "
-            "single-device sampler per shard (flow(c).sample under "
-            "shard_map), or flatten contexts into the sample axis."
-        )
-    n = int(np.prod(sample_shape)) if sample_shape else 1
     d = mesh.shape["data"]
-    assert n % d == 0, f"sample count {n} must divide the data axis {d}"
-    local = (n // d,)
+    ctx_sharded = c is not None and jnp.ndim(c) > 1
+    if ctx_sharded:
+        # batched context: shard the CONTEXT batch over `data` — each
+        # device draws the full sample_shape for its own context rows
+        # (every fused family streams per-row parameters since round 5)
+        if jnp.ndim(c) != 2:
+            raise NotImplementedError(
+                "sharded_fused_sample supports a single context batch dim "
+                f"(B, ctx); got shape {jnp.shape(c)} — flatten the leading "
+                "batch dims first"
+            )
+        B = c.shape[0]
+        assert B % d == 0, (
+            f"context batch {B} must divide the data axis {d}"
+        )
+        local = tuple(sample_shape)
+    else:
+        n = int(np.prod(sample_shape)) if sample_shape else 1
+        assert n % d == 0, f"sample count {n} must divide the data axis {d}"
+        local = (n // d,)
 
     # Params ride as jit ARGUMENTS and the compiled program is cached on
     # structure, exactly like the serving density path: the original
     # per-call closure both RETRACED every invocation (a fresh jitted
     # wrapper per call) and embedded the parameters as MLIR constants.
     params, static = partition(flow)
-    extra = ("sample", want_log_prob, local, c is not None)
+    extra = ("sample", want_log_prob, local, c is not None, ctx_sharded)
     key_s = _structure_cache_key(mesh, params, extra)
     if key_s is not None:
         fn = _SHARDED_FN_CACHE.get(key_s)
@@ -443,17 +458,35 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
             fn = ent[2]
     if fn is None:
         sampler = _fused_sampler_fn_for(flow, c, want_log_prob)
-        out_specs = (P("data"), P("data")) if want_log_prob else P("data")
+        if ctx_sharded:
+            # outputs carry sample dims first, then the (sharded) context
+            # rows: x is sample_shape + (B/d, F), log q sample_shape + (B/d,)
+            nsd = len(local)
+            x_spec = P(*([None] * nsd), "data")
+            l_spec = P(*([None] * nsd), "data")
+            out_specs = (x_spec, l_spec) if want_log_prob else x_spec
+            in_specs = (P(), P(), P("data"))
 
-        def draw(params, key, *cargs):
-            idx = jax.lax.axis_index("data")
-            f = combine(params, static)
-            cc = cargs[0] if cargs else None
-            return sampler(f, jax.random.fold_in(key, idx), local, cc)
+            def draw(params, key, cc):
+                idx = jax.lax.axis_index("data")
+                f = combine(params, static)
+                # each device derives its own key so the GLOBAL draw set is
+                # deterministic for a given key and mesh shape (matching
+                # the sample-sharded variant's convention); draws therefore
+                # differ from the single-device sampler's for the same key
+                return sampler(f, jax.random.fold_in(key, idx), local, cc)
+        else:
+            out_specs = (P("data"), P("data")) if want_log_prob else P("data")
+            in_specs = (P(), P()) + ((P(),) if c is not None else ())
+
+            def draw(params, key, *cargs):
+                idx = jax.lax.axis_index("data")
+                f = combine(params, static)
+                cc = cargs[0] if cargs else None
+                return sampler(f, jax.random.fold_in(key, idx), local, cc)
 
         # jit the wrapper: an eagerly-called shard_map executes the body op
         # by op across the mesh (measured ~100x the jitted wall time)
-        in_specs = (P(), P()) + ((P(),) if c is not None else ())
         fn = jax.jit(jax.shard_map(
             draw, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
@@ -465,6 +498,8 @@ def sharded_fused_sample(mesh: Mesh, flow, key, sample_shape, c=None,
             else (weakref.ref(mesh), weakref.ref(flow), fn)
         )
     out = fn(params, key) if c is None else fn(params, key, c)
+    if ctx_sharded:  # already sample_shape + (B,) + event
+        return out
     shape = tuple(sample_shape)
     if want_log_prob:
         x, lp = out
