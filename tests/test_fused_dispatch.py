@@ -259,6 +259,33 @@ def test_train_mle_through_dispatch(key, dispatch_on):
     assert np.allclose(losses, losses_ref, atol=1e-6), (losses, losses_ref)
 
 
+def test_naf_warm_sweeps_match_full_bracket(key, dispatch_on, monkeypatch):
+    r"""The warm-started later sweeps (round 5 default: bracket around the
+    previous sweep's root with per-row fallback) produce the same inverses
+    as the original full-bracket solver to solver tolerance, for both NAF
+    and UNAF. Hardware A/B: tools/tpu_validate_r5_iter2.py (+35%/+20%)."""
+    import zuko_tpu.ops.naf_fused as nf
+
+    from zuko_tpu.flows import NAF, UNAF
+
+    kf, ks = jax.random.split(key)
+    for cls in (NAF, UNAF):
+        flow = cls(4, transforms=2, signal=6, key=kf)
+        d = flow(None)
+
+        monkeypatch.setattr(nf, "_WARM_SWEEPS", True)
+        xw, lw = d.sample_and_log_prob(ks, (256,))
+        monkeypatch.setattr(nf, "_WARM_SWEEPS", False)
+        xf, lf = d.sample_and_log_prob(ks, (256,))
+
+        assert jnp.allclose(xw, xf, atol=1e-4), (
+            cls.__name__, jnp.abs(xw - xf).max(),
+        )
+        assert jnp.allclose(lw, lf, atol=1e-3), (
+            cls.__name__, jnp.abs(lw - lf).max(),
+        )
+
+
 def test_naf_fused_sampling_matches_xla(key, dispatch_on):
     r"""NAF sampling dispatches through the fused bisection kernel and equals
     the XLA newton_bisection path to solver tolerance."""

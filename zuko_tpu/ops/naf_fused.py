@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,17 @@ def _n_bisect(bound, eps):
 # throughput for no measurable accuracy gain.
 _COARSE_XTOL = 2e-2
 _N_NEWTON = 3
+# Warm-started later sweeps (r5, see _ar_inverse_sweeps_T): bracket each
+# sweep >= 1 around the previous sweep's root with this radius instead of
+# the full [-bound, bound] (2 validity evals + 3 local-bisect evals vs 10
+# full-bracket evals). Hardware A/B (tools/tpu_validate_r5_iter2.py,
+# b=1M/131K): NAF 2.86 vs 2.12M samples/s (+35%), UNAF 0.47 vs 0.39
+# (+20%), with p99/max draw deviation <= 5e-6/1.2e-5 and log q
+# self-consistency tails unchanged. r=0.25 gives +26% (one fewer saved
+# eval); r=0.0625 is the measured sweet spot. Opt out with
+# ZUKO_TPU_NAF_WARM=0 (read at trace time).
+_WARM_SWEEPS = os.environ.get("ZUKO_TPU_NAF_WARM", "1") != "0"
+_WARM_R = 0.0625
 # UMNN gets one extra polish step: its r50-winning config drops the coarse
 # quadrature to GL-4 (noisier bracket), and the 4th exact Newton step
 # restores the eps past 1e-6 at a fraction of the quadrature it saves.
@@ -526,7 +538,8 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
     # straight-line code produced multi-MB Mosaic programs (the UNAF variant
     # OOM-killed the AOT compile service); the rolled form is ~30x smaller
     # and numerically identical.
-    def sweep_body(_, x):
+    def prep(x):
+        """Per-sweep constants: hyper pass, solve target, hoisted layer."""
         # HIGHEST: solver inputs must be f32-exact (see _dot_hi note)
         h = _hyper_T(x, cT, made, precision=jax.lax.Precision.HIGHEST)
 
@@ -545,7 +558,12 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
 
         pre1, w1x = _hoist_first_layer(sig_all, mono_w, mono_b, F, S,
                                        barrier=barrier)
+        return target, pre1, w1x
 
+    n_newton = _N_NEWTON_UMNN if kind == "umnn" else _N_NEWTON
+
+    def solve(target, pre1, w1x, lo, hi, n_iters):
+        """Bisect the bracket n_iters times, then Newton-polish."""
         def bisect_body(_, carry):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
@@ -555,9 +573,7 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
             hi = jnp.where(go_right, hi, mid)
             return lo, hi
 
-        lo = jnp.full_like(y, -bound)
-        hi = jnp.full_like(y, bound)
-        lo, hi = jax.lax.fori_loop(0, n_coarse, bisect_body, (lo, hi))
+        lo, hi = jax.lax.fori_loop(0, n_iters, bisect_body, (lo, hi))
 
         def newton_step(xn, vg):
             fv, df = vg(xn, pre1, w1x, mono_w, mono_b, F)
@@ -567,7 +583,6 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
             # and Newton's exact evaluations are what correct it
             return jnp.clip(xn - step, -bound, bound)
 
-        n_newton = _N_NEWTON_UMNN if kind == "umnn" else _N_NEWTON
         xn = jax.lax.fori_loop(
             0, n_newton - 1,
             lambda _, v: newton_step(v, f_vg_solve), 0.5 * (lo + hi),
@@ -576,9 +591,42 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
         # root on the fine-quadrature forward (see _UMNN_NEWTON_N note)
         return newton_step(xn, f_vg)
 
-    x = jax.lax.fori_loop(
-        0, min(st["passes"], F), sweep_body, jnp.zeros_like(y)
-    )
+    def sweep_body(_, x):
+        target, pre1, w1x = prep(x)
+        lo = jnp.full_like(y, -bound)
+        hi = jnp.full_like(y, bound)
+        return solve(target, pre1, w1x, lo, hi, n_coarse)
+
+    n_sweeps = min(st["passes"], F)
+    if _WARM_SWEEPS and n_sweeps > 1:
+        # Warm-started later sweeps (r5 iteration-level experiment): after
+        # sweep s, features < s are FINAL (their hypers read only final
+        # features), so the previous sweep's roots are exact for them and
+        # geometrically convergent for the rest. Bracket sweep s >= 1
+        # locally around the previous root (2 validity evaluations; rows
+        # whose root moved outside the window fall back to the full
+        # bracket, where the shortened bisection leaves ~bound/2^k error
+        # for Newton's exact evaluations to absorb — exactly the coarse-
+        # phase contract, with a wider entry gap on those rows only; any
+        # residual error on PROVISIONAL features is overwritten by their
+        # finalizing sweep).
+        n_warm = _n_bisect(_WARM_R, _COARSE_XTOL)
+
+        def warm_body(_, x):
+            target, pre1, w1x = prep(x)
+            lo0 = x - _WARM_R
+            hi0 = x + _WARM_R
+            flo = f_eval(lo0, pre1, w1x, mono_w, mono_b, F, act, None)
+            fhi = f_eval(hi0, pre1, w1x, mono_w, mono_b, F, act, None)
+            ok = (flo < target) & (target < fhi)
+            lo = jnp.where(ok, lo0, jnp.full_like(y, -bound))
+            hi = jnp.where(ok, hi0, jnp.full_like(y, bound))
+            return solve(target, pre1, w1x, lo, hi, n_warm)
+
+        x = sweep_body(0, jnp.zeros_like(y))
+        x = jax.lax.fori_loop(1, n_sweeps, warm_body, x)
+    else:
+        x = jax.lax.fori_loop(0, n_sweeps, sweep_body, jnp.zeros_like(y))
     if not want_ladj:
         return x
 
