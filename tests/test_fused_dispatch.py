@@ -604,7 +604,7 @@ def test_gf_fused_batched_context(key, dispatch_on):
 
     kf, kx, kc, ks = jax.random.split(key, 4)
     flow = GF(4, 3, transforms=2, components=5, key=kf)
-    B = 9
+    B = 6
     c = jax.random.normal(kc, (B, 3))
     x = jax.random.normal(kx, (B, 4))
 
@@ -640,7 +640,7 @@ def test_gf_fused_batched_context(key, dispatch_on):
     params = jax.tree_util.tree_map(lambda a: a * 0.2, params)
 
     def vi(p):
-        xs, lq = combine(p, static)(c).rsample_and_log_prob(ks, (8,))
+        xs, lq = combine(p, static)(c).rsample_and_log_prob(ks, (4,))
         return jnp.mean(lq) + jnp.mean(xs**2)
 
     v_fused, g_fused = jax.value_and_grad(vi)(params)
@@ -1674,7 +1674,7 @@ def test_cnf_tile_adjoint_matches_xla_backward(case, key, dispatch_on):
         c = jax.random.normal(kc, (2,), dtype=jnp.float64)
     elif case == "exact-bcond":
         flow = CNF(3, 2, exact=True, key=kf, **tols)
-        c = jax.random.normal(kc, (3, 2), dtype=jnp.float64)
+        c = jax.random.normal(kc, (2, 2), dtype=jnp.float64)
     else:
         flow = CNF(3, exact=False, key=kf, **tols)
         hk = kh

@@ -24,6 +24,11 @@ p = argparse.ArgumentParser()
 p.add_argument("--epochs", type=int, default=30)
 p.add_argument("--skip-reference", action="store_true")
 p.add_argument("--cpu", action="store_true")
+p.add_argument("--ref-seed", type=int, default=0,
+               help="torch seed (GF is init-fragile on BOTH sides — the "
+                    "erf-mixture saturation mechanism, PARITY.md; seed 0 "
+                    "diverges to NaN on the reference)")
+p.add_argument("--skip-ours", action="store_true")
 args = p.parse_args()
 
 if args.cpu:
@@ -46,7 +51,7 @@ if not args.skip_reference:
     import torch
     import zuko
 
-    torch.manual_seed(0)
+    torch.manual_seed(args.ref_seed)
     rflow = zuko.flows.GF(D, C, transforms=T)
     opt = torch.optim.Adam(rflow.parameters(), lr=LR)
     tx, ty = torch.as_tensor(xtr), torch.as_tensor(ytr)
@@ -69,6 +74,8 @@ if not args.skip_reference:
           f" {r_test:.3f}  ({rt:.0f}s train)", flush=True)
 
 # ---- zuko_tpu side --------------------------------------------------
+if args.skip_ours:
+    raise SystemExit(0)
 import jax
 import jax.numpy as jnp
 
