@@ -18,8 +18,10 @@ IDENTICAL approximations so the math validated on CPU is the math the kernel
 executes (|err| vs the libm pair is ~1e-7, amplified to ~1e-4 on log-densities
 deep in the tails — the fused-vs-XLA parity tolerance below).
 
-Like the other fused families, everything non-representable (conditional
-hypers with *batched* context, non-Gaussianization univariates, non-standard
+Batched (per-row) contexts are representable since round 5: the per-row
+hyper outputs stream through the kernel as column blocks concatenated to
+the data rows (see :func:`_flatten_gf`). Like the other fused families,
+everything non-representable (non-Gaussianization univariates, non-standard
 bases) raises :class:`FusedStructureError` so dispatch falls back to the
 always-correct XLA path instead of silently computing a wrong density.
 """
@@ -235,6 +237,21 @@ def _aug_width(layout, F):
     """Width of the kernel's streamed rows: F data features plus every
     batched layer's 2*K*F per-row parameter columns."""
     return F + sum(2 * e[1] * F for e in layout if e[0] == "gaussb")
+
+
+def _gf_tb(layout, F):
+    """Live-set-aware batch tile (the nsf_fused._density_tb pattern): the
+    streamed per-row parameter columns of a batched-context flow multiply
+    the per-tile VMEM footprint by 2*L*K, so halve the tile until the
+    live set fits the budget — a fixed 1024-row tile would overflow VMEM
+    at large D*K (e.g. D=64, K=8, L=3 streams 3072 columns/row)."""
+    from .nsf_fused import _VMEM_TILE_BUDGET
+
+    live = _aug_width(layout, F) + 8 * F  # aug tile + per-component work
+    tb = _TB
+    while tb > 128 and live * tb > _VMEM_TILE_BUDGET:
+        tb //= 2
+    return tb
 
 
 # ------------------------------------------------------------ transposed math
@@ -530,8 +547,9 @@ def _gf_impl(layout, F, x, *flat_params):
             batch_shape
         )
 
+    tb = _gf_tb(layout, F)
     n = xf.shape[0]
-    pad = (-n) % _TB
+    pad = (-n) % tb
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     m = xf.shape[0]
@@ -543,12 +561,12 @@ def _gf_impl(layout, F, x, *flat_params):
     ]
     out = pl.pallas_call(
         functools.partial(_gf_kernel_T, layout=layout, F=F, n_params=n_params),
-        grid=(m // _TB,),
+        grid=(m // tb,),
         in_specs=[
-            pl.BlockSpec((W, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
-        out_specs=pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
     )(xf.T, *flat_params)
     out = out[0, :n] if pad else out[0, :]
@@ -612,7 +630,8 @@ def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
             return x.T, lp[0, :]
         return out.T
 
-    pad = (-n) % _TB
+    tb = _gf_tb(layout, F)
+    pad = (-n) % tb
     if pad:
         zf = jnp.pad(zf, ((0, pad), (0, 0)))
     m = zf.shape[0]
@@ -624,15 +643,15 @@ def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
     ]
     if want_log_prob:
         out_specs = (
-            pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         )
         out_shape = (
             jax.ShapeDtypeStruct((F, m), dtype),
             jax.ShapeDtypeStruct((1, m), dtype),
         )
     else:
-        out_specs = pl.BlockSpec((F, _TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((F, m), dtype)
 
     out = pl.pallas_call(
@@ -640,9 +659,9 @@ def _gf_sample_core(layout, F, want_log_prob, zf, flat_params):
             _gf_sample_kernel_T, layout=layout, F=F, n_params=n_params,
             want_log_prob=want_log_prob,
         ),
-        grid=(m // _TB,),
+        grid=(m // tb,),
         in_specs=[
-            pl.BlockSpec((W, _TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=out_specs,
