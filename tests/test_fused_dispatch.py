@@ -1003,7 +1003,11 @@ def test_naf_fused_sample_and_log_prob(cls, key, dispatch_on):
     d = flow(None)
     x, lq = d.sample_and_log_prob(jax.random.PRNGKey(7), (128,))
     lp = d.log_prob(x)
-    tol = 1e-10 if cls is NAF else 1e-4
+    # NAF: both quantities are exact functions of the solved x, but the
+    # warm-started sweeps (r5) may land a ~1e-9-different root than the
+    # full-bracket solver — well inside the eps=1e-6 solve contract; the
+    # old 1e-10 pin was an incidental bitwise property of the full path.
+    tol = 1e-7 if cls is NAF else 1e-4
     assert jnp.abs(lq - lp).max() < tol, jnp.abs(lq - lp).max()
 
 
