@@ -176,9 +176,14 @@ def bench_reference():
         rates, runs = {}, {}
         with torch.no_grad():
             flow(None).log_prob(x)  # warmup
+            flow(None).log_prob(x)
             n_iters = 5
             times = []
-            for _ in range(3):  # best-of-3 the denominator too
+            # best-of-5: the denominator's residual round-to-round wobble
+            # is HOST variance (the raw ref_runs_ms in the JSON shows each
+            # run set internally consistent but sets ~30% apart), so take
+            # the best the host showed
+            for _ in range(5):
                 t0 = time.perf_counter()
                 for _ in range(n_iters):
                     flow(None).log_prob(x)
@@ -198,7 +203,7 @@ def bench_reference():
             ):
                 call()  # warmup
                 times = []
-                for _ in range(3):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     call()
                     times.append(time.perf_counter() - t0)
