@@ -1771,12 +1771,18 @@ def test_fused_sampling_batched_context(key, dispatch_on):
             os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
 
     kf, ks = jax.random.split(key)
-    for name, flow in [
-        ("NSF", NSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf)),
-        ("MAF", MAF(3, 2, transforms=2, hidden_features=(8, 8), key=kf)),
-        ("NAF", NAF(3, 2, transforms=2, signal=6, key=kf)),
+    # the full shape sweep runs on NSF; MAF/NAF (different prep paths)
+    # cover one shape each — every (family x shape) combination compiles
+    # 4 programs, and the full cross product made this the battery's
+    # slowest test (round-5 wall-clock audit)
+    for name, flow, shapes in [
+        ("NSF", NSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf),
+         [(5, ()), (5, (4,)), (5, (2, 3))]),
+        ("MAF", MAF(3, 2, transforms=2, hidden_features=(8, 8), key=kf),
+         [(5, (4,))]),
+        ("NAF", NAF(3, 2, transforms=2, signal=6, key=kf), [(5, (4,))]),
     ]:
-        for B, sshape in [(5, ()), (5, (4,)), (5, (2, 3))]:
+        for B, sshape in shapes:
             c = jax.random.normal(jax.random.key(7), (B, 2))
             d = flow(c)
             x = d.sample(ks, sshape)
