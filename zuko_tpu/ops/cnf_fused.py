@@ -56,6 +56,22 @@ except Exception:  # pragma: no cover
 _LOG_2PI = math.log(2.0 * math.pi)
 _TB_CNF = 256  # batch tile; exact-trace tangents are (H, F*TB) in VMEM
 
+# Per-tile VMEM budget for the dopri45 state. The dominant live set is the
+# exact-trace tangent block (H, n_tan*TB) held across the 7 tableau stages:
+# measured 29.7M at (F=64, H=64, TB=256), exactly 7*H*F*TB*4 bytes — the
+# scoped-vmem limit is 16M, so the tile shrinks (min 128 lanes) and
+# structures that cannot fit even at 128 are REJECTED to the XLA path
+# (exact traces at F ~ 64 belong to Hutchinson, the FFJORD at-scale mode).
+_CNF_VMEM_BUDGET = 13_000_000
+
+
+def _cnf_tb(cfg, hmax):
+    n_tan = cfg["F"] if cfg["exact"] else 1
+    tb = _TB_CNF
+    while tb > 128 and 7 * hmax * n_tan * tb * 4 > _CNF_VMEM_BUDGET:
+        tb //= 2
+    return tb
+
 # Continuous-adjoint consistency gate (see _cnf_sample_bwd): max abs gap
 # allowed between the re-integrated endpoint x(1) and the saved base draw z.
 # Standard-normal scale, mirroring ift._SOLVE_ATOL for the iterative tier.
@@ -148,6 +164,18 @@ def extract_cnf_params(module, transform, c=None):
         "exact": bool(t.exact), "scale": float(t.trace_scale),
         "freqs": tuple(float(f) for f in freqs),
     }
+    if t.exact:
+        # VMEM feasibility gate (see _CNF_VMEM_BUDGET): the exact-trace
+        # tangent block at the minimum 128-lane tile must fit, else the
+        # kernel would fail to compile — fall back to the XLA path loudly
+        hmax = max(int(w.shape[0]) for w in ws)
+        if 7 * hmax * F * 128 * 4 > _CNF_VMEM_BUDGET:
+            raise FusedStructureError(
+                f"exact-trace CNF tangents (F={F}, hidden {hmax}) exceed "
+                "the kernel VMEM budget even at the minimum tile — use "
+                "exact=False (Hutchinson, the FFJORD at-scale trace) for "
+                "the fused path; falling back to XLA"
+            )
     return ws, bs, c_phi, t.key, cfg
 
 
@@ -809,8 +837,9 @@ def _cnf_impl(static, x, eps, c, *flat):
         params = params[:2] + params[3:]
         cfg = {**cfg, "bc": H}
         W = F + H
+    tb = _cnf_tb(cfg, max(int(w.shape[0]) for w in ws))
     n = xf.shape[0]
-    pad = (-n) % _TB_CNF
+    pad = (-n) % tb
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     m = xf.shape[0]
@@ -820,22 +849,22 @@ def _cnf_impl(static, x, eps, c, *flat):
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for p in params
     ]
-    in_specs = [pl.BlockSpec((W, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM)]
     args = [xf.T]
     if not cfg["exact"]:
         ef = eps.reshape(-1, F)
         if pad:
             ef = jnp.pad(ef, ((0, pad), (0, 0)))
         in_specs.append(
-            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(ef.T)
 
     out = pl.pallas_call(
         functools.partial(_cnf_kernel, n_params=n_params, cfg=cfg),
-        grid=(m // _TB_CNF,),
+        grid=(m // tb,),
         in_specs=in_specs + param_specs,
-        out_specs=pl.BlockSpec((1, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, m), x.dtype),
     )(*args, *params)
     out = out[0, :n] if pad else out[0, :]
@@ -939,10 +968,11 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
     params = _kernel_params(ws, bs, c, cfg)
     dtype = x.dtype
 
+    tb = _cnf_tb(cfg, max(int(w.shape[0]) for w in ws))
     xf = x.reshape(-1, F)
     af = gx.reshape(-1, F).astype(dtype)
     n = xf.shape[0]
-    pad = (-n) % _TB_CNF
+    pad = (-n) % tb
 
     bc = params[2].ndim > 1  # batched context: per-row folded first bias
     b1f = None
@@ -961,9 +991,9 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
         if bc:
             b1f = jnp.pad(b1f, ((0, pad), (0, 0)))
     m = xf.shape[0]
-    G = m // _TB_CNF
+    G = m // tb
 
-    tile_spec = pl.BlockSpec((F, _TB_CNF), lambda i: (0, i),
+    tile_spec = pl.BlockSpec((F, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     in_specs = [tile_spec, tile_spec]
     args = [xf.T, af.T]
@@ -971,7 +1001,7 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
         lqf = glq.reshape(-1).astype(dtype)
         if pad:
             lqf = jnp.pad(lqf, (0, pad))
-        in_specs.append(pl.BlockSpec((1, _TB_CNF), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((1, tb), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         args.append(lqf[None, :])
     if not cfg["exact"]:
@@ -982,7 +1012,7 @@ def _cnf_adjoint_pallas(x, gx, glq, eps, c, flat, cfg, want_lp):
         args.append(ef.T)
     b1_spec = None
     if bc:
-        b1_spec = pl.BlockSpec((H, _TB_CNF), lambda i: (0, i),
+        b1_spec = pl.BlockSpec((H, tb), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
         in_specs.append(b1_spec)
         args.append(b1f.T)
@@ -1241,8 +1271,9 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
         W = F + H
     else:
         zf = z.reshape(-1, F)
+    tb = _cnf_tb(cfg, max(int(w.shape[0]) for w in ws))
     n = zf.shape[0]
-    pad = (-n) % _TB_CNF
+    pad = (-n) % tb
     if pad:
         zf = jnp.pad(zf, ((0, pad), (0, 0)))
     m = zf.shape[0]
@@ -1252,21 +1283,21 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for p in params
     ]
-    in_specs = [pl.BlockSpec((W, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM)]
     args = [zf.T]
     if not cfg["exact"]:
         ef = eps.reshape(-1, F)
         if pad:
             ef = jnp.pad(ef, ((0, pad), (0, 0)))
         in_specs.append(
-            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(ef.T)
 
     if want_log_prob:
         out_specs = (
-            pl.BlockSpec((F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         )
         out_shape = (
             jax.ShapeDtypeStruct((F, m), dtype),
@@ -1274,7 +1305,7 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
         )
     else:
         out_specs = pl.BlockSpec(
-            (F, _TB_CNF), lambda i: (0, i), memory_space=pltpu.VMEM
+            (F, tb), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((F, m), dtype)
 
@@ -1283,7 +1314,7 @@ def _cnf_sample_impl(static, z, eps, c, *flat):
             _cnf_sample_kernel, n_params=n_params, cfg=cfg,
             want_log_prob=want_log_prob,
         ),
-        grid=(m // _TB_CNF,),
+        grid=(m // tb,),
         in_specs=in_specs + param_specs,
         out_specs=out_specs,
         out_shape=out_shape,
