@@ -836,6 +836,36 @@ def test_cnf_fused_batched_context(key, dispatch_on):
         assert jnp.allclose(a, b, atol=1e-4), (n, jnp.abs(a - b).max())
 
 
+def test_cnf_exact_trace_vmem_gate(key, dispatch_on):
+    r"""Exact-trace CNF structures whose in-kernel tangent block cannot fit
+    VMEM even at the minimum tile are REJECTED to the XLA path with
+    guidance (r5: D=64 exact measured 29.7MB against the 16MB scoped
+    limit), instead of failing at compile time; Hutchinson at the same
+    size stays representable, and mid sizes shrink the tile instead."""
+    from zuko_tpu.flows import CNF
+    from zuko_tpu.ops.cnf_fused import (
+        _cnf_tb, extract_cnf_params, FusedStructureError,
+    )
+
+    flow = CNF(64, 10, exact=True, key=key)
+    c = jnp.zeros((4, 10))
+    with pytest.raises(FusedStructureError, match="Hutchinson"):
+        extract_cnf_params(flow, flow.transform(c), c)
+    assert type(flow(c)) is NormalizingFlow  # dispatch falls back
+
+    # Hutchinson at the same size is representable
+    fh = CNF(64, 10, exact=False, key=key)
+    ws, bs, c_phi, _, cfg = extract_cnf_params(
+        fh, fh.transform(c, key=key), c
+    )
+    assert _cnf_tb(cfg, max(int(w.shape[0]) for w in ws)) == 256
+
+    # mid-size exact shrinks the tile instead of rejecting
+    f32f = CNF(32, 0, exact=True, key=key)
+    ws, bs, _, _, cfg = extract_cnf_params(f32f, f32f.transform(None))
+    assert _cnf_tb(cfg, max(int(w.shape[0]) for w in ws)) == 128
+
+
 def test_cnf_fused_exhaustion_poisons(key):
     r"""The kernel tile math NaN-poisons on step-budget exhaustion, exactly
     like utils.odeint (reference never truncates silently,
