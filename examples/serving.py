@@ -87,6 +87,31 @@ def main():
     assert jnp.allclose(lp[:256], ref, atol=2e-3), "checkpoint mismatch"
     print("serving output == training-process output (f32 round-trip)")
 
+    # ---- conditional serving tier (round 5) -------------------------
+    # Batched (per-request) contexts run through the fused kernels too:
+    # the per-row hyper outputs stream with the data rows, and
+    # sharded_fused_sample shards the CONTEXT batch over the mesh —
+    # one draw (or sample_shape draws) per request row.
+    from zuko_tpu.data import digits_conditional
+    from zuko_tpu.parallel import sharded_fused_sample
+
+    (cx, cy), _, _ = digits_conditional()
+    cflow = NSF(cx.shape[1], cy.shape[1], transforms=3,
+                hidden_features=(64, 64), key=jax.random.PRNGKey(2))
+    cflow, _ = train_mle(cflow, cx, context=cy, epochs=args.epochs,
+                         batch_size=256, key=jax.random.PRNGKey(3))
+
+    B = (1024 // mesh.shape["data"]) * mesh.shape["data"]
+    req_c = jnp.asarray(np.tile(cy, (-(-B // cy.shape[0]), 1))[:B])
+    req_x = jnp.asarray(np.tile(cx, (-(-B // cx.shape[0]), 1))[:B])
+    clp = sharded_fused_log_prob(mesh, cflow, req_x, req_c)
+    draws = sharded_fused_sample(
+        mesh, cflow, jax.random.PRNGKey(4), (), c=req_c
+    )
+    print(f"conditional serving: scored {B} request rows (mean "
+          f"log-density {float(clp.mean()):.3f}) and drew one sample per "
+          f"request, shape {tuple(draws.shape)}")
+
 
 if __name__ == "__main__":
     main()
