@@ -259,6 +259,49 @@ def test_train_mle_through_dispatch(key, dispatch_on):
     assert np.allclose(losses, losses_ref, atol=1e-6), (losses, losses_ref)
 
 
+@pytest.mark.parametrize(
+    "family",
+    ["nsf", "ncsf", "maf", "sospf", "bpf", "naf", "unaf", "gf", "cnf"],
+)
+def test_batched_context_density_sweep(family, key, dispatch_on):
+    r"""Standing batched-context sweep (round 5): EVERY fused family's
+    conditional density with a (B, ctx) context must match the XLA path —
+    per-row parameters stream through the kernels (GF/CNF) or the context
+    columns ride the data (AR families). Small shapes; the per-family
+    deep checks live in the dedicated tests."""
+    import os
+
+    from zuko_tpu import flows as fz
+
+    kf, kx, kc = jax.random.split(key, 3)
+    mk = {
+        "nsf": lambda: fz.NSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf),
+        "ncsf": lambda: fz.NCSF(3, 2, transforms=2, hidden_features=(8, 8), key=kf),
+        "maf": lambda: fz.MAF(3, 2, transforms=2, hidden_features=(8, 8), key=kf),
+        "sospf": lambda: fz.SOSPF(3, 2, transforms=2, key=kf),
+        "bpf": lambda: fz.BPF(3, 2, transforms=2, key=kf),
+        "naf": lambda: fz.NAF(3, 2, transforms=2, signal=6, key=kf),
+        "unaf": lambda: fz.UNAF(3, 2, transforms=2, signal=6, key=kf),
+        "gf": lambda: fz.GF(3, 2, transforms=2, key=kf),
+        "cnf": lambda: fz.CNF(3, 2, hidden_features=(16, 16), key=kf),
+    }
+    flow = mk[family]()
+    B = 7
+    c = 0.5 * jax.random.normal(kc, (B, 2))
+    x = jax.random.normal(kx, (B, 3))
+
+    lp = flow(c).log_prob(x)
+    os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "0"
+    try:
+        lp_ref = flow(c).log_prob(x)
+    finally:
+        os.environ["ZUKO_TPU_FUSED_DISPATCH"] = "1"
+    assert lp.shape == (B,)
+    assert jnp.allclose(lp, lp_ref, atol=5e-4), (
+        family, jnp.abs(lp - lp_ref).max(),
+    )
+
+
 def test_naf_warm_sweeps_match_full_bracket(key, dispatch_on, monkeypatch):
     r"""The warm-started later sweeps (round 5 default: bracket around the
     previous sweep's root with per-row fallback) produce the same inverses
