@@ -561,8 +561,14 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
         return target, pre1, w1x
 
     n_newton = _N_NEWTON_UMNN if kind == "umnn" else _N_NEWTON
+    # warm sweeps enter near the root, so UMNN drops the extra polish step
+    # that r50 added for the noisy wide-bracket GL-4 coarse phase (which
+    # still gets it: sweep 0 and the per-row fallback path). Hardware A/B
+    # (tools/tpu_validate_r5_unaf_newton.py): +15% UNAF sampling at
+    # unchanged self-consistency tails, draw deviation <= 8.6e-6.
+    n_newton_warm = n_newton - 1 if kind == "umnn" else n_newton
 
-    def solve(target, pre1, w1x, lo, hi, n_iters):
+    def solve(target, pre1, w1x, lo, hi, n_iters, n_newton=n_newton):
         """Bisect the bracket n_iters times, then Newton-polish."""
         def bisect_body(_, carry):
             lo, hi = carry
@@ -621,7 +627,8 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
             ok = (flo < target) & (target < fhi)
             lo = jnp.where(ok, lo0, jnp.full_like(y, -bound))
             hi = jnp.where(ok, hi0, jnp.full_like(y, bound))
-            return solve(target, pre1, w1x, lo, hi, n_warm)
+            return solve(target, pre1, w1x, lo, hi, n_warm,
+                         n_newton=n_newton_warm)
 
         x = sweep_body(0, jnp.zeros_like(y))
         x = jax.lax.fori_loop(1, n_sweeps, warm_body, x)
