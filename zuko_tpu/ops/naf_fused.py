@@ -489,7 +489,8 @@ def _umnn_vg_hoisted(mid, pre1, w1x, mono_w, mono_b, F, barrier=False,
     return val, jnp.concatenate(gs, axis=0)
 
 
-def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
+def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False,
+                         warm=None):
     """Invert one NAF/UNAF autoregressive layer on a (F, TB) tile:
     ``passes`` fixed-point sweeps (reference: zuko/transforms.py:994-1000);
     inside each sweep, a fixed-count bisection solves every feature's
@@ -604,7 +605,8 @@ def _ar_inverse_sweeps_T(y, cT, st, F, S, want_ladj=False, barrier=False):
         return solve(target, pre1, w1x, lo, hi, n_coarse)
 
     n_sweeps = min(st["passes"], F)
-    if _WARM_SWEEPS and n_sweeps > 1:
+    use_warm = _WARM_SWEEPS if warm is None else warm
+    if use_warm and n_sweeps > 1:
         # Warm-started later sweeps (r5 iteration-level experiment): after
         # sweep s, features < s are FINAL (their hypers read only final
         # features), so the previous sweep's roots are exact for them and
@@ -702,7 +704,7 @@ def _naf_density_math_T(xT, cT, stages, F, S, barrier=False):
 
 
 def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False,
-                       barrier=False):
+                       barrier=False, warm=None):
     """Whole-flow NAF inversion on a (F, TB) tile: softclip inverses
     elementwise, AR layers via sweep + bisection. With ``want_log_prob``
     also returns ``log q(x) = base.log_prob(z) + sum ladj_fwd`` (1, TB) —
@@ -729,11 +731,12 @@ def _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=False,
             if want_log_prob:
                 x, ladj = _ar_inverse_sweeps_T(y, cT, st, F, S,
                                                want_ladj=True,
-                                               barrier=barrier)
+                                               barrier=barrier, warm=warm)
                 acc = acc + jnp.sum(ladj, axis=0, keepdims=True)
                 y = x
             else:
-                y = _ar_inverse_sweeps_T(y, cT, st, F, S, barrier=barrier)
+                y = _ar_inverse_sweeps_T(y, cT, st, F, S, barrier=barrier,
+                                         warm=warm)
     if want_log_prob:
         return y, acc
     return y
@@ -796,7 +799,8 @@ def _rebuild_stages(flat, layout):
     return stages
 
 
-def _naf_kernel_T(*refs, layout, F, C, S, n_params, want_log_prob=False):
+def _naf_kernel_T(*refs, layout, F, C, S, n_params, want_log_prob=False,
+                  warm=None):
     z_ref = refs[0]
     param_refs = refs[1 : 1 + n_params]
 
@@ -805,12 +809,13 @@ def _naf_kernel_T(*refs, layout, F, C, S, n_params, want_log_prob=False):
     stages = _rebuild_stages([r[:] for r in param_refs], layout)
     if want_log_prob:
         out_ref, lp_ref = refs[1 + n_params], refs[2 + n_params]
-        x, lp = _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=True)
+        x, lp = _naf_sample_math_T(zT, cT, stages, F, S, want_log_prob=True,
+                                   warm=warm)
         out_ref[:F, :] = x
         lp_ref[:, :] = lp
     else:
         out_ref = refs[1 + n_params]
-        out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S)
+        out_ref[:F, :] = _naf_sample_math_T(zT, cT, stages, F, S, warm=warm)
 
 
 def _naf_density_kernel_T(*refs, layout, F, C, S, n_params):
@@ -913,6 +918,17 @@ def _naf_density_impl(cfg, xc, *flat_params):
         tb //= 2
     if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
         tb = min(tb, 512)
+    # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
+    # the warm loop), which raises the Mosaic stack peak ~1.4x (r5: D=43
+    # read 22.9M warm vs 21.7M full against the 16M scoped limit). Shrink
+    # the tile further for warm, and DISABLE warm for this kernel instance
+    # when the shrunk tile cannot afford it (the CPU fallback keeps warm).
+    warm = _WARM_SWEEPS and F <= 24
+    if warm:
+        while tb > 128 and F * tb > 5 * _TB:
+            tb //= 2
+        if F * tb > 5 * _TB:
+            warm = False
 
     n = xf.shape[0]
     pad = (-n) % tb
@@ -1047,12 +1063,29 @@ def _naf_sample_core(layout, F, C, S, want_log_prob, zc, flat_params):
         tb //= 2
     if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
         tb = min(tb, 512)
+    # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
+    # the warm loop), which raises the Mosaic stack peak ~1.4x (r5: D=43
+    # read 22.9M warm vs 21.7M full against the 16M scoped limit). Shrink
+    # the tile further for warm, and DISABLE warm for this kernel instance
+    # when the shrunk tile cannot afford it (the CPU fallback keeps warm).
+    warm = _WARM_SWEEPS and F <= 24
+    if warm:
+        while tb > 128 and F * tb > 5 * _TB:
+            tb //= 2
+        if F * tb > 5 * _TB:
+            warm = False
 
-    if not _use_pallas_fused(dtype):
+    # Big-F feasibility: the (F*hidden, tb) monotone-net slabs dominate the
+    # Mosaic stack — F=43 measured 21.7M against the 16M scoped limit at the
+    # 128-lane tile floor even without warm (r5; a latent gap — big-D NAF
+    # SAMPLING had never been compiled). Sub-128 lanes are not lowerable, so
+    # the whole solve runs the identical jnp math under XLA instead.
+    if not _use_pallas_fused(dtype) or F > 24:
         cT = zc[:, F:].T if C else None
         stages2 = _rebuild_stages(list(flat_params), layout)
         out = _naf_sample_math_T(zc[:, :F].T, cT, stages2, F, S,
-                                 want_log_prob=want_log_prob, barrier=True)
+                                 want_log_prob=want_log_prob, barrier=True,
+                                 warm=_WARM_SWEEPS)
         if want_log_prob:
             x, lp = out
             return x.T, lp[0, :]
@@ -1089,7 +1122,7 @@ def _naf_sample_core(layout, F, C, S, want_log_prob, zc, flat_params):
     out = pl.pallas_call(
         functools.partial(
             _naf_kernel_T, layout=layout, F=F, C=C, S=S, n_params=n_params,
-            want_log_prob=want_log_prob,
+            want_log_prob=want_log_prob, warm=warm,
         ),
         grid=(m // tb,),
         in_specs=[
