@@ -919,11 +919,12 @@ def _naf_density_impl(cfg, xc, *flat_params):
     if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
         tb = min(tb, 512)
     # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
-    # the warm loop), which raises the Mosaic stack peak ~1.4x (r5: D=43
-    # read 22.9M warm vs 21.7M full against the 16M scoped limit). Shrink
-    # the tile further for warm, and DISABLE warm for this kernel instance
-    # when the shrunk tile cannot afford it (the CPU fallback keeps warm).
-    warm = _WARM_SWEEPS and F <= 24
+    # the warm loop), raising the Mosaic stack peak: F=8 at tb=1024 read
+    # 17.04M against the 16M scoped limit with warm while the full-bracket
+    # solver fits (r5 boundary probe; F=5 at tb=1024 compiles with warm).
+    # Shrink the tile for warm beyond the proven F*tb budget; the few-%
+    # smaller-tile overhead is far below warm's +20-46%.
+    warm = _WARM_SWEEPS
     if warm:
         while tb > 128 and F * tb > 5 * _TB:
             tb //= 2
@@ -1064,11 +1065,12 @@ def _naf_sample_core(layout, F, C, S, want_log_prob, zc, flat_params):
     if any(k == "ar" and dict(v).get("kind") == "umnn" for k, v in layout):
         tb = min(tb, 512)
     # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
-    # the warm loop), which raises the Mosaic stack peak ~1.4x (r5: D=43
-    # read 22.9M warm vs 21.7M full against the 16M scoped limit). Shrink
-    # the tile further for warm, and DISABLE warm for this kernel instance
-    # when the shrunk tile cannot afford it (the CPU fallback keeps warm).
-    warm = _WARM_SWEEPS and F <= 24
+    # the warm loop), raising the Mosaic stack peak: F=8 at tb=1024 read
+    # 17.04M against the 16M scoped limit with warm while the full-bracket
+    # solver fits (r5 boundary probe; F=5 at tb=1024 compiles with warm).
+    # Shrink the tile for warm beyond the proven F*tb budget; the few-%
+    # smaller-tile overhead is far below warm's +20-46%.
+    warm = _WARM_SWEEPS
     if warm:
         while tb > 128 and F * tb > 5 * _TB:
             tb //= 2
