@@ -921,14 +921,16 @@ def _naf_density_impl(cfg, xc, *flat_params):
     # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
     # the warm loop), raising the Mosaic stack peak: F=8 at tb=1024 read
     # 17.04M against the 16M scoped limit with warm while the full-bracket
-    # solver fits (r5 boundary probe; F=5 at tb=1024 compiles with warm).
-    # Shrink the tile for warm beyond the proven F*tb budget; the few-%
-    # smaller-tile overhead is far below warm's +20-46%.
+    # solver fits (r5 boundary probe). F=6 at tb=1024 compiles and runs
+    # with warm (the bench_suite NAF row), so 6*_TB is the proven warm
+    # budget; beyond it the tile shrinks (the few-% smaller-tile overhead
+    # is far below warm's +20-46%), with per-instance fallback to
+    # full-bracket sweeps if even the floor cannot afford it.
     warm = _WARM_SWEEPS
     if warm:
-        while tb > 128 and F * tb > 5 * _TB:
+        while tb > 128 and F * tb > 6 * _TB:
             tb //= 2
-        if F * tb > 5 * _TB:
+        if F * tb > 6 * _TB:
             warm = False
 
     n = xf.shape[0]
@@ -1067,14 +1069,16 @@ def _naf_sample_core(layout, F, C, S, want_log_prob, zc, flat_params):
     # Warm-started sweeps compile TWO sweep bodies (full-bracket sweep 0 +
     # the warm loop), raising the Mosaic stack peak: F=8 at tb=1024 read
     # 17.04M against the 16M scoped limit with warm while the full-bracket
-    # solver fits (r5 boundary probe; F=5 at tb=1024 compiles with warm).
-    # Shrink the tile for warm beyond the proven F*tb budget; the few-%
-    # smaller-tile overhead is far below warm's +20-46%.
+    # solver fits (r5 boundary probe). F=6 at tb=1024 compiles and runs
+    # with warm (the bench_suite NAF row), so 6*_TB is the proven warm
+    # budget; beyond it the tile shrinks (the few-% smaller-tile overhead
+    # is far below warm's +20-46%), with per-instance fallback to
+    # full-bracket sweeps if even the floor cannot afford it.
     warm = _WARM_SWEEPS
     if warm:
-        while tb > 128 and F * tb > 5 * _TB:
+        while tb > 128 and F * tb > 6 * _TB:
             tb //= 2
-        if F * tb > 5 * _TB:
+        if F * tb > 6 * _TB:
             warm = False
 
     # Big-F feasibility: the (F*hidden, tb) monotone-net slabs dominate the
