@@ -1,6 +1,8 @@
 r"""UCI dataset tier: real-data layouts, POWER preprocessing semantics, and
 clearly-separated surrogates."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -146,6 +148,39 @@ def test_archive_schema_mismatch_is_loud(tmp_path):
 def test_missing_path_errors(tmp_path):
     with pytest.raises(FileNotFoundError, match="zenodo"):
         uci_dataset("power", str(tmp_path / "nope"))
+
+
+def test_uci_anchor_one_command(tmp_path):
+    r"""The north-star re-measure path (tools/uci_anchor.py) runs end to
+    end on a real-schema fixture: archive layout -> standard preprocessing
+    -> NSF training -> test NLL + published-anchor delta. Also the refusal
+    contract: without data it must NOT print an anchor number."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    tool = os.path.join(root, "tools", "uci_anchor.py")
+
+    # refusal without data
+    env = {k: v for k, v in os.environ.items() if k != "ZUKO_TPU_DATA_DIR"}
+    r = subprocess.run([_sys.executable, tool, "power"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 2
+    assert "zenodo" in r.stderr
+
+    # one command on a real-schema fixture
+    rng = np.random.RandomState(0)
+    (tmp_path / "power").mkdir()
+    np.save(tmp_path / "power" / "data.npy", rng.rand(4000, 8) * 4)
+    r = subprocess.run(
+        [_sys.executable, tool, "power", "--data-dir", str(tmp_path),
+         "--epochs", "1", "--transforms", "2", "--hidden", "16", "16",
+         "--batch", "256", "--cpu"],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "test NLL" in r.stdout
+    assert "published NSF anchor" in r.stdout
 
 
 def test_two_moons_shapes():
